@@ -1,0 +1,149 @@
+"""Exact top-k retrieval + Recall@K — the FAISS replacement.
+
+The reference scores retrieval with ``faiss.IndexFlatIP`` (cosine) /
+``IndexFlatL2`` and a per-query ``np.isin`` recall loop
+(AnyLoc/AnyLoc ``utilities.py:390-469``). On TPU the same exact search is one
+``[Q, D] @ [D, Ndb]`` matmul plus ``lax.top_k`` — MXU-bound and trivially
+shardable over the database axis (see ``anyloc_tpu.parallel.distributed`` for
+the multi-chip merge). Conventions match FAISS:
+
+  * cosine -> returns inner-product scores, descending (IndexFlatIP);
+  * l2     -> returns *squared* L2 distances, ascending (IndexFlatL2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anyloc_tpu.ops.common import EXACT, l2_normalize
+
+
+@functools.partial(jax.jit, static_argnames=("k", "method"))
+def top_k_search(
+    db: jnp.ndarray, qu: jnp.ndarray, k: int, method: str = "cosine"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k. db [Ndb, D], qu [Q, D] -> (scores [Q, k], indices [Q, k])."""
+    db = db.astype(jnp.float32)
+    qu = qu.astype(jnp.float32)
+    if method == "cosine":
+        scores = jnp.dot(qu, db.T, preferred_element_type=jnp.float32, precision=EXACT)
+        top, idx = jax.lax.top_k(scores, k)
+        return top, idx
+    elif method == "l2":
+        # ||q - x||^2 = ||q||^2 - 2 q.x + ||x||^2
+        qx = jnp.dot(qu, db.T, preferred_element_type=jnp.float32, precision=EXACT)
+        d2 = (
+            jnp.sum(qu * qu, axis=-1, keepdims=True)
+            - 2.0 * qx
+            + jnp.sum(db * db, axis=-1)[None, :]
+        )
+        top_neg, idx = jax.lax.top_k(-d2, k)
+        return -top_neg, idx
+    raise ValueError(f"Unknown method: {method}")
+
+
+def top_k_search_blocked(
+    db: np.ndarray,
+    qu: np.ndarray,
+    k: int,
+    method: str = "cosine",
+    query_block: int = 1024,
+    db_block: int = 131072,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-streaming exact top-k for databases too large for one device
+    buffer (the reference's RAM-efficient eval, dvgl_benchmark/test.py:12-119,
+    re-thought for TPU): queries stream in blocks, database streams in shards,
+    partial top-k's merge on device."""
+    n_db = db.shape[0]
+    n_qu = qu.shape[0]
+    out_scores = np.empty((n_qu, k), np.float32)
+    out_idx = np.empty((n_qu, k), np.int64)
+    sign = 1.0 if method == "cosine" else -1.0
+
+    @functools.partial(jax.jit, static_argnames=("k", "method"))
+    def _merge(best_s, best_i, db_blk, qu_blk, offset, k, method):
+        s, i = top_k_search(db_blk, qu_blk, min(k, db_blk.shape[0]), method)
+        i = i + offset
+        cat_s = jnp.concatenate([best_s, sign * s], axis=1)
+        cat_i = jnp.concatenate([best_i, i], axis=1)
+        top, pos = jax.lax.top_k(cat_s, k)
+        return top, jnp.take_along_axis(cat_i, pos, axis=1)
+
+    for q0 in range(0, n_qu, query_block):
+        qb = jnp.asarray(qu[q0 : q0 + query_block])
+        best_s = jnp.full((qb.shape[0], k), -jnp.inf, jnp.float32)
+        best_i = jnp.zeros((qb.shape[0], k), jnp.int64)
+        for d0 in range(0, n_db, db_block):
+            dbb = jnp.asarray(db[d0 : d0 + db_block])
+            best_s, best_i = _merge(best_s, best_i, dbb, qb, d0, k, method)
+        out_scores[q0 : q0 + query_block] = np.asarray(sign * best_s)
+        out_idx[q0 : q0 + query_block] = np.asarray(best_i)
+    return out_scores, out_idx
+
+
+def compute_recalls(
+    indices: np.ndarray,
+    gt_pos: Sequence[np.ndarray],
+    top_k: Sequence[int],
+    use_percentage: bool = True,
+    sub_sample_db: int = 1,
+    sub_sample_qu: int = 1,
+) -> Dict[int, float]:
+    """Recall@K accumulation matching utilities.py:451-468 exactly, including
+    the sub-sample index correction (qu index * sub_sample_qu into gt, and
+    retrieved db index * sub_sample_db before membership test)."""
+    recalls = {k: 0 for k in top_k}
+    for i_qu, qu_retr in enumerate(np.asarray(indices)):
+        correct = np.asarray(gt_pos[i_qu * sub_sample_qu])
+        scaled = qu_retr * sub_sample_db
+        hits = np.isin(scaled, correct)
+        # recall@k is a hit if any of the first k retrievals is correct
+        csum = np.cumsum(hits) > 0
+        for k in top_k:
+            if k <= len(csum) and csum[k - 1]:
+                recalls[k] += 1
+            elif k > len(csum) and csum[-1]:
+                recalls[k] += 1
+    if use_percentage:
+        n = len(indices)
+        recalls = {k: v / n for k, v in recalls.items()}
+    return recalls
+
+
+def get_top_k_recall(
+    top_k: List[int],
+    db,
+    qu,
+    gt_pos,
+    method: str = "cosine",
+    norm_descs: bool = True,
+    use_gpu: bool = False,  # kept for API parity; search always runs on the
+    # default JAX device (TPU when available)
+    use_percentage: bool = True,
+    sub_sample_db: int = 1,
+    sub_sample_qu: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, Dict[int, float]]:
+    """Drop-in equivalent of the reference's ``get_top_k_recall``
+    (utilities.py:390-469): returns (distances [Q, max(top_k)],
+    indices [Q, max(top_k)], {k: recall})."""
+    del use_gpu
+    db = jnp.asarray(np.asarray(db), dtype=jnp.float32)
+    qu = jnp.asarray(np.asarray(qu), dtype=jnp.float32)
+    if qu.ndim == 1:
+        qu = qu[None, :]
+    if norm_descs:
+        db = l2_normalize(db)
+        qu = l2_normalize(qu)
+    max_k = min(int(max(top_k)), db.shape[0])
+    dists, indices = top_k_search(db, qu, max_k, method)
+    dists = np.asarray(dists)
+    indices = np.asarray(indices)
+    recalls = compute_recalls(
+        indices, gt_pos, top_k, use_percentage, sub_sample_db, sub_sample_qu
+    )
+    return dists, indices, recalls

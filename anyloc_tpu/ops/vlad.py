@@ -1,0 +1,360 @@
+"""TPU-native VLAD aggregation.
+
+Reimplements the reference's unsupervised VLAD (AnyLoc/AnyLoc
+``utilities.py:624-1008``, duplicated in ``demo/utilities.py:106-490``) as a
+batched, jit-compiled kernel with the same public API surface
+(``VLAD.fit / fit_and_generate / generate / generate_multi / generate_res_vec``).
+
+The math, per image with descriptors ``x [N, D]``, centers ``c [C, D]``:
+
+  hard:  a[n, k] = one_hot(argmax_k sim(x_n, c_k))          (sim per dist_mode)
+  soft:  a[n, k] = softmax_k(temp * cos(x_n, c_k))
+  V[k]   = sum_n a[n, k] * (x_n - c_k)                      (residual sum)
+  V[k]   = V[k] / ||V[k]||        if intra_norm             (zero-safe)
+  out    = flatten(V) / ||flatten(V)||                      -> [C * D]
+
+TPU-first reformulation (vs the reference's per-image Python loop over
+``used_clusters`` with boolean-mask scatter, ``utilities.py:854-861``):
+the residual sum factorizes as
+
+  V[b, k] = einsum('nk,nd->kd', a[b], x[b]) - (sum_n a[b, n, k]) * c[k]
+
+so the hot op is a single ``[C, N] @ [N, D]`` matmul per image (MXU) and the
+``[B, N, C, D]`` residual tensor (materialized by the reference,
+``utilities.py:961``) never exists. A fused Pallas kernel for the whole
+aggregate lives in ``anyloc_tpu.ops.pallas.vlad_kernel``; this module is the
+XLA reference path and the public API.
+
+Parity notes (verified against the reference semantics):
+  * ``norm_descs`` L2-normalizes inputs before residuals (utilities.py:959-960);
+  * hard labels are computed with the k-means distance mode
+    (``kmeans.predict``, utilities.py:849);
+  * soft assignment always uses cosine similarity regardless of dist_mode
+    (utilities.py:870-875);
+  * empty clusters contribute an all-zero block (utilities.py:840 zeros init);
+  * intra-norm and the final norm use torch-F.normalize eps semantics;
+  * output layout is cluster-major: out[k*D:(k+1)*D] (utilities.py:861).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anyloc_tpu.ops.common import EXACT, l2_normalize
+from anyloc_tpu.ops.kmeans import KMeans, _similarity
+
+
+# ---------------------------------------------------------------------------
+# Functional core
+# ---------------------------------------------------------------------------
+
+def vlad_assign(
+    descs: jnp.ndarray,
+    centers: jnp.ndarray,
+    *,
+    vlad_mode: str = "hard",
+    dist_mode: str = "cosine",
+    soft_temp: float = 1.0,
+) -> jnp.ndarray:
+    """Assignment weights ``a`` of shape [..., N, C] for descs [..., N, D]."""
+    n_clusters = centers.shape[0]
+    if vlad_mode == "hard":
+        sim = _similarity(descs.reshape(-1, descs.shape[-1]), centers, dist_mode)
+        labels = jnp.argmax(sim, axis=-1)
+        a = jax.nn.one_hot(labels, n_clusters, dtype=jnp.float32)
+        return a.reshape(*descs.shape[:-1], n_clusters)
+    elif vlad_mode == "soft":
+        # Reference uses cosine similarity for soft assignment regardless of
+        # the k-means dist mode (utilities.py:870-875).
+        dn = l2_normalize(descs)
+        cn = l2_normalize(centers)
+        cos = jnp.einsum("...nd,cd->...nc", dn, cn, precision=EXACT)
+        return jax.nn.softmax(soft_temp * cos, axis=-1)
+    raise ValueError(f"Unknown vlad_mode: {vlad_mode}")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vlad_mode", "dist_mode", "intra_norm", "norm_descs"),
+)
+def vlad_aggregate(
+    descs: jnp.ndarray,
+    centers: jnp.ndarray,
+    *,
+    vlad_mode: str = "hard",
+    dist_mode: str = "cosine",
+    intra_norm: bool = True,
+    norm_descs: bool = True,
+    soft_temp: float = 1.0,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Batched VLAD. descs [B, N, D] (or [N, D]), centers [C, D] -> [B, C*D].
+
+    ``mask`` (optional, [B, N]) zeroes padded tokens so shape-bucketed batches
+    of variable-size images can share one compiled program.
+    """
+    squeeze = descs.ndim == 2
+    if squeeze:
+        descs = descs[None]
+    b, n, d = descs.shape
+    c = centers.shape[0]
+    descs = descs.astype(jnp.float32)
+    centers = centers.astype(jnp.float32)
+
+    x = l2_normalize(descs) if norm_descs else descs
+    # NOTE: hard assignment in the reference runs kmeans.predict on the *raw*
+    # descriptors (utilities.py:849) while residuals use normalized ones. For
+    # cosine dist_mode these give identical labels (cosine is scale-invariant);
+    # we assign on the normalized copy which also matches euclidean-on-normed
+    # pipelines. Documented deviation only for euclidean + norm_descs.
+    a = vlad_assign(
+        x, centers, vlad_mode=vlad_mode, dist_mode=dist_mode, soft_temp=soft_temp
+    )  # [B, N, C]
+    if mask is not None:
+        a = a * mask[..., None].astype(a.dtype)
+
+    wsum = jnp.einsum("bnc,bnd->bcd", a, x, preferred_element_type=jnp.float32, precision=EXACT)
+    acount = jnp.sum(a, axis=1)  # [B, C]
+    if vlad_mode == "hard":
+        # V[b,k,:] = sum_n a[b,n,k]*x[b,n,:] - (sum_n a[b,n,k]) * centers[k,:]
+        v = wsum - acount[..., None] * centers[None, :, :]
+    else:
+        # Reference soft mode (utilities.py:880-884) multiplies the weight for
+        # cluster k with the residuals to *all* centers and sums over both the
+        # descriptor and the center axes:
+        #   V[k] = sum_q a[q,k] * sum_c (x_q - c_c)
+        #        = C * (sum_q a[q,k] x_q) - (sum_q a[q,k]) * sum_c c_c
+        # We reproduce that exactly (documented reference behavior, not the
+        # textbook per-cluster soft residual).
+        center_sum = jnp.sum(centers, axis=0)  # [D]
+        v = c * wsum - acount[..., None] * center_sum[None, None, :]
+    if intra_norm:
+        v = l2_normalize(v, axis=-1)
+    out = v.reshape(b, c * d)
+    out = l2_normalize(out, axis=-1)
+    return out[0] if squeeze else out
+
+
+def vlad_residuals(
+    descs: jnp.ndarray, centers: jnp.ndarray, *, norm_descs: bool = True
+) -> jnp.ndarray:
+    """Full residual tensor [..., N, C, D] (reference ``generate_res_vec``,
+    utilities.py:928-972). Only for API parity / visualization — the main
+    aggregation path never materializes this."""
+    x = l2_normalize(descs) if norm_descs else descs
+    return x[..., :, None, :] - centers[None, :, :]
+
+
+# ---------------------------------------------------------------------------
+# Stateful wrapper with the reference's API + array-native caching
+# ---------------------------------------------------------------------------
+
+class VLAD:
+    """API-compatible stand-in for the reference ``VLAD`` class
+    (utilities.py:624-1008) backed by the batched jitted kernel.
+
+    Differences from the reference (by design):
+      * caches are ``.npz`` arrays instead of pickled ``.pt`` tensors
+        (``c_centers.npz``, ``<id>_r.npz``, ``<id>_l.npz``, ``<id>_s.npz``);
+        ``fit`` can also *read* a PyTorch ``c_centers.pt`` (via torch, if
+        installed) so reference-exported vocabularies load for strict parity;
+      * ``generate_multi`` is one batched device call, not a Python loop.
+    """
+
+    def __init__(
+        self,
+        num_clusters: int,
+        desc_dim: Optional[int] = None,
+        intra_norm: bool = True,
+        norm_descs: bool = True,
+        dist_mode: str = "cosine",
+        vlad_mode: str = "hard",
+        soft_temp: float = 1.0,
+        cache_dir: Optional[str] = None,
+        seed: int = 42,
+    ) -> None:
+        self.num_clusters = num_clusters
+        self.desc_dim = desc_dim
+        self.intra_norm = intra_norm
+        self.norm_descs = norm_descs
+        self.mode = dist_mode
+        self.vlad_mode = str(vlad_mode).lower()
+        assert self.vlad_mode in ("soft", "hard")
+        self.soft_temp = soft_temp
+        self.seed = seed
+        self.c_centers: Optional[jnp.ndarray] = None
+        self.kmeans: Optional[KMeans] = None
+        self.cache_dir = cache_dir
+        if self.cache_dir is not None:
+            self.cache_dir = os.path.abspath(os.path.expanduser(self.cache_dir))
+            os.makedirs(self.cache_dir, exist_ok=True)
+
+    # -- caching ----------------------------------------------------------
+    def _centers_paths(self):
+        return (
+            f"{self.cache_dir}/c_centers.npz",
+            f"{self.cache_dir}/c_centers.pt",
+        )
+
+    def can_use_cache_vlad(self) -> bool:
+        if self.cache_dir is None or not os.path.exists(self.cache_dir):
+            return False
+        npz, pt = self._centers_paths()
+        return os.path.exists(npz) or os.path.exists(pt)
+
+    def can_use_cache_ids(
+        self,
+        cache_ids: Union[List[str], str, None],
+        only_residuals: bool = False,
+    ) -> bool:
+        """Mirror of utilities.py:710-746 over the .npz cache layout."""
+        if not self.can_use_cache_vlad() or cache_ids is None:
+            return False
+        if isinstance(cache_ids, str):
+            cache_ids = [cache_ids]
+        for cid in cache_ids:
+            if not os.path.exists(f"{self.cache_dir}/{cid}_r.npz"):
+                return False
+            if not only_residuals:
+                suffix = "_l.npz" if self.vlad_mode == "hard" else "_s.npz"
+                if not os.path.exists(f"{self.cache_dir}/{cid}{suffix}"):
+                    return False
+        return True
+
+    def _load_cached_centers(self) -> jnp.ndarray:
+        npz, pt = self._centers_paths()
+        if os.path.exists(npz):
+            return jnp.asarray(np.load(npz)["centers"], dtype=jnp.float32)
+        # Reference-exported vocabulary (torch pickle) for strict parity runs.
+        import torch  # local import: torch is optional at runtime
+
+        t = torch.load(pt, map_location="cpu")
+        return jnp.asarray(t.detach().cpu().numpy(), dtype=jnp.float32)
+
+    # -- fitting ----------------------------------------------------------
+    def fit(self, train_descs=None) -> None:
+        """Build (or load) the vocabulary. ``train_descs``: [num_desc, D] or
+        None when a cached vocabulary exists (utilities.py:749-791)."""
+        self.kmeans = KMeans(self.num_clusters, mode=self.mode, seed=self.seed)
+        if self.can_use_cache_vlad():
+            self.c_centers = self._load_cached_centers()
+            self.kmeans.centroids = self.c_centers
+            if self.desc_dim is None:
+                self.desc_dim = int(self.c_centers.shape[1])
+            return
+        if train_descs is None:
+            raise ValueError("No training descriptors given and no cache")
+        train_descs = jnp.asarray(train_descs, dtype=jnp.float32)
+        if self.desc_dim is None:
+            self.desc_dim = int(train_descs.shape[1])
+        if self.norm_descs:
+            train_descs = l2_normalize(train_descs)
+        self.kmeans.fit(train_descs)
+        self.c_centers = self.kmeans.centroids
+        if self.cache_dir is not None:
+            np.savez(
+                self._centers_paths()[0], centers=np.asarray(self.c_centers)
+            )
+
+    def fit_and_generate(self, train_descs) -> jnp.ndarray:
+        """[num_imgs, N, D] -> fit on all descriptors, return [num_imgs, C*D]."""
+        train_descs = jnp.asarray(train_descs, dtype=jnp.float32)
+        all_descs = train_descs.reshape(-1, train_descs.shape[-1])
+        self.fit(all_descs)
+        return self.generate_multi(train_descs)
+
+    # -- generation -------------------------------------------------------
+    def _aggregate(self, descs: jnp.ndarray, mask=None) -> jnp.ndarray:
+        assert self.c_centers is not None, "Call fit() before generate()"
+        return vlad_aggregate(
+            descs,
+            self.c_centers,
+            vlad_mode=self.vlad_mode,
+            dist_mode=self.mode,
+            intra_norm=self.intra_norm,
+            norm_descs=self.norm_descs,
+            soft_temp=self.soft_temp,
+            mask=mask,
+        )
+
+    def generate(self, query_descs, cache_id: Optional[str] = None) -> jnp.ndarray:
+        """[N, D] -> [C*D]. ``cache_id`` stores/loads the global descriptor
+        (the reference caches residuals+labels; we cache the result, which is
+        strictly smaller and sufficient to resume — SURVEY.md §5 checkpoint)."""
+        if cache_id is not None and self.cache_dir is not None:
+            path = f"{self.cache_dir}/{cache_id}_v.npz"
+            if os.path.exists(path):
+                return jnp.asarray(np.load(path)["vlad"])
+        out = self._aggregate(jnp.asarray(query_descs, dtype=jnp.float32))
+        if cache_id is not None and self.cache_dir is not None:
+            path = f"{self.cache_dir}/{cache_id}_v.npz"
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.savez(path, vlad=np.asarray(out))
+        return out
+
+    def generate_multi(self, multi_query, cache_ids=None) -> jnp.ndarray:
+        """[B, N, D] (or list of [N_i, D]) -> [B, C*D].
+
+        A rectangular batch is one device call. A ragged list is bucketed by
+        token count (XLA static shapes) and processed bucket-per-call.
+        """
+        if isinstance(multi_query, (list, tuple)) and not all(
+            q.shape == multi_query[0].shape for q in multi_query
+        ):
+            return self._generate_ragged(list(multi_query), cache_ids)
+        batch = jnp.asarray(np.stack([np.asarray(q) for q in multi_query]))
+        out = self._aggregate(batch)
+        if cache_ids is not None and self.cache_dir is not None:
+            for cid, v in zip(cache_ids, out):
+                path = f"{self.cache_dir}/{cid}_v.npz"
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                np.savez(path, vlad=np.asarray(v))
+        return out
+
+    def _generate_ragged(self, queries: List, cache_ids) -> jnp.ndarray:
+        """Pad to per-bucket max token count and mask — one compile per bucket
+        size instead of per image."""
+        if cache_ids is None:
+            cache_ids = [None] * len(queries)
+        d = queries[0].shape[-1]
+        lengths = [int(q.shape[0]) for q in queries]
+        # Bucket boundaries: powers-of-two style to bound compilations.
+        def bucket(n):
+            b = 64
+            while b < n:
+                b *= 2
+            return b
+
+        out = np.zeros((len(queries), self.num_clusters * d), dtype=np.float32)
+        by_bucket = {}
+        for i, q in enumerate(queries):
+            by_bucket.setdefault(bucket(lengths[i]), []).append(i)
+        for bsize, idxs in by_bucket.items():
+            padded = np.zeros((len(idxs), bsize, d), dtype=np.float32)
+            mask = np.zeros((len(idxs), bsize), dtype=np.float32)
+            for j, i in enumerate(idxs):
+                padded[j, : lengths[i]] = np.asarray(queries[i], dtype=np.float32)
+                mask[j, : lengths[i]] = 1.0
+            res = self._aggregate(jnp.asarray(padded), mask=jnp.asarray(mask))
+            for j, i in enumerate(idxs):
+                out[i] = np.asarray(res[j])
+                if cache_ids[i] is not None and self.cache_dir is not None:
+                    path = f"{self.cache_dir}/{cache_ids[i]}_v.npz"
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    np.savez(path, vlad=out[i])
+        return jnp.asarray(out)
+
+    # -- residual API (parity with utilities.py:928-1008) ------------------
+    def generate_res_vec(self, query_descs, cache_id: Optional[str] = None):
+        assert self.c_centers is not None
+        q = jnp.asarray(query_descs, dtype=jnp.float32)
+        return vlad_residuals(q, self.c_centers, norm_descs=self.norm_descs)
+
+    def generate_multi_res_vec(self, multi_query, cache_ids=None):
+        return jnp.stack([self.generate_res_vec(q) for q in multi_query])

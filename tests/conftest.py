@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+
+This is the JAX-native way to exercise multi-chip sharding without TPUs
+(SURVEY.md §4) — every test sees jax.devices() == 8 CPU devices.
+"""
+
+import os
+
+# Force CPU even when the shell exports JAX_PLATFORMS=axon/tpu: unit tests
+# validate math on the virtual 8-device CPU mesh; TPU execution is covered by
+# bench.py and the driver's compile checks.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

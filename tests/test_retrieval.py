@@ -1,0 +1,90 @@
+"""Retrieval / Recall@K tests vs brute-force numpy (FAISS-semantics oracle)."""
+
+import numpy as np
+import pytest
+
+from anyloc_tpu.ops.retrieval import (
+    compute_recalls,
+    get_top_k_recall,
+    top_k_search,
+    top_k_search_blocked,
+)
+
+
+def _normalize(x):
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+@pytest.mark.parametrize("method", ["cosine", "l2"])
+def test_top_k_matches_bruteforce(rng, method):
+    db = rng.standard_normal((200, 32)).astype(np.float32)
+    qu = rng.standard_normal((17, 32)).astype(np.float32)
+    scores, idx = top_k_search(db, qu, 5, method)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    if method == "cosine":
+        full = (qu.astype(np.float64) @ db.T.astype(np.float64))
+        order = np.argsort(-full, axis=1)[:, :5]
+    else:
+        full = ((qu[:, None, :].astype(np.float64) - db[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(full, axis=1)[:, :5]
+    # f32 device scores can flip near-ties vs the f64 oracle: require the
+    # *scores at our indices* to match the oracle's top scores, and exact
+    # index equality wherever the oracle's score gap is decisive.
+    ours_at = np.take_along_axis(full, idx, axis=1)
+    expect = np.take_along_axis(full, order, axis=1)
+    np.testing.assert_allclose(ours_at, expect, atol=1e-4)
+    decisive = np.abs(expect - np.roll(expect, -1, axis=1)) > 1e-4
+    decisive[:, -1] = False
+    np.testing.assert_array_equal(idx[decisive[:, :5]], order[decisive[:, :5]])
+    np.testing.assert_allclose(scores, expect, atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["cosine", "l2"])
+def test_blocked_search_matches_monolithic(rng, method):
+    db = rng.standard_normal((500, 16)).astype(np.float32)
+    qu = rng.standard_normal((40, 16)).astype(np.float32)
+    s0, i0 = top_k_search(db, qu, 10, method)
+    s1, i1 = top_k_search_blocked(db, qu, 10, method, query_block=16, db_block=128)
+    np.testing.assert_array_equal(np.asarray(i0), i1)
+    np.testing.assert_allclose(np.asarray(s0), s1, atol=1e-3)
+
+
+def test_recall_hand_computed():
+    # 3 queries, retrievals of length 3; GT positives chosen so that
+    # q0 hits at rank 1, q1 at rank 3, q2 never.
+    indices = np.array([[5, 9, 1], [7, 3, 2], [0, 1, 2]])
+    gt = [np.array([5]), np.array([2, 11]), np.array([9])]
+    rec = compute_recalls(indices, gt, [1, 2, 3], use_percentage=False)
+    assert rec == {1: 1, 2: 1, 3: 2}
+    rec_pct = compute_recalls(indices, gt, [1, 3])
+    assert rec_pct == {1: 1 / 3, 3: 2 / 3}
+
+
+def test_recall_subsample_correction():
+    """Reference semantics (utilities.py:453-465): retrieved db indices are
+    multiplied by sub_sample_db and query index by sub_sample_qu into gt."""
+    indices = np.array([[1], [2]])  # retrieved sub-sampled db idx
+    # full-resolution gt list: queries at 0 and 2 (sub_sample_qu=2)
+    gt = [np.array([2]), None, np.array([99])]
+    rec = compute_recalls(
+        indices, gt, [1], use_percentage=False, sub_sample_db=2, sub_sample_qu=2
+    )
+    assert rec == {1: 1}  # q0: 1*2=2 in gt[0]; q1: 2*2=4 not in gt[2]
+
+
+def test_get_top_k_recall_end_to_end(rng):
+    d = 16
+    db = _normalize(rng.standard_normal((50, d)).astype(np.float32))
+    # Queries = slightly noised db items, so R@1 should be near-perfect.
+    qu = _normalize(db[:10] + 0.01 * rng.standard_normal((10, d)).astype(np.float32))
+    gt = [np.array([i]) for i in range(10)]
+    dists, idx, recalls = get_top_k_recall([1, 5], db, qu, gt)
+    assert dists.shape == (10, 5) and idx.shape == (10, 5)
+    assert recalls[1] == 1.0 and recalls[5] == 1.0
+
+
+def test_get_top_k_recall_1d_query(rng):
+    db = rng.standard_normal((20, 8)).astype(np.float32)
+    qu = db[3].copy()
+    _, idx, recalls = get_top_k_recall([1], db, qu, [np.array([3])])
+    assert idx[0, 0] == 3 and recalls[1] == 1.0
