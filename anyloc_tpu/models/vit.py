@@ -1,0 +1,392 @@
+"""One Flax ViT trunk for the whole model zoo.
+
+The reference uses six separate PyTorch ViT implementations (DINOv2 via
+torch.hub, DINO v1 via ``dino_extractor.py``, HF ViT for CosPlace
+``utilities.py:134-211``, MAE ``models_mae.py``, CLIP towers, SAM encoder) and
+extracts intermediate features with forward hooks. Here a single configurable
+``ViT`` module covers the families, and intermediate facets (query / key /
+value / token) are *returned from the forward pass*:
+
+  * ``capture_layer`` truncates the trunk — blocks after the captured layer
+    are never executed (the reference computes DINOv2-G blocks 32..39 and
+    throws them away, SURVEY.md §3.5);
+  * the q/k/v facet is the fused-qkv Linear output sliced in thirds, matching
+    the reference's hook on ``attn.qkv`` exactly (utilities.py:274-281 slices
+    the *fused* [B, N, 3D] output, NOT per-head tensors);
+  * everything is jit/vmap/pjit friendly: static shapes, no Python state.
+
+Architecture knobs cover: pre/post LayerNorm placements, LayerScale (DINOv2),
+SwiGLU-fused MLP (DINOv2-giant), sin-cos vs learned position embeddings (MAE),
+class-token presence, quick-GELU (CLIP), token-dropping — each family's config
+lives in its own module (``dinov2.py``, ``dino_v1.py``, ...).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Architecture hyperparameters (family-specific factories in dinov2.py etc.)."""
+
+    img_size: int = 518            # training-time image size (pos-embed grid)
+    patch_size: int = 14
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    mlp_type: str = "mlp"          # "mlp" | "swiglu_fused"
+    act: str = "gelu"              # "gelu" | "quick_gelu"
+    layerscale_init: Optional[float] = 1e-5   # None disables LayerScale
+    ln_eps: float = 1e-6
+    num_register_tokens: int = 0   # DINOv2-reg variants
+    use_cls_token: bool = True
+    pos_embed_type: str = "learned"  # "learned" | "sincos2d" (MAE)
+    qkv_bias: bool = True
+    pre_norm: bool = False         # CLIP: LayerNorm before the blocks
+    final_norm: bool = True        # apply trunk-final LayerNorm
+    interpolate_offset: float = 0.1  # DINOv2 pos-embed interpolation fudge
+    interpolate_antialias: bool = False
+    dtype: Dtype = jnp.float32     # activation/compute dtype (bf16 for speed)
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def exact_gelu(x):
+    # torch nn.GELU default is the exact erf form; flax nn.gelu defaults to
+    # the tanh approximation — parity requires approximate=False.
+    return nn.gelu(x, approximate=False)
+
+
+def _act(name: str):
+    return {"gelu": exact_gelu, "quick_gelu": quick_gelu}[name]
+
+
+def _torch_bicubic_matrix(src: int, dst: int) -> "np.ndarray":
+    """[dst, src] interpolation matrix reproducing torch's bicubic resize
+    (upsample_bicubic2d, align_corners=False, antialias=False, A=-0.75).
+
+    jax.image.resize's 'bicubic' is Catmull-Rom (A=-0.5), which differs from
+    torch and would break descriptor parity at non-native resolutions; a
+    static matrix makes the resample an exact (and MXU-friendly) matmul.
+    """
+    import numpy as np
+
+    a = -0.75
+
+    def k(t):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    m = np.zeros((dst, src), np.float64)
+    scale = src / dst
+    for i in range(dst):
+        pos = (i + 0.5) * scale - 0.5
+        i0 = math.floor(pos)
+        t = pos - i0
+        for tap, w in zip(
+            range(i0 - 1, i0 + 3), (k(1 + t), k(t), k(1 - t), k(2 - t))
+        ):
+            m[i, min(max(tap, 0), src - 1)] += w
+    return m.astype(np.float32)
+
+
+def interpolate_pos_embed(
+    pos_embed: jnp.ndarray,
+    grid_hw: Tuple[int, int],
+    num_prefix: int,
+    offset: float = 0.1,
+    antialias: bool = False,
+) -> jnp.ndarray:
+    """Bicubic-resize the patch position embeddings to a new grid.
+
+    Mirrors DINOv2's ``interpolate_pos_encoding`` (scale-factor form with the
+    0.1 offset fudge) / the MAE util vendored at reference
+    ``utilities.py:364-385``. ``pos_embed``: [1, num_prefix + M*M, D].
+    """
+    h, w = grid_hw
+    n_patch = pos_embed.shape[1] - num_prefix
+    m = int(round(math.sqrt(n_patch)))
+    assert m * m == n_patch, f"pos_embed grid not square: {n_patch}"
+    if (h, w) == (m, m):
+        return pos_embed
+    prefix = pos_embed[:, :num_prefix]
+    patch = pos_embed[:, num_prefix:].reshape(1, m, m, -1)
+    # DINOv2 computes scale factors (h + offset) / m and lets torch derive the
+    # output size — which is exactly (h, w); the 0.1 offset only guards against
+    # floor rounding, so with explicit output sizes it is a no-op. We resample
+    # with torch-exact bicubic matrices (static, built at trace time).
+    del offset
+    if antialias:
+        patch = jax.image.resize(
+            patch, (1, h, w, patch.shape[-1]), method="bicubic", antialias=True
+        )
+    else:
+        wh = jnp.asarray(_torch_bicubic_matrix(m, h))
+        ww = jnp.asarray(_torch_bicubic_matrix(m, w))
+        patch = jnp.einsum(
+            "hm,bmnd,wn->bhwd", wh, patch, ww, precision=jax.lax.Precision.HIGHEST
+        )
+    patch = patch.reshape(1, h * w, -1)
+    return jnp.concatenate([prefix, patch], axis=1)
+
+
+def sincos_2d_pos_embed(embed_dim: int, grid: int, cls_token: bool) -> jnp.ndarray:
+    """2-D sin-cos position embedding (reference utilities.py:309-356)."""
+    import numpy as np
+
+    gh = np.arange(grid, dtype=np.float32)
+    gw = np.arange(grid, dtype=np.float32)
+    mesh = np.stack(np.meshgrid(gw, gh), axis=0).reshape(2, -1)  # w first
+
+    def emb_1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb = np.concatenate(
+        [emb_1d(embed_dim // 2, mesh[0]), emb_1d(embed_dim // 2, mesh[1])], axis=1
+    )
+    if cls_token:
+        emb = np.concatenate([np.zeros((1, embed_dim)), emb], axis=0)
+    return jnp.asarray(emb[None], dtype=jnp.float32)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with the fused-qkv layout the facet API needs.
+
+    ``return_qkv=True`` additionally returns the raw fused qkv Linear output
+    [B, N, 3D] (the exact tensor the reference hooks, utilities.py:250-252).
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False):
+        c = self.cfg
+        b, n, d = x.shape
+        qkv = nn.Dense(
+            3 * d, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv"
+        )(x)  # [B, N, 3D] fused — facet source
+        if qkv_only:
+            # Facet capture: the attention itself (and proj) is never built —
+            # the reference computes the full block then discards it
+            # (SURVEY.md §3.5); we stop at the hooked tensor.
+            return qkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, n, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = c.head_dim ** -0.5
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(attn, axis=-1).astype(c.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        out = nn.Dense(d, dtype=c.dtype, name="proj")(out)
+        if return_qkv:
+            return out, qkv
+        return out
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init: float
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.constant(self.init), (self.dim,))
+        return x * gamma.astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        d = x.shape[-1]
+        hidden = int(d * c.mlp_ratio)
+        if c.mlp_type == "mlp":
+            x = nn.Dense(hidden, dtype=c.dtype, name="fc1")(x)
+            x = _act(c.act)(x)
+            x = nn.Dense(d, dtype=c.dtype, name="fc2")(x)
+            return x
+        elif c.mlp_type == "swiglu_fused":
+            # DINOv2-giant SwiGLUFFNFused: hidden = (int(4d * 2/3) + 7) // 8 * 8
+            hidden = ((int(d * c.mlp_ratio * 2 / 3) + 7) // 8) * 8
+            w12 = nn.Dense(2 * hidden, dtype=c.dtype, name="w12")(x)
+            x1, x2 = jnp.split(w12, 2, axis=-1)
+            x = jax.nn.silu(x1) * x2
+            return nn.Dense(d, dtype=c.dtype, name="w3")(x)
+        raise ValueError(f"Unknown mlp_type {c.mlp_type}")
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block: x + ls1(attn(norm1 x)); x + ls2(mlp(norm2 x))."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False):
+        c = self.cfg
+        d = x.shape[-1]
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm1")(x)
+        if qkv_only:
+            return Attention(c, name="attn")(h, qkv_only=True)
+        if return_qkv:
+            attn_out, qkv = Attention(c, name="attn")(h, return_qkv=True)
+        else:
+            attn_out = Attention(c, name="attn")(h)
+        if c.layerscale_init is not None:
+            attn_out = LayerScale(d, c.layerscale_init, name="ls1")(attn_out)
+        x = x + attn_out
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm2")(x)
+        m = Mlp(c, name="mlp")(h)
+        if c.layerscale_init is not None:
+            m = LayerScale(d, c.layerscale_init, name="ls2")(m)
+        x = x + m
+        if return_qkv:
+            return x, qkv
+        return x
+
+
+class ViT(nn.Module):
+    """The trunk. Input images are channels-last [B, H, W, 3] (TPU-native
+    layout), already normalized. H, W must be multiples of patch_size.
+
+    ``__call__(x, capture_layer=L, capture_facet=f)``:
+      * ``capture_layer=None``: full forward; returns dict with ``tokens``
+        [B, N, D] (post final-norm patch tokens), ``cls`` [B, D],
+        ``pre_norm_tokens`` (pre-final-norm, incl. prefix tokens).
+      * ``capture_layer=L`` with facet "query"|"key"|"value": runs blocks
+        0..L-1 plus norm1+qkv of block L only, returns the sliced facet
+        [B, 1+R+N, D] (CLS+register tokens included; callers slice).
+      * facet "token": runs blocks 0..L, returns block L's output.
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        capture_layer: Optional[int] = None,
+        capture_facet: str = "value",
+    ):
+        c = self.cfg
+        b, h, w, _ = x.shape
+        gh, gw = h // c.patch_size, w // c.patch_size
+        x = x.astype(c.dtype)
+        # Patch embedding: Conv stride=patch (MXU-friendly: XLA lowers this to
+        # a [B*gh*gw, p*p*3] x [p*p*3, D] matmul).
+        x = nn.Conv(
+            c.embed_dim,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=c.dtype,
+            name="patch_embed",
+        )(x)
+        x = x.reshape(b, gh * gw, c.embed_dim)
+
+        num_prefix = 0
+        if c.use_cls_token:
+            cls = self.param(
+                "cls_token", nn.initializers.normal(0.02), (1, 1, c.embed_dim)
+            )
+            x = jnp.concatenate([jnp.broadcast_to(cls.astype(c.dtype), (b, 1, c.embed_dim)), x], axis=1)
+            num_prefix = 1
+
+        # Position embeddings (added before register tokens, DINOv2 order).
+        if c.pos_embed_type == "learned":
+            n_pos = num_prefix + c.grid_size ** 2
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02), (1, n_pos, c.embed_dim)
+            )
+        else:  # fixed sin-cos (MAE)
+            pos = sincos_2d_pos_embed(c.embed_dim, c.grid_size, c.use_cls_token)
+        pos = interpolate_pos_embed(
+            pos.astype(jnp.float32),
+            (gh, gw),
+            num_prefix,
+            offset=c.interpolate_offset,
+            antialias=c.interpolate_antialias,
+        )
+        x = x + pos.astype(c.dtype)
+
+        if c.num_register_tokens:
+            reg = self.param(
+                "register_tokens",
+                nn.initializers.normal(0.02),
+                (1, c.num_register_tokens, c.embed_dim),
+            )
+            x = jnp.concatenate(
+                [
+                    x[:, :num_prefix],
+                    jnp.broadcast_to(
+                        reg.astype(c.dtype), (b, c.num_register_tokens, c.embed_dim)
+                    ),
+                    x[:, num_prefix:],
+                ],
+                axis=1,
+            )
+
+        if c.pre_norm:
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm_pre")(x)
+
+        facet_out = None
+        n_blocks = c.depth if capture_layer is None else (
+            capture_layer + 1 if capture_facet == "token" else capture_layer
+        )
+        for i in range(n_blocks):
+            x = Block(c, name=f"blocks_{i}")(x)
+        if capture_layer is not None:
+            if capture_facet == "token":
+                facet_out = x
+            else:
+                # norm1 + qkv of the captured block only — the rest of the
+                # block (and all later blocks) is never built or executed.
+                qkv = Block(c, name=f"blocks_{capture_layer}")(x, qkv_only=True)
+                d = c.embed_dim
+                off = {"query": 0, "key": 1, "value": 2}[capture_facet]
+                facet_out = qkv[..., off * d : (off + 1) * d]
+            return facet_out
+
+        pre_norm_tokens = x
+        if c.final_norm:
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm")(x)
+        skip = num_prefix + c.num_register_tokens
+        return {
+            "tokens": x[:, skip:],
+            "cls": x[:, 0] if c.use_cls_token else jnp.mean(x, axis=1),
+            "prefix": x[:, :skip],
+            "pre_norm_tokens": pre_norm_tokens,
+        }
