@@ -1,0 +1,22 @@
+"""Multi-chip execution: device meshes + sharded k-means / retrieval / extraction.
+
+Replaces the reference's single-process ``torch.nn.DataParallel`` (the only
+multi-device execution in AnyLoc — dvgl_benchmark/train.py:55) with
+jax.sharding meshes: collectives ride ICI, expressed via shard_map + psum /
+all_gather, per SURVEY.md §2.4 and §5.
+"""
+
+from anyloc_tpu.parallel.mesh import get_mesh, local_mesh
+from anyloc_tpu.parallel.distributed import (
+    kmeans_fit_sharded,
+    sharded_extract_fn,
+    top_k_search_sharded,
+)
+
+__all__ = [
+    "get_mesh",
+    "local_mesh",
+    "kmeans_fit_sharded",
+    "sharded_extract_fn",
+    "top_k_search_sharded",
+]

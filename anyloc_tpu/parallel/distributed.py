@@ -1,0 +1,211 @@
+"""Sharded k-means, retrieval, and extraction over a device mesh.
+
+TPU-native replacements for the reference's multi-device story (SURVEY.md
+§2.4): instead of DataParallel replication + FAISS-GPU, the descriptor set /
+database shards over the mesh ``data`` axis and the collectives are explicit:
+
+  * k-means: local assignment + ``psum`` of per-cluster sums/counts — the
+    classic distributed Lloyd step; result is identical to single-device
+    k-means on the concatenated data (modulo f32 summation order);
+  * retrieval: each shard computes a local top-k over its database slice,
+    the [Q, k] partials all-gather over ICI and a final top-k merges them —
+    exact, and the 250k x 49152-d database never materializes on one chip;
+  * extraction: plain data parallelism (images sharded, params replicated) —
+    no communication at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from anyloc_tpu.ops.common import EXACT, l2_normalize
+from anyloc_tpu.ops.kmeans import _similarity
+from anyloc_tpu.parallel.mesh import pad_to_multiple
+
+
+# ---------------------------------------------------------------------------
+# Sharded k-means
+# ---------------------------------------------------------------------------
+
+def kmeans_fit_sharded(
+    key: jax.Array,
+    descs: np.ndarray,
+    n_clusters: int,
+    mesh: Mesh,
+    mode: str = "cosine",
+    max_iters: int = 100,
+) -> jnp.ndarray:
+    """Distributed Lloyd k-means. ``descs`` [N, D] on host; shards over the
+    mesh 'data' axis. Returns replicated centers [C, D]."""
+    n_dev = mesh.shape["data"]
+    n, d = descs.shape
+    padded, n_valid = pad_to_multiple(np.asarray(descs, np.float32), n_dev)
+    weights = np.zeros((padded.shape[0],), np.float32)
+    weights[:n_valid] = 1.0
+
+    # Deterministic init on host: k distinct rows of the (unpadded) data.
+    init_idx = np.asarray(
+        jax.random.choice(key, n, shape=(n_clusters,), replace=False)
+    )
+    centers0 = jnp.asarray(padded[init_idx])
+
+    x_sharded = jax.device_put(padded, NamedSharding(mesh, P("data", None)))
+    w_sharded = jax.device_put(weights, NamedSharding(mesh, P("data")))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data"), P(None, None)),
+        out_specs=(P(None, None), P(None)),
+        check_vma=False,
+    )
+    def _local_stats(x_local, w_local, centers):
+        sim = _similarity(x_local, centers, mode)
+        labels = jnp.argmax(sim, axis=-1)
+        onehot = jax.nn.one_hot(labels, n_clusters, dtype=jnp.float32)
+        onehot = onehot * w_local[:, None]
+        sums = jnp.dot(
+            onehot.T, x_local, preferred_element_type=jnp.float32, precision=EXACT
+        )
+        counts = jnp.sum(onehot, axis=0)
+        # The collective: per-cluster statistics reduce over ICI.
+        sums = jax.lax.psum(sums, "data")
+        counts = jax.lax.psum(counts, "data")
+        return sums, counts
+
+    @jax.jit
+    def _fit(x, w, centers0):
+        def body(centers, _):
+            sums, counts = _local_stats(x, w, centers)
+            new = sums / jnp.maximum(counts, 1.0)[:, None]
+            new = jnp.where(counts[:, None] > 0, new, centers)
+            return new, None
+
+        centers, _ = jax.lax.scan(body, centers0, None, length=max_iters)
+        return centers
+
+    return _fit(x_sharded, w_sharded, centers0)
+
+
+# ---------------------------------------------------------------------------
+# Sharded exact top-k retrieval
+# ---------------------------------------------------------------------------
+
+def top_k_search_sharded(
+    db: np.ndarray,
+    qu: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    method: str = "cosine",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Database-sharded exact top-k. db [Ndb, D] shards over 'data'; queries
+    replicate; per-shard top-k partials all-gather and merge. Exact equality
+    with the single-device search (ties broken by global index order)."""
+    n_dev = mesh.shape["data"]
+    db_pad, n_valid = pad_to_multiple(np.asarray(db, np.float32), n_dev)
+    local_n = db_pad.shape[0] // n_dev
+    k_local = min(k, local_n)
+
+    db_sharded = jax.device_put(db_pad, NamedSharding(mesh, P("data", None)))
+    qu_rep = jax.device_put(
+        np.asarray(qu, np.float32), NamedSharding(mesh, P(None, None))
+    )
+    sign = 1.0 if method == "cosine" else -1.0
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def _search(db_local, qu_all):
+        shard = jax.lax.axis_index("data")
+        offset = shard * local_n
+        if method == "cosine":
+            scores = jnp.dot(
+                qu_all, db_local.T, preferred_element_type=jnp.float32,
+                precision=EXACT,
+            )
+        else:
+            qx = jnp.dot(
+                qu_all, db_local.T, preferred_element_type=jnp.float32,
+                precision=EXACT,
+            )
+            scores = -(
+                jnp.sum(qu_all * qu_all, axis=-1, keepdims=True)
+                - 2.0 * qx
+                + jnp.sum(db_local * db_local, axis=-1)[None, :]
+            )
+        # Mask padded database rows (only the last shard can contain them).
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
+        scores = jnp.where(col < n_valid, scores, -jnp.inf)
+        s, i = jax.lax.top_k(scores, k_local)  # [Q, k_local] local
+        i = i + offset
+        # All-gather partials over ICI, merge with one more top_k. Partials
+        # concatenate on a new leading axis -> [n_dev, Q, k_local].
+        s_all = jax.lax.all_gather(s, "data")
+        i_all = jax.lax.all_gather(i, "data")
+        q = s.shape[0]
+        s_cat = jnp.transpose(s_all, (1, 0, 2)).reshape(q, n_dev * k_local)
+        i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(q, n_dev * k_local)
+        top, pos = jax.lax.top_k(s_cat, k)
+        return top, jnp.take_along_axis(i_cat, pos, axis=1)
+
+    s, i = jax.jit(_search)(db_sharded, qu_rep)
+    return np.asarray(sign * s), np.asarray(i)
+
+
+def get_top_k_recall_sharded(
+    top_k, db, qu, gt_pos, mesh, method="cosine", norm_descs=True,
+    use_percentage=True, sub_sample_db=1, sub_sample_qu=1,
+):
+    """Sharded-database version of ops.retrieval.get_top_k_recall."""
+    from anyloc_tpu.ops.retrieval import compute_recalls
+
+    db = np.asarray(db, np.float32)
+    qu = np.asarray(qu, np.float32)
+    if qu.ndim == 1:
+        qu = qu[None]
+    if norm_descs:
+        db = db / np.maximum(np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
+        qu = qu / np.maximum(np.linalg.norm(qu, axis=-1, keepdims=True), 1e-12)
+    max_k = min(int(max(top_k)), db.shape[0])
+    dists, indices = top_k_search_sharded(db, qu, max_k, mesh, method)
+    recalls = compute_recalls(
+        indices, gt_pos, top_k, use_percentage, sub_sample_db, sub_sample_qu
+    )
+    return dists, indices, recalls
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel extraction
+# ---------------------------------------------------------------------------
+
+def sharded_extract_fn(apply_fn, mesh: Mesh):
+    """Wrap a (params, images) -> descriptors function for data-parallel
+    execution: images shard over 'data', params replicate, outputs shard.
+    No collectives — extraction is embarrassingly parallel across images."""
+    img_sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    jitted = jax.jit(
+        apply_fn,
+        in_shardings=(rep, img_sharding),
+        out_shardings=img_sharding,
+    )
+
+    def run(params, images: np.ndarray):
+        n_dev = mesh.shape["data"]
+        padded, n_valid = pad_to_multiple(np.asarray(images), n_dev)
+        out = jitted(params, padded)
+        return np.asarray(out)[:n_valid]
+
+    return run

@@ -1,0 +1,91 @@
+"""Benchmark: AnyLoc-VLAD-DINOv2 descriptor generation throughput.
+
+Flagship config (BASELINE.json): DINOv2 ViT-G/14, layer-31 value facet,
+VLAD 32 clusters -> 49152-dim descriptors. Prints ONE JSON line:
+{"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": value/1000}
+(North star: >= 1000 imgs/sec/chip on TPU v5p; this rig is a single v5e.)
+
+Weights are random-initialized (no pretrained checkpoints reachable from this
+environment) — identical compute/shapes to the real model.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.dinov2 import dinov2_config
+    from anyloc_tpu.models.extractor import init_params
+    from anyloc_tpu.models.vit import ViT
+    from anyloc_tpu.ops.common import l2_normalize
+    from anyloc_tpu.ops.vlad import vlad_aggregate
+
+    dev = jax.devices()[0]
+    model_name = "dinov2_vitg14"
+    img_size = 224  # 16x16 grid = 257 tokens
+    layer, n_clusters = 31, 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+
+    cfg = dinov2_config(model_name, dtype=jnp.bfloat16)
+    model = ViT(cfg)
+    params = init_params(cfg, seed=0)
+    centers = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n_clusters, cfg.embed_dim)),
+        jnp.float32,
+    )
+
+    @jax.jit
+    def pipeline(params, centers, images):
+        facet = model.apply(
+            params, images, capture_layer=layer, capture_facet="value"
+        )
+        facet = l2_normalize(facet[:, 1:].astype(jnp.float32), axis=-1)
+        return vlad_aggregate(facet, centers)
+
+    images = jnp.asarray(
+        np.random.default_rng(1).standard_normal((batch, img_size, img_size, 3)),
+        jnp.float32,
+    )
+
+    # Warmup / compile (with a host fetch to drain the pipeline)
+    out = pipeline(params, centers, images)
+    assert out.shape == (batch, n_clusters * cfg.embed_dim)
+    float(jnp.sum(out))
+
+    # Timed steady state. NOTE: under the axon tunnel block_until_ready does
+    # not reliably fence device work — an actual device->host fetch of a
+    # value depending on every call is the only trustworthy sync, so we chain
+    # the outputs into a scalar and fetch it once at the end.
+    n_iters = 10
+    best = 0.0
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(n_iters):
+            acc = acc + jnp.sum(pipeline(params, centers, images))
+        float(acc)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * n_iters / dt)
+    imgs_per_sec = best
+
+    print(
+        json.dumps(
+            {
+                "metric": "vlad_descriptors_per_sec_per_chip",
+                "value": round(imgs_per_sec, 2),
+                "unit": f"imgs/sec ({model_name} l{layer} value + VLAD-{n_clusters}, "
+                f"{img_size}px, bf16, batch {batch}, {dev.device_kind})",
+                "vs_baseline": round(imgs_per_sec / 1000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Multi-chip semantics on the 8-device virtual CPU mesh: sharded k-means,
+sharded retrieval, and data-parallel extraction must match single-device."""
+
+import jax
+import numpy as np
+import pytest
+
+from anyloc_tpu.ops.kmeans import kmeans_fit
+from anyloc_tpu.ops.retrieval import top_k_search
+from anyloc_tpu.parallel import (
+    get_mesh,
+    kmeans_fit_sharded,
+    local_mesh,
+    sharded_extract_fn,
+    top_k_search_sharded,
+)
+from anyloc_tpu.parallel.distributed import get_top_k_recall_sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return local_mesh(8)
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape == {"data": 8, "model": 1}
+    assert get_mesh(n_data=4, n_model=2).shape == {"data": 4, "model": 2}
+
+
+def test_sharded_kmeans_matches_single_device(rng, mesh):
+    x = rng.standard_normal((1000, 16)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    single, _ = kmeans_fit(key, x, 8, mode="cosine", max_iters=20)
+    sharded = kmeans_fit_sharded(key, x, 8, mesh, mode="cosine", max_iters=20)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-4)
+
+
+def test_sharded_kmeans_uneven_n(rng, mesh):
+    """N not divisible by 8 exercises the padding/weight mask."""
+    x = rng.standard_normal((1003, 8)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    single, _ = kmeans_fit(key, x, 4, mode="euclidean", max_iters=15)
+    sharded = kmeans_fit_sharded(key, x, 4, mesh, mode="euclidean", max_iters=15)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["cosine", "l2"])
+@pytest.mark.parametrize("n_db", [512, 509])  # even and uneven shards
+def test_sharded_topk_matches_single_device(rng, mesh, method, n_db):
+    db = rng.standard_normal((n_db, 24)).astype(np.float32)
+    qu = rng.standard_normal((13, 24)).astype(np.float32)
+    s0, i0 = top_k_search(db, qu, 7, method)
+    s1, i1 = top_k_search_sharded(db, qu, 7, mesh, method)
+    np.testing.assert_allclose(s1, np.asarray(s0), atol=1e-4)
+    # Indices may differ only at exact score ties; compare via scores.
+    np.testing.assert_allclose(
+        np.sort(s1, axis=1), np.sort(np.asarray(s0), axis=1), atol=1e-4
+    )
+    agree = (i1 == np.asarray(i0)).mean()
+    assert agree > 0.95, f"too many index mismatches: {agree}"
+
+
+def test_sharded_recall(rng, mesh):
+    db = rng.standard_normal((100, 16)).astype(np.float32)
+    qu = db[:9] + 0.01 * rng.standard_normal((9, 16)).astype(np.float32)
+    gt = [np.array([i]) for i in range(9)]
+    _, idx, recalls = get_top_k_recall_sharded([1, 5], db, qu, gt, mesh)
+    assert recalls[1] == 1.0
+    np.testing.assert_array_equal(idx[:, 0], np.arange(9))
+
+
+def test_sharded_extract_matches_local(rng, mesh):
+    """Data-parallel wrapper must reproduce the single-device forward, incl.
+    the uneven-batch padding path."""
+    import jax.numpy as jnp
+
+    w = jnp.asarray(rng.standard_normal((12, 6)).astype(np.float32))
+
+    def apply_fn(params, imgs):
+        return jnp.tanh(imgs @ params)
+
+    run = sharded_extract_fn(apply_fn, mesh)
+    imgs = rng.standard_normal((21, 12)).astype(np.float32)  # 21 % 8 != 0
+    out = run(w, imgs)
+    expect = np.tanh(imgs @ np.asarray(w))
+    assert out.shape == (21, 6)
+    np.testing.assert_allclose(out, expect, atol=1e-5)
