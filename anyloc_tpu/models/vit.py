@@ -57,6 +57,8 @@ class ViTConfig:
     interpolate_offset: float = 0.1  # DINOv2 pos-embed interpolation fudge
     interpolate_antialias: bool = False
     dtype: Dtype = jnp.float32     # activation/compute dtype (bf16 for speed)
+    attn_impl: str = "auto"        # "auto" | "pallas" | "xla"
+    # "auto" resolves to the Pallas VMEM-resident kernel on TPU, XLA elsewhere.
 
     @property
     def head_dim(self) -> int:
@@ -203,12 +205,17 @@ class Attention(nn.Module):
             return t.reshape(b, n, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = c.head_dim ** -0.5
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(attn, axis=-1).astype(c.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        impl = c.attn_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        if impl == "pallas":
+            from anyloc_tpu.ops.pallas.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        else:
+            from anyloc_tpu.ops.pallas.flash_attention import xla_attention
+
+            out = xla_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
         out = nn.Dense(d, dtype=c.dtype, name="proj")(out)
         if return_qkv:

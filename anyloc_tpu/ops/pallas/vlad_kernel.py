@@ -1,0 +1,119 @@
+"""Fused VLAD aggregation kernel (hard assignment).
+
+One pallas grid cell per image fuses the full AnyLoc-VLAD pipeline that the
+XLA path expresses as separate ops (normalize -> assignment matmul -> one-hot
+-> residual matmul -> intra-norm -> final norm): descriptors stream HBM->VMEM
+once per image, every intermediate ([N, C] similarities, one-hot weights,
+[C, D] residual sums) lives and dies in VMEM, and only the [C*D] descriptor
+returns to HBM.
+
+VMEM budget per cell at the SOTA shape (N=529+pad, D=1536, C=32, f32):
+descs ~3.3 MB + centers/sums ~0.4 MB — comfortably inside 16 MB.
+
+Hard + cosine/euclidean assignment only; the soft mode (and CPU) uses the XLA
+path in ops.vlad (identical semantics, tested against the same oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _vlad_kernel(
+    x_ref, c_ref, cn_ref, o_ref, *,
+    n_valid: int, dist_mode: str, intra_norm: bool, norm_descs: bool,
+):
+    """x [1, Np, D] descriptors; c [C, D] centers; cn [C, D] unit centers;
+    o [1, C*D] output."""
+    x = x_ref[0].astype(jnp.float32)                      # [Np, D]
+    centers = c_ref[:].astype(jnp.float32)                # [C, D]
+    n_p, d = x.shape
+    c = centers.shape[0]
+
+    if norm_descs:
+        inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-24))
+        x = x * inv
+    # Assignment similarity
+    if dist_mode == "cosine":
+        sim = jax.lax.dot_general(
+            x, cn_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Np, C]
+    else:  # euclidean: -||x-c||^2 up to const
+        xc = jax.lax.dot_general(
+            x, centers, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sim = 2.0 * xc - jnp.sum(centers * centers, axis=-1)[None, :]
+    # Mask padded tokens out of the assignment
+    row = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+    valid = row < n_valid
+    # Hard one-hot: argmax (ties -> lowest index, jnp semantics) compared
+    # against a column iota — no gather/scatter, VPU-only.
+    labels = jnp.argmax(sim, axis=-1)  # [Np]
+    col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    onehot = jnp.where((col == labels[:, None]) & valid, 1.0, 0.0)
+
+    wsum = jax.lax.dot_general(
+        onehot, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [C, D]
+    counts = jnp.sum(onehot, axis=0)  # [C]
+    v = wsum - counts[:, None] * centers
+    if intra_norm:
+        nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        v = v / jnp.maximum(nrm, 1e-12)
+    total = jnp.sqrt(jnp.sum(v * v))
+    o_ref[0] = v / jnp.maximum(total, 1e-12)
+
+
+def vlad_aggregate_fused(
+    descs: jnp.ndarray,
+    centers: jnp.ndarray,
+    *,
+    dist_mode: str = "cosine",
+    intra_norm: bool = True,
+    norm_descs: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused hard-assignment VLAD. descs [B, N, D] -> [B, C*D]."""
+    b, n, d = descs.shape
+    c = centers.shape[0]
+    sub = 8  # f32 sublane
+    np_tok = _round_up(n, sub)
+    if np_tok != n:
+        descs = jnp.pad(descs, [(0, 0), (0, np_tok - n), (0, 0)])
+    centers = centers.astype(jnp.float32)
+    cnorm = centers / jnp.maximum(
+        jnp.linalg.norm(centers, axis=-1, keepdims=True), 1e-12
+    )
+    kernel = functools.partial(
+        _vlad_kernel,
+        n_valid=n,
+        dist_mode=dist_mode,
+        intra_norm=intra_norm,
+        norm_descs=norm_descs,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, np_tok, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, d), jnp.float32),
+        interpret=interpret,
+    )(descs.astype(jnp.float32), centers, cnorm).reshape(b, c * d)

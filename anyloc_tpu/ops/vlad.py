@@ -81,7 +81,7 @@ def vlad_assign(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vlad_mode", "dist_mode", "intra_norm", "norm_descs"),
+    static_argnames=("vlad_mode", "dist_mode", "intra_norm", "norm_descs", "impl"),
 )
 def vlad_aggregate(
     descs: jnp.ndarray,
@@ -93,15 +93,36 @@ def vlad_aggregate(
     norm_descs: bool = True,
     soft_temp: float = 1.0,
     mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Batched VLAD. descs [B, N, D] (or [N, D]), centers [C, D] -> [B, C*D].
 
     ``mask`` (optional, [B, N]) zeroes padded tokens so shape-bucketed batches
     of variable-size images can share one compiled program.
+
+    ``impl``: "auto" routes hard-assignment, unmasked batches through the
+    fused Pallas kernel on TPU (~14x faster than the XLA lowering at the SOTA
+    shape); "xla" forces the reference XLA path (CPU, soft mode, masks).
     """
     squeeze = descs.ndim == 2
     if squeeze:
         descs = descs[None]
+    if (
+        impl in ("auto", "pallas")
+        and vlad_mode == "hard"
+        and mask is None
+        and jax.default_backend() not in ("cpu",)
+    ):
+        from anyloc_tpu.ops.pallas.vlad_kernel import vlad_aggregate_fused
+
+        out = vlad_aggregate_fused(
+            descs,
+            centers,
+            dist_mode=dist_mode,
+            intra_norm=intra_norm,
+            norm_descs=norm_descs,
+        )
+        return out[0] if squeeze else out
     b, n, d = descs.shape
     c = centers.shape[0]
     descs = descs.astype(jnp.float32)

@@ -1,0 +1,55 @@
+"""Pallas kernels vs their XLA reference paths (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from anyloc_tpu.ops.pallas.flash_attention import flash_attention, xla_attention
+from anyloc_tpu.ops.pallas.vlad_kernel import vlad_aggregate_fused
+from anyloc_tpu.ops.vlad import vlad_aggregate
+
+
+@pytest.mark.parametrize("n", [64, 57])  # aligned and padded token counts
+def test_flash_attention_matches_xla(rng, n):
+    b, h, hd = 2, 3, 32
+    q = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
+    ours = np.asarray(flash_attention(q, k, v, interpret=True))
+    ref = np.asarray(xla_attention(q, k, v))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("dist_mode", ["cosine", "euclidean"])
+@pytest.mark.parametrize("n", [48, 50])  # padded token path included
+def test_fused_vlad_matches_xla(rng, dist_mode, n):
+    b, d, c = 3, 64, 8
+    descs = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    centers = jnp.asarray(rng.standard_normal((c, d)).astype(np.float32))
+    fused = np.asarray(
+        vlad_aggregate_fused(descs, centers, dist_mode=dist_mode, interpret=True)
+    )
+    ref = np.asarray(
+        vlad_aggregate(descs, centers, dist_mode=dist_mode, impl="xla")
+    )
+    np.testing.assert_allclose(fused, ref, atol=2e-5)
+
+
+def test_fused_vlad_flag_combinations(rng):
+    descs = jnp.asarray(rng.standard_normal((2, 40, 32)).astype(np.float32))
+    centers = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    for intra in (True, False):
+        for normd in (True, False):
+            fused = np.asarray(
+                vlad_aggregate_fused(
+                    descs, centers, intra_norm=intra, norm_descs=normd,
+                    interpret=True,
+                )
+            )
+            ref = np.asarray(
+                vlad_aggregate(
+                    descs, centers, intra_norm=intra, norm_descs=normd, impl="xla"
+                )
+            )
+            np.testing.assert_allclose(fused, ref, atol=2e-5, err_msg=f"{intra},{normd}")
