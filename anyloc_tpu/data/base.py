@@ -1,0 +1,156 @@
+"""VPRDataset — the dataset protocol shared by every loader.
+
+Mirrors the reference's abstract ``CustomDataset`` (AnyLoc utilities.py:25-74):
+items are ordered [database..., queries...]; exposes ``database_num``,
+``queries_num``, ``soft_positives_per_query`` (np object array / list of
+index arrays), ``get_image_paths``, ``get_image_relpaths`` (cache IDs at
+``_imgs_level`` path depth).
+
+TPU-native difference: ``__getitem__`` returns channels-LAST float32 numpy
+[H, W, 3] (normalized), and ``batches()`` yields fixed-shape stacked batches
+(XLA static shapes) with background prefetch.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+import queue as _queue
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+
+def _nat_key(s: str):
+    return [int(t) if t.isdigit() else t.lower() for t in re.split(r"(\d+)", s)]
+
+
+def natsorted(items: Sequence[str]) -> List[str]:
+    """Natural sort (file2 < file10), matching the reference's use of the
+    natsort package for directory listings."""
+    return sorted(items, key=_nat_key)
+
+
+class VPRDataset:
+    """Base class implementing the shared protocol over
+    ``db_paths`` + ``query_paths`` absolute path lists."""
+
+    _imgs_level = 2
+
+    def __init__(
+        self,
+        db_paths: Sequence[str],
+        query_paths: Sequence[str],
+        soft_positives_per_query=None,
+        img_size: Optional[Tuple[int, int]] = (320, 320),
+    ) -> None:
+        self.db_paths = list(db_paths)
+        self.query_paths = list(query_paths)
+        self.images_paths = self.db_paths + self.query_paths
+        self.database_num = len(self.db_paths)
+        self.queries_num = len(self.query_paths)
+        self.soft_positives_per_query = soft_positives_per_query
+        self.img_size = img_size
+
+    # -- protocol (reference API parity) ----------------------------------
+    def get_image_paths(self) -> List[str]:
+        return self.images_paths
+
+    def get_positives(self):
+        return self.soft_positives_per_query
+
+    def get_image_relpaths(self, i: Union[int, List[int]]):
+        indices = [i] if isinstance(i, (int, np.integer)) else i
+        s = self._imgs_level
+        rel = ["/".join(self.images_paths[k].split("/")[-s:]) for k in indices]
+        return rel[0] if isinstance(i, (int, np.integer)) else rel
+
+    def __len__(self) -> int:
+        return len(self.images_paths)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, int]:
+        from anyloc_tpu.data.transforms import load_image
+
+        return load_image(self.images_paths[index], self.img_size), index
+
+    # -- batched iteration -------------------------------------------------
+    def indices(self, which: str = "all", sub_sample: int = 1) -> np.ndarray:
+        if which == "db":
+            idx = np.arange(0, self.database_num)
+        elif which == "queries":
+            idx = np.arange(self.database_num, len(self))
+        else:
+            idx = np.arange(len(self))
+        return idx[::sub_sample]
+
+    def batches(
+        self,
+        batch_size: int,
+        which: str = "all",
+        sub_sample: int = 1,
+        prefetch: int = 2,
+        drop_remainder: bool = False,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (images [B, H, W, 3], indices [B]) with background prefetch.
+        The final short batch is padded by repeating its last item so every
+        batch has the same static shape (callers slice via the index array,
+        padded entries carry index -1)."""
+        idx = self.indices(which, sub_sample)
+        if drop_remainder:
+            idx = idx[: len(idx) - len(idx) % batch_size]
+
+        def load_batch(batch_idx):
+            imgs = np.stack([self[i][0] for i in batch_idx])
+            return imgs, batch_idx
+
+        def gen():
+            for s in range(0, len(idx), batch_size):
+                chunk = idx[s : s + batch_size]
+                out_idx = np.full(batch_size, -1, np.int64)
+                out_idx[: len(chunk)] = chunk
+                if len(chunk) < batch_size:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], batch_size - len(chunk))]
+                    )
+                imgs, _ = load_batch(chunk)
+                yield imgs, out_idx
+
+        return _prefetched(gen(), prefetch)
+
+
+def _prefetched(it: Iterator, depth: int) -> Iterator:
+    """Run an iterator in a daemon thread with a bounded queue — overlaps host
+    image decode with device compute (the reference uses DataLoader workers;
+    this box has 1 CPU, so one decode thread is the right amount)."""
+    if depth <= 0:
+        yield from it
+        return
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
+def radius_positives(
+    db_xy: np.ndarray, qu_xy: np.ndarray, radius: float
+) -> List[np.ndarray]:
+    """Soft positives by metric radius — the kNN-radius pattern every
+    pose-based loader uses (sklearn NearestNeighbors.radius_neighbors in the
+    reference; exact brute force here, datasets are <10k poses)."""
+    d2 = ((qu_xy[:, None, :] - db_xy[None, :, :]) ** 2).sum(-1)
+    r2 = radius * radius
+    return [np.where(row <= r2)[0] for row in d2]

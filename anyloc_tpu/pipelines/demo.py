@@ -1,0 +1,86 @@
+"""End-user demo — the reference's ``demo/anyloc_vlad_generate.py`` ported to
+the TPU engine: load a cached domain vocabulary, extract DINOv2 facet
+descriptors for a directory of images (longest edge capped, center-cropped to
+the patch grid), aggregate with VLAD, write one ``.npy`` per image.
+
+Vocabulary cache layout matches the reference
+(demo/anyloc_vlad_generate.py:140-145):
+``<cache>/vocabulary/<model>/l<layer>_<facet>_c<clusters>/<domain>/c_centers.*``
+— ``.npz`` (ours) or ``.pt`` (reference-exported, loaded via torch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+from anyloc_tpu.data.base import natsorted
+
+
+def vocab_dir(cache_dir: str, model: str, layer: int, facet: str,
+              n_clusters: int, domain: str) -> str:
+    return os.path.join(
+        cache_dir, "vocabulary", model, f"l{layer}_{facet}_c{n_clusters}", domain
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--in-dir", required=True, help="directory of images")
+    p.add_argument("--out-dir", default=None, help="output dir (default: in-dir)")
+    p.add_argument("--domain", default="indoor",
+                   choices=["aerial", "indoor", "urban"])
+    p.add_argument("--cache-dir", default="./cache")
+    p.add_argument("--model", default="dinov2_vitg14")
+    p.add_argument("--layer", type=int, default=31)
+    p.add_argument("--facet", default="value")
+    p.add_argument("--num-clusters", type=int, default=32)
+    p.add_argument("--max-img-size", type=int, default=1024)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--first-n", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from anyloc_tpu.data.transforms import preprocess_image
+    from anyloc_tpu.models.extractor import DinoV2ExtractFeatures
+    from anyloc_tpu.ops.vlad import VLAD
+
+    vdir = vocab_dir(args.cache_dir, args.model, args.layer, args.facet,
+                     args.num_clusters, args.domain)
+    vlad = VLAD(args.num_clusters, cache_dir=vdir)
+    vlad.fit(None)  # load-only (raises if no cached vocabulary)
+    print(f"Loaded vocabulary: {vdir}")
+
+    extractor = DinoV2ExtractFeatures(
+        args.model, args.layer, args.facet, checkpoint=args.checkpoint
+    )
+    out_dir = args.out_dir or args.in_dir
+    os.makedirs(out_dir, exist_ok=True)
+    paths = natsorted(
+        [p for ext in ("*.jpg", "*.jpeg", "*.png")
+         for p in glob.glob(os.path.join(args.in_dir, ext))]
+    )
+    if args.first_n:
+        paths = paths[: args.first_n]
+    print(f"{len(paths)} images")
+    for path in paths:
+        img = Image.open(path).convert("RGB")
+        arr = preprocess_image(img, max_edge=args.max_img_size,
+                               crop_multiple=14)
+        descs = extractor(jnp.asarray(arr[None]))
+        gd = np.asarray(vlad.generate(np.asarray(descs[0])))
+        out = os.path.join(
+            out_dir, os.path.splitext(os.path.basename(path))[0] + ".npy"
+        )
+        np.save(out, gd)
+        print(f"{os.path.basename(path)} -> {out} ({gd.shape[0]}-dim)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,87 @@
+"""DescriptorEngine — batched patch-descriptor extraction over a dataset.
+
+Replaces the reference's per-image hot loop (extract_patch_descriptors in
+every script, e.g. dino_v2_global_vocab_vlad.py:343-361: one CenterCrop +
+one full ViT forward + one D2H copy *per image*) with: fixed-shape batches
+from ``dataset.batches()`` (host prefetch thread), center-crop to a
+patch-multiple once per batch, one jitted truncated forward per batch, and
+optional data-parallel sharding over a device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from anyloc_tpu.data.transforms import center_crop_multiple
+from anyloc_tpu.models.extractor import DinoV2ExtractFeatures, ViTFacetExtractor
+
+
+class DescriptorEngine:
+    def __init__(
+        self,
+        model_type: str = "dinov2_vits14",
+        desc_layer: int = 11,
+        desc_facet: str = "value",
+        checkpoint: Optional[str] = None,
+        dtype: str = "bfloat16",
+        batch_size: int = 32,
+        use_cls: bool = False,
+        norm_descs: bool = True,
+        mesh=None,
+    ) -> None:
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.extractor = DinoV2ExtractFeatures(
+            model_type,
+            desc_layer,
+            desc_facet,
+            use_cls=use_cls,
+            norm_descs=norm_descs,
+            checkpoint=checkpoint,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        )
+        self.patch = self.extractor.cfg.patch_size
+        if mesh is not None:
+            from anyloc_tpu.parallel.distributed import sharded_extract_fn
+
+            self._sharded = sharded_extract_fn(
+                self.extractor._forward, mesh
+            )
+        else:
+            self._sharded = None
+
+    def extract_batch(self, images: np.ndarray) -> np.ndarray:
+        """[B, H, W, 3] -> [B, P, D] float32 (center-cropped to patch grid)."""
+        images = np.stack([center_crop_multiple(im, self.patch) for im in images])
+        if self._sharded is not None:
+            return self._sharded(self.extractor.params, images)
+        return np.asarray(self.extractor(jnp.asarray(images)))
+
+    def extract_dataset(
+        self,
+        dataset,
+        which: str = "all",
+        sub_sample: int = 1,
+        verbose: bool = True,
+    ) -> np.ndarray:
+        """-> [N, P, D] float32 patch descriptors for the selected items."""
+        idx = dataset.indices(which, sub_sample)
+        out = None
+        done = 0
+        for imgs, bidx in dataset.batches(
+            self.batch_size, which=which, sub_sample=sub_sample
+        ):
+            descs = self.extract_batch(imgs)
+            if out is None:
+                out = np.empty((len(idx),) + descs.shape[1:], np.float32)
+            valid = bidx >= 0
+            out[done : done + valid.sum()] = descs[valid]
+            done += int(valid.sum())
+            if verbose:
+                print(f"\rExtracting [{which}]: {done}/{len(idx)}", end="")
+        if verbose:
+            print()
+        return out

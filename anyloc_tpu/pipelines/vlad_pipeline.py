@@ -1,0 +1,92 @@
+"""Per-dataset-vocabulary VLAD pipeline (reference scripts/dino_v2_vlad.py:
+vocabulary fit on the target dataset's own database images, then VLAD + recall).
+Results dict keys match the reference (dino_v2_global_vocab_vlad.py:560-573).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from anyloc_tpu.config import PipelineArgs
+from anyloc_tpu.data.registry import get_dataset
+from anyloc_tpu.ops.retrieval import get_top_k_recall
+from anyloc_tpu.ops.vlad import VLAD
+from anyloc_tpu.pipelines.engine import DescriptorEngine
+
+
+def build_results_dict(largs: PipelineArgs, db_vlads, qu_vlads, recalls,
+                       ds_name: str, agg: str = "VLAD") -> Dict:
+    ts = time.strftime("%Y_%m_%d_%H_%M_%S")
+    results = {
+        "Model-Type": str(largs.extractor.model_type),
+        "Desc-Layer": str(largs.extractor.desc_layer),
+        "Desc-Facet": str(largs.extractor.desc_facet),
+        "Desc-Dim": str(db_vlads.shape[1] // largs.vlad.num_clusters)
+        if agg == "VLAD" else str(db_vlads.shape[1]),
+        "VLAD-Dim": str(db_vlads.shape[1]),
+        "Num-Clusters": str(largs.vlad.num_clusters),
+        "Experiment-ID": str(largs.exp_id),
+        "DB-Name": str(ds_name),
+        "Num-DB": str(len(db_vlads)),
+        "Num-QU": str(len(qu_vlads)),
+        "Agg-Method": agg,
+        "Timestamp": str(ts),
+    }
+    for k, v in recalls.items():
+        results[f"R@{k}"] = v
+    return results
+
+
+def run_vlad_pipeline(
+    largs: PipelineArgs, dataset=None, engine: Optional[DescriptorEngine] = None,
+    verbose: bool = True,
+) -> Dict:
+    ds_name = largs.prog.vg_dataset_name
+    if dataset is None:
+        dataset = get_dataset(
+            ds_name, largs.prog.data_vg_dir, largs.data_split,
+            img_size=tuple(largs.bd_args.resize),
+            dist_thresh=largs.bd_args.val_positive_dist_threshold,
+        )
+    if engine is None:
+        engine = DescriptorEngine(
+            largs.extractor.model_type, largs.extractor.desc_layer,
+            largs.extractor.desc_facet, largs.extractor.checkpoint,
+            largs.extractor.dtype, largs.extractor.batch_size,
+        )
+    vlad = VLAD(
+        largs.vlad.num_clusters,
+        vlad_mode=largs.vlad.vlad_assignment,
+        soft_temp=largs.vlad.vlad_soft_temp,
+        cache_dir=largs.vlad.cache_dir,
+    )
+    # Vocabulary: this dataset's own database images (sub-sampled for fit)
+    if vlad.can_use_cache_vlad():
+        vlad.fit(None)
+    else:
+        vocab_descs = engine.extract_dataset(
+            dataset, "db", largs.sub_sample_db_vlad, verbose
+        )
+        vlad.fit(vocab_descs.reshape(-1, vocab_descs.shape[-1]))
+
+    db_descs = engine.extract_dataset(dataset, "db", largs.sub_sample_db, verbose)
+    db_vlads = np.asarray(vlad.generate_multi(db_descs))
+    qu_descs = engine.extract_dataset(
+        dataset, "queries", largs.sub_sample_qu, verbose
+    )
+    qu_vlads = np.asarray(vlad.generate_multi(qu_descs))
+
+    dists, indices, recalls = get_top_k_recall(
+        largs.top_k_vals, db_vlads, qu_vlads, dataset.get_positives(),
+        sub_sample_db=largs.sub_sample_db, sub_sample_qu=largs.sub_sample_qu,
+    )
+    results = build_results_dict(largs, db_vlads, qu_vlads, recalls, ds_name)
+    results["Qual-Dists"] = dists
+    results["Qual-Indices"] = indices
+    if verbose:
+        for k in largs.top_k_vals:
+            print(f"R@{k}: {recalls[k]:.5f}")
+    return results

@@ -1,0 +1,104 @@
+"""End-to-end pipeline tests: synthetic datasets + small real-architecture
+trunk (random weights) through the full extract -> aggregate -> retrieve flow.
+This is the minimum end-to-end slice of SURVEY.md §7 at test scale."""
+
+import numpy as np
+import pytest
+
+from anyloc_tpu.config import PipelineArgs, parse_args
+from anyloc_tpu.data.synthetic import build_gardens
+from anyloc_tpu.pipelines import (
+    DescriptorEngine,
+    run_gem_pipeline,
+    run_global_vocab_vlad,
+    run_vlad_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def gardens_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    return build_gardens(str(root), n_db=10, n_q=5, size=(70, 70))
+
+
+def _args(root, **kw):
+    largs = PipelineArgs()
+    largs.prog.data_vg_dir = root
+    largs.prog.vg_dataset_name = "gardens"
+    largs.bd_args.resize = (70, 70)  # 5x5 patch grid at patch 14
+    largs.extractor.model_type = "dinov2_vits14"
+    largs.extractor.desc_layer = 5
+    largs.extractor.desc_facet = "value"
+    largs.extractor.batch_size = 4
+    largs.vlad.num_clusters = 4
+    largs.top_k_vals = [1, 3, 5]
+    for k, v in kw.items():
+        setattr(largs, k, v)
+    return largs
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return DescriptorEngine(
+        "dinov2_vits14", 5, "value", dtype="float32", batch_size=4
+    )
+
+
+def test_vlad_pipeline_e2e(gardens_root, engine):
+    largs = _args(gardens_root)
+    results = run_vlad_pipeline(largs, engine=engine, verbose=False)
+    assert results["Agg-Method"] == "VLAD"
+    assert results["Num-DB"] == "10" and results["Num-QU"] == "5"
+    assert int(results["VLAD-Dim"]) == 4 * 384
+    # noised-copy queries with real (random-weight) ViT features: should
+    # retrieve the source image most of the time
+    assert results["R@1"] >= 0.6, results
+    assert results["R@5"] >= results["R@1"]
+    assert results["Qual-Indices"].shape == (5, 5)
+
+
+def test_global_vocab_vlad_e2e(gardens_root, engine):
+    largs = _args(gardens_root, db_samples={"gardens": 1})
+    results = run_global_vocab_vlad(largs, engine=engine, verbose=False)
+    assert results["R@1"] >= 0.6, results
+    assert results["Global-Vocab"] == "['gardens']"
+
+
+def test_gem_pipeline_e2e(gardens_root, engine):
+    largs = _args(gardens_root)
+    results = run_gem_pipeline(largs, engine=engine, verbose=False)
+    assert results["Agg-Method"] == "GeM"
+    assert int(results["VLAD-Dim"]) == 384
+    assert results["R@1"] >= 0.6, results
+
+
+def test_vlad_vocab_caching_roundtrip(gardens_root, engine, tmp_path):
+    largs = _args(gardens_root)
+    largs.vlad.cache_dir = str(tmp_path / "vocab")
+    r1 = run_vlad_pipeline(largs, engine=engine, verbose=False)
+    # Second run must reuse the cached centers (same recalls)
+    r2 = run_vlad_pipeline(largs, engine=engine, verbose=False)
+    assert r1["R@1"] == r2["R@1"]
+    import os
+
+    assert os.path.exists(os.path.join(largs.vlad.cache_dir, "c_centers.npz"))
+
+
+def test_parse_args_nested():
+    largs = parse_args(
+        PipelineArgs,
+        [
+            "--prog.vg-dataset-name", "gardens",
+            "--extractor.model-type", "dinov2_vitb14",
+            "--extractor.desc-layer", "9",
+            "--vlad.num-clusters", "16",
+            "--db-samples", "gardens=1", "pitts30k=4",
+            "--top-k-vals", "1", "5",
+        ],
+    )
+    assert largs.prog.vg_dataset_name == "gardens"
+    assert largs.extractor.model_type == "dinov2_vitb14"
+    assert largs.extractor.desc_layer == 9
+    assert largs.vlad.num_clusters == 16
+    assert largs.db_samples == {"gardens": 1, "pitts30k": 4}
+    assert largs.top_k_vals == [1, 5]
