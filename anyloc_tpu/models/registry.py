@@ -50,5 +50,37 @@ def _install_builtin():
             "dinov2",
         )
 
+    from anyloc_tpu.models import dino_v1
+
+    for n in ("dino_vits8", "dino_vits16", "dino_vitb8", "dino_vitb16"):
+        register(
+            n,
+            lambda name=n, **kw: dino_v1.dino_v1_config(name, **kw),
+            dino_v1.convert_dino_v1,
+            "dino_v1",
+        )
+
+    from anyloc_tpu.models import clip as _clip
+
+    for n in _clip._VISION:
+        register(
+            f"clip_{n}",
+            lambda name=n, **kw: _clip.clip_vision_config(name, **kw),
+            _clip.convert_clip_vision,
+            "clip",
+        )
+
+    from anyloc_tpu.models import cosplace_vit, imagebind, mae, sam
+
+    register("hf_vit_base", lambda **kw: cosplace_vit.hf_vit_config(**kw),
+             cosplace_vit.convert_hf_vit, "hf_vit")
+    register("imagebind_huge",
+             lambda **kw: imagebind.imagebind_vision_config(**kw),
+             imagebind.convert_imagebind_vision, "imagebind")
+    for n, fac in mae.MAE_FACTORIES.items():
+        register(n, lambda fac=fac, **kw: fac(**kw), mae.convert_mae, "mae")
+    for n, fac in sam.SAM_FACTORIES.items():
+        register(f"sam_{n}", lambda fac=fac, **kw: fac(), sam.convert_sam, "sam")
+
 
 _install_builtin()

@@ -40,6 +40,9 @@ class ViTConfig:
 
     img_size: int = 518            # training-time image size (pos-embed grid)
     patch_size: int = 14
+    patch_stride: Optional[int] = None  # < patch_size -> overlapping patches
+    # (DINO v1 stride-patching, ref dino_extractor.py:104-160: grid dim =
+    # 1 + (H - patch) // stride; None means stride == patch_size)
     embed_dim: int = 384
     depth: int = 12
     num_heads: int = 6
@@ -52,6 +55,8 @@ class ViTConfig:
     use_cls_token: bool = True
     pos_embed_type: str = "learned"  # "learned" | "sincos2d" (MAE)
     qkv_bias: bool = True
+    patch_bias: bool = True        # CLIP's patch conv has no bias
+    proj_dim: Optional[int] = None  # CLIP: final projection width -> embed
     pre_norm: bool = False         # CLIP: LayerNorm before the blocks
     final_norm: bool = True        # apply trunk-final LayerNorm
     interpolate_offset: float = 0.1  # DINOv2 pos-embed interpolation fudge
@@ -83,13 +88,19 @@ def _act(name: str):
     return {"gelu": exact_gelu, "quick_gelu": quick_gelu}[name]
 
 
-def _torch_bicubic_matrix(src: int, dst: int) -> "np.ndarray":
+def _torch_bicubic_matrix(src: int, dst: int, scale: Optional[float] = None) -> "np.ndarray":
     """[dst, src] interpolation matrix reproducing torch's bicubic resize
     (upsample_bicubic2d, align_corners=False, antialias=False, A=-0.75).
 
     jax.image.resize's 'bicubic' is Catmull-Rom (A=-0.5), which differs from
     torch and would break descriptor parity at non-native resolutions; a
     static matrix makes the resample an exact (and MXU-friendly) matmul.
+
+    ``scale``: the dst/src scale factor torch was *given*. DINO/DINOv2 call
+    F.interpolate with scale_factor=(dst + 0.1)/src and
+    recompute_scale_factor=False, so source coords are (i+0.5)/scale - 0.5
+    with the fudged scale — the 0.1 offset changes values, not just the
+    output size. None means the pure ratio dst/src (size-based call).
     """
     import numpy as np
 
@@ -104,9 +115,9 @@ def _torch_bicubic_matrix(src: int, dst: int) -> "np.ndarray":
         return 0.0
 
     m = np.zeros((dst, src), np.float64)
-    scale = src / dst
+    inv_scale = (src / dst) if scale is None else (1.0 / scale)
     for i in range(dst):
-        pos = (i + 0.5) * scale - 0.5
+        pos = (i + 0.5) * inv_scale - 0.5
         i0 = math.floor(pos)
         t = pos - i0
         for tap, w in zip(
@@ -137,18 +148,18 @@ def interpolate_pos_embed(
         return pos_embed
     prefix = pos_embed[:, :num_prefix]
     patch = pos_embed[:, num_prefix:].reshape(1, m, m, -1)
-    # DINOv2 computes scale factors (h + offset) / m and lets torch derive the
-    # output size — which is exactly (h, w); the 0.1 offset only guards against
-    # floor rounding, so with explicit output sizes it is a no-op. We resample
-    # with torch-exact bicubic matrices (static, built at trace time).
-    del offset
+    # DINO/DINOv2 resample with scale_factor=(h + offset)/m (offset 0.1,
+    # recompute_scale_factor=False) — the fudged scale shifts the sampling
+    # grid slightly, so it must be baked into the interpolation matrices.
+    sh = (h + offset) / m if offset else None
+    sw = (w + offset) / m if offset else None
     if antialias:
         patch = jax.image.resize(
             patch, (1, h, w, patch.shape[-1]), method="bicubic", antialias=True
         )
     else:
-        wh = jnp.asarray(_torch_bicubic_matrix(m, h))
-        ww = jnp.asarray(_torch_bicubic_matrix(m, w))
+        wh = jnp.asarray(_torch_bicubic_matrix(m, h, sh))
+        ww = jnp.asarray(_torch_bicubic_matrix(m, w, sw))
         patch = jnp.einsum(
             "hm,bmnd,wn->bhwd", wh, patch, ww, precision=jax.lax.Precision.HIGHEST
         )
@@ -188,7 +199,8 @@ class Attention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False):
+    def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False,
+                 return_attn_probs: bool = False):
         c = self.cfg
         b, n, d = x.shape
         qkv = nn.Dense(
@@ -205,6 +217,13 @@ class Attention(nn.Module):
             return t.reshape(b, n, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+        if return_attn_probs:
+            scale = c.head_dim ** -0.5
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            return jax.nn.softmax(s, axis=-1)
         impl = c.attn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
@@ -262,12 +281,15 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False):
+    def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False,
+                 return_attn_probs: bool = False):
         c = self.cfg
         d = x.shape[-1]
         h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm1")(x)
         if qkv_only:
             return Attention(c, name="attn")(h, qkv_only=True)
+        if return_attn_probs:
+            return Attention(c, name="attn")(h, return_attn_probs=True)
         if return_qkv:
             attn_out, qkv = Attention(c, name="attn")(h, return_qkv=True)
         else:
@@ -310,15 +332,19 @@ class ViT(nn.Module):
     ):
         c = self.cfg
         b, h, w, _ = x.shape
-        gh, gw = h // c.patch_size, w // c.patch_size
+        stride = c.patch_stride or c.patch_size
+        gh = 1 + (h - c.patch_size) // stride
+        gw = 1 + (w - c.patch_size) // stride
         x = x.astype(c.dtype)
         # Patch embedding: Conv stride=patch (MXU-friendly: XLA lowers this to
-        # a [B*gh*gw, p*p*3] x [p*p*3, D] matmul).
+        # a [B*gh*gw, p*p*3] x [p*p*3, D] matmul). With patch_stride < patch
+        # (DINO v1 dense-descriptor mode) patches overlap.
         x = nn.Conv(
             c.embed_dim,
             (c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size),
+            strides=(stride, stride),
             padding="VALID",
+            use_bias=c.patch_bias,
             dtype=c.dtype,
             name="patch_embed",
         )(x)
@@ -378,6 +404,12 @@ class ViT(nn.Module):
         if capture_layer is not None:
             if capture_facet == "token":
                 facet_out = x
+            elif capture_facet == "attn":
+                # post-softmax attention probabilities [B, H, N, N]
+                # (DINO v1 'attn' facet, ref dino_extractor.py:220-223)
+                return Block(c, name=f"blocks_{capture_layer}")(
+                    x, return_attn_probs=True
+                )
             else:
                 # norm1 + qkv of the captured block only — the rest of the
                 # block (and all later blocks) is never built or executed.
@@ -391,9 +423,15 @@ class ViT(nn.Module):
         if c.final_norm:
             x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm")(x)
         skip = num_prefix + c.num_register_tokens
+        cls_tok = x[:, 0] if c.use_cls_token else jnp.mean(x, axis=1)
+        if c.proj_dim is not None:
+            # CLIP-style output projection (applied to the pooled token)
+            cls_tok = nn.Dense(
+                c.proj_dim, use_bias=False, dtype=c.dtype, name="proj_out"
+            )(cls_tok)
         return {
             "tokens": x[:, skip:],
-            "cls": x[:, 0] if c.use_cls_token else jnp.mean(x, axis=1),
+            "cls": cls_tok,
             "prefix": x[:, :skip],
             "pre_norm_tokens": pre_norm_tokens,
         }

@@ -117,9 +117,13 @@ class TorchMiniDino(tnn.Module):
         m = int(math.sqrt(n))
         cls_pos = self.pos_embed[:, :1]
         patch_pos = self.pos_embed[:, 1:].reshape(1, m, m, -1).permute(0, 3, 1, 2)
+        # real DINOv2 uses scale_factor=(g + 0.1)/m, recompute_scale_factor
+        # unset — the fudge shifts sampling, so the oracle must match it
         patch_pos = tF.interpolate(
-            patch_pos, size=(gh, gw), mode="bicubic", align_corners=False
+            patch_pos, scale_factor=((gh + 0.1) / m, (gw + 0.1) / m),
+            mode="bicubic", align_corners=False, recompute_scale_factor=False,
         )
+        assert patch_pos.shape[-2:] == (gh, gw)
         patch_pos = patch_pos.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)
         return torch.cat([cls_pos, patch_pos], dim=1)
 
