@@ -1,0 +1,131 @@
+"""dvgl-style evaluation (``dvgl_benchmark/test.py:122-294`` rebuilt):
+extract database + query descriptors through a trained model, exact L2 top-k
+on device, with the five-crops / nearest-crop / majority-voting query test
+methods and optional PCA + distractor concatenation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from anyloc_tpu.ops.retrieval import top_k_search
+
+
+def extract_features(
+    descriptor_fn: Callable[[np.ndarray], np.ndarray],
+    dataset,
+    test_method: str = "hard_resize",
+    batch_size: int = 16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (database_features [Ndb, D], query_features [Nq(*5), D]).
+    Crop-ensemble methods return 5 rows per query (nearest_crop/maj_voting)
+    or the crop mean (five_crops), matching test.py:159-174."""
+    db_feats = []
+    for imgs, bidx in dataset.batches(batch_size, which="db"):
+        f = np.asarray(descriptor_fn(imgs))
+        db_feats.append(f[bidx >= 0])
+    db = np.concatenate(db_feats) if db_feats else np.empty((0, 0), np.float32)
+
+    qu_feats = []
+    prev_method = getattr(dataset, "test_method", "hard_resize")
+    dataset.test_method = test_method
+    try:
+        for qi in range(dataset.database_num, len(dataset)):
+            item, _ = dataset[qi]
+            if test_method in ("five_crops", "nearest_crop", "maj_voting"):
+                f = np.asarray(descriptor_fn(item))  # [5, D]
+                if test_method == "five_crops":
+                    f = f.mean(axis=0, keepdims=True)
+            else:
+                f = np.asarray(descriptor_fn(item[None]))
+            qu_feats.append(f)
+    finally:
+        dataset.test_method = prev_method
+    qu = np.concatenate(qu_feats)
+    return db, qu
+
+
+def top_n_voting(topn: str, predictions, distances, maj_weight: float):
+    """In-place distance discounting for repeated crop votes
+    (test.py:277-294 verbatim semantics)."""
+    n, selected = {"top1": (1, 0), "top5": (5, slice(0, 5)),
+                   "top10": (10, slice(0, 10))}[topn]
+    vals, counts = np.unique(predictions[:, selected], return_counts=True)
+    for val, count in zip(vals[counts > 1], counts[counts > 1]):
+        mask = predictions[:, selected] == val
+        distances[:, selected][mask] -= maj_weight * count / n
+
+
+def _dedup_keep_closest(preds: np.ndarray, dists: np.ndarray, k: int) -> np.ndarray:
+    sort_idx = np.argsort(dists)
+    preds = preds[sort_idx]
+    _, unique_idx = np.unique(preds, return_index=True)
+    return preds[np.sort(unique_idx)][:k]
+
+
+def evaluate(
+    descriptor_fn,
+    dataset,
+    test_method: str = "hard_resize",
+    recall_values: Sequence[int] = (1, 5, 10, 20),
+    batch_size: int = 16,
+    pca=None,  # (mean, components, scale) triple from ops.pca.pca_fit
+    distractor_dataset=None,
+    majority_weight: float = 0.01,
+) -> Tuple[np.ndarray, str]:
+    db, qu = extract_features(descriptor_fn, dataset, test_method, batch_size)
+    if pca is not None:
+        from anyloc_tpu.ops.pca import pca_transform
+
+        db = np.asarray(pca_transform(db, *pca))
+        qu = np.asarray(pca_transform(qu, *pca))
+    if distractor_dataset is not None:  # VPAir concat (test.py:187-215)
+        dis, _ = extract_features(
+            descriptor_fn, distractor_dataset, "hard_resize", batch_size
+        )
+        if pca is not None:
+            from anyloc_tpu.ops.pca import pca_transform
+
+            dis = np.asarray(pca_transform(dis, *pca))
+        db = np.concatenate([db, dis])
+
+    max_k = min(max(recall_values), db.shape[0])
+    distances, predictions = top_k_search(db, qu, max_k, method="l2")
+    # writable host copies (device buffers are read-only; voting mutates)
+    distances, predictions = np.array(distances), np.array(predictions)
+
+    nq = dataset.queries_num
+    if test_method == "nearest_crop":
+        distances = distances.reshape(nq, 5 * max_k)
+        predictions = predictions.reshape(nq, 5 * max_k)
+        out = np.empty((nq, max_k), np.int64)
+        for q in range(nq):
+            out[q] = _dedup_keep_closest(predictions[q], distances[q], max_k)
+        predictions = out
+    elif test_method == "maj_voting":
+        distances = distances.reshape(nq, 5, max_k)
+        predictions = predictions.reshape(nq, 5, max_k)
+        out = np.empty((nq, max_k), np.int64)
+        for q in range(nq):
+            top_n_voting("top1", predictions[q], distances[q], majority_weight)
+            top_n_voting("top5", predictions[q], distances[q], majority_weight)
+            top_n_voting("top10", predictions[q], distances[q], majority_weight)
+            out[q] = _dedup_keep_closest(
+                predictions[q].flatten(), distances[q].flatten(), max_k
+            )
+        predictions = out
+
+    positives = dataset.get_positives()
+    recalls = np.zeros(len(recall_values))
+    for qi, pred in enumerate(predictions):
+        for i, n in enumerate(recall_values):
+            if np.any(np.isin(pred[:n], positives[qi])):
+                recalls[i:] += 1
+                break
+    recalls = recalls / nq * 100
+    recalls_str = ", ".join(
+        f"R@{v}: {r:.1f}" for v, r in zip(recall_values, recalls)
+    )
+    return recalls, recalls_str

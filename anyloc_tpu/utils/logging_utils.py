@@ -1,0 +1,83 @@
+"""Logging + metrics (dvgl ``commons.py:30-74``: dual info/debug log files
+with an excepthook that captures crashes; WandB opt-in with graceful stub).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import traceback
+from typing import Optional
+
+
+def setup_logging(
+    output_folder: str,
+    console: str = "info",
+    info_filename: str = "info.log",
+    debug_filename: str = "debug.log",
+) -> None:
+    """Dual-file logging + excepthook capture (commons.py:30-74)."""
+    os.makedirs(output_folder, exist_ok=True)
+    base = logging.getLogger()
+    base.setLevel(logging.DEBUG)
+    for h in list(base.handlers):
+        base.removeHandler(h)
+    fmt = logging.Formatter("%(asctime)s   %(message)s", "%Y-%m-%d %H:%M:%S")
+    if info_filename:
+        fh = logging.FileHandler(os.path.join(output_folder, info_filename))
+        fh.setLevel(logging.INFO)
+        fh.setFormatter(fmt)
+        base.addHandler(fh)
+    if debug_filename:
+        fh = logging.FileHandler(os.path.join(output_folder, debug_filename))
+        fh.setLevel(logging.DEBUG)
+        fh.setFormatter(fmt)
+        base.addHandler(fh)
+    if console:
+        ch = logging.StreamHandler()
+        ch.setLevel(logging.INFO if console == "info" else logging.DEBUG)
+        ch.setFormatter(fmt)
+        base.addHandler(ch)
+
+    def exception_handler(type_, value, tb):
+        base.info("\n" + "".join(traceback.format_exception(type_, value, tb)))
+
+    sys.excepthook = exception_handler
+
+
+class MetricsLogger:
+    """WandB-compatible metrics sink: logs to wandb when available and
+    enabled, always accumulates locally (list of dicts) for CSV/json dumps —
+    the reference's opt-in pattern (configs.py:80-91)."""
+
+    def __init__(self, use_wandb: bool = False, project: str = "anyloc-tpu",
+                 entity: Optional[str] = None, group: Optional[str] = None,
+                 run_name: Optional[str] = None, config=None):
+        self.history = []
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=project, entity=entity, group=group,
+                           name=run_name, config=config)
+            except Exception as e:  # wandb not installed / offline
+                logging.info(f"wandb unavailable ({e}); logging locally only")
+
+    def log(self, metrics: dict, step: Optional[int] = None):
+        self.history.append(dict(metrics, _step=step))
+        if self.wandb is not None:
+            self.wandb.log(metrics, step=step)
+
+    def finish(self):
+        if self.wandb is not None:
+            self.wandb.finish()
+
+    def dump_json(self, path: str):
+        import json
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.history, f, indent=2, default=str)

@@ -1,0 +1,229 @@
+"""Trained-baseline slice tests: backbones, GeoLocalizationNet aggregations,
+eval path with crop ensembles, mining, a real (tiny) triplet training run,
+CosPlace class partitioning + CosFace step, MixVPR model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from anyloc_tpu.data.synthetic import build_vg_bench
+from anyloc_tpu.data.loaders.base_dataset import BaseDataset
+from anyloc_tpu.models.resnet import ResNet, resnet18_config, resnet50_config
+from anyloc_tpu.training.cosplace import (
+    MarginCosineProduct,
+    assign_classes,
+    cosface_loss_fn,
+    make_cosplace_train_step,
+)
+from anyloc_tpu.training.evaluate import evaluate, top_n_voting
+from anyloc_tpu.training.mining import TripletMiner
+from anyloc_tpu.training.network import GeoLocalizationNet
+from anyloc_tpu.training.train_loop import train_triplet
+
+
+def test_resnet18_shapes(rng):
+    model = ResNet(resnet18_config(truncate="conv4"))
+    imgs = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(variables, imgs)
+    assert out.shape == (1, 4, 4, 256)  # 64/16 at conv4, 256 channels
+    model5 = ResNet(resnet18_config(truncate="conv5"))
+    v5 = model5.init(jax.random.PRNGKey(0), imgs)
+    assert model5.apply(v5, imgs).shape == (1, 2, 2, 512)
+
+
+def test_resnet50_bottleneck_channels(rng):
+    model = ResNet(resnet50_config(truncate="conv4"))
+    imgs = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), imgs)
+    assert model.apply(v, imgs).shape == (1, 4, 4, 1024)
+
+
+def test_torchvision_resnet_conversion(rng):
+    """torchvision isn't installed; validate the converter against a
+    synthetic state dict in torchvision resnet18 naming (shape-true)."""
+    from anyloc_tpu.models.resnet import convert_torchvision_resnet
+
+    cfg = resnet18_config(truncate="conv4")
+    sd = {}
+
+    def add_bn(name, c):
+        sd[f"{name}.weight"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{name}.running_var"] = np.ones(c, np.float32)
+
+    sd["conv1.weight"] = rng.standard_normal((64, 3, 7, 7)).astype(np.float32)
+    add_bn("bn1", 64)
+    sizes = [(64, 64), (128, 64), (256, 128)]
+    for stage, (c_out, c_in) in enumerate(sizes, start=1):
+        for i in range(2):
+            pre = f"layer{stage}.{i}"
+            cin = c_in if i == 0 else c_out
+            sd[f"{pre}.conv1.weight"] = rng.standard_normal(
+                (c_out, cin, 3, 3)).astype(np.float32) * 0.05
+            add_bn(f"{pre}.bn1", c_out)
+            sd[f"{pre}.conv2.weight"] = rng.standard_normal(
+                (c_out, c_out, 3, 3)).astype(np.float32) * 0.05
+            add_bn(f"{pre}.bn2", c_out)
+            if i == 0 and c_out != c_in:
+                sd[f"{pre}.downsample.0.weight"] = rng.standard_normal(
+                    (c_out, cin, 1, 1)).astype(np.float32)
+                add_bn(f"{pre}.downsample.1", c_out)
+    variables = convert_torchvision_resnet(sd, cfg)
+    model = ResNet(cfg)
+    imgs = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    out = model.apply(variables, imgs)
+    assert out.shape == (1, 4, 4, 256) and np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("agg", ["netvlad", "gem", "mac", "spoc", "rmac", "crn", "rrm"])
+def test_geolocalization_net(rng, agg):
+    model = GeoLocalizationNet(backbone="resnet18conv4", aggregation=agg,
+                               netvlad_clusters=4)
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(v, imgs)
+    assert out.shape[0] == 2 and out.ndim == 2
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-4
+    )
+
+
+@pytest.fixture(scope="module")
+def vg_ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vg")
+    build_vg_bench(str(root), n_db=12, n_q=6, size=(64, 64))
+    return BaseDataset(str(root), "pitts30k", "test", img_size=(64, 64))
+
+
+def _desc_fn():
+    """Cheap deterministic descriptor: mean-pooled random projection."""
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((3, 32)).astype(np.float32)
+
+    def fn(imgs):
+        imgs = np.asarray(imgs, np.float32)
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        feats = imgs.reshape(imgs.shape[0], -1, 3) @ w
+        pooled = feats.mean(axis=1)
+        return pooled / np.maximum(
+            np.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
+        )
+
+    return fn
+
+
+@pytest.mark.parametrize("method", ["hard_resize", "five_crops", "nearest_crop", "maj_voting"])
+def test_evaluate_methods(vg_ds, method):
+    recalls, s = evaluate(_desc_fn(), vg_ds, test_method=method,
+                          recall_values=(1, 5), batch_size=4)
+    assert recalls.shape == (2,)
+    assert 0 <= recalls[0] <= 100 and recalls[1] >= recalls[0]
+    assert "R@1" in s
+
+
+def test_top_n_voting_discounts_repeats():
+    preds = np.array([[3, 1], [3, 2], [3, 4], [5, 6], [3, 7]])
+    dists = np.ones((5, 2), np.float32)
+    top_n_voting("top1", preds, dists, maj_weight=0.1)
+    # id 3 appears 4x in column 0 -> those distances discounted by 0.4
+    assert np.allclose(dists[:, 0][preds[:, 0] == 3], 0.6)
+
+
+@pytest.mark.parametrize("mining", ["random", "partial", "full"])
+def test_triplet_miner(vg_ds, mining):
+    miner = TripletMiner(vg_ds, neg_num=3, mining=mining, neg_samples_num=8)
+    trips = miner.compute_triplets(_desc_fn(), n_queries=4, batch_size=4)
+    assert len(trips) == 4
+    for q, p, negs in trips:
+        assert q >= vg_ds.database_num
+        pos = vg_ds.get_positives()[q - vg_ds.database_num]
+        assert p in pos
+        assert len(negs) == 3
+        assert not any(n in pos for n in negs)
+    batch = miner.tuples_as_batch(trips, [0, 1])
+    assert batch.shape == (2, 5, 64, 64, 3)
+
+
+def test_train_triplet_e2e(vg_ds, tmp_path):
+    """A real 2-epoch training run on a tiny GeoLocalizationNet — loss is
+    finite, checkpoints written, recall evaluated."""
+    model = GeoLocalizationNet(backbone="resnet18conv4", aggregation="gem")
+    imgs0 = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs0)
+
+    def descriptor_fn(params, images):
+        return model.apply(params, images)
+
+    state, best_r5, hist = train_triplet(
+        descriptor_fn, variables, vg_ds, vg_ds,
+        epochs=2, queries_per_epoch=4, cache_refresh_every=4,
+        batch_size=2, neg_num=2, mining="random",
+        output_dir=str(tmp_path / "ckpt"), recall_values=(1, 5),
+        eval_batch_size=4,
+    )
+    assert len(hist) == 2
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    import os
+
+    assert os.path.exists(tmp_path / "ckpt" / "last_checkpoint")
+    from anyloc_tpu.utils.checkpoint import resume_train
+
+    restored, start_epoch, r5 = resume_train(str(tmp_path / "ckpt"))
+    assert start_epoch == 2
+
+
+def test_cosplace_class_assignment():
+    east = np.array([0.0, 5.0, 15.0, 105.0])
+    north = np.array([0.0, 5.0, 0.0, 0.0])
+    groups, classes, labels = assign_classes(east, north, M=10, N=5, L=2)
+    # imgs 0,1 same cell -> same group + label; img 2 adjacent cell ->
+    # different group (spatial separation); img 3 cell 10 -> (10%5)=0 same
+    # group as img 0 but different class
+    g_of = {i: g for g, idxs in enumerate(groups) for i in idxs}
+    assert g_of[0] == g_of[1]
+    assert labels[0] == labels[1]
+    assert g_of[2] != g_of[0]
+    assert g_of[3] == g_of[0] and labels[3] != labels[0]
+
+
+def test_cosplace_train_step(rng):
+    head = MarginCosineProduct(num_classes=6)
+    feats0 = jnp.zeros((2, 16))
+    labels0 = jnp.zeros((2,), jnp.int32)
+    cp = head.init(jax.random.PRNGKey(0), feats0, labels0)
+    w = jnp.asarray(rng.standard_normal((48, 16)).astype(np.float32) * 0.1)
+    mp = {"w": w}
+
+    def descriptor_fn(params, images):
+        flat = images.reshape(images.shape[0], -1)
+        out = flat @ params["w"]
+        return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-9)
+
+    step = make_cosplace_train_step(
+        descriptor_fn, head, optax.sgd(0.1), optax.sgd(0.1)
+    )
+    state = step.init_state(mp, cp)
+    imgs = jnp.asarray(rng.standard_normal((4, 4, 4, 3)).astype(np.float32))
+    labels = jnp.asarray([0, 1, 2, 3])
+    losses = []
+    for _ in range(5):
+        state, l = step(state, imgs, labels)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]  # CosFace loss decreases
+
+
+def test_mixvpr_model(rng):
+    from anyloc_tpu.training.mixvpr import VPRModel
+
+    model = VPRModel(out_channels=8, out_rows=2, mixer_depth=1)
+    imgs = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(v, imgs)
+    assert out.shape == (1, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out)), 1.0, atol=1e-5)
