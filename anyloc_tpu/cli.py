@@ -7,6 +7,8 @@ LocalArgs + main()) with subcommands over the shared PipelineArgs config:
   vlad                per-dataset-vocabulary VLAD
   gem                 GeM pooling
   global-vpr          CLS-token global descriptor
+  clip-top-k          CLIP global-descriptor retrieval
+  patch-clip          CLIP crops -> VLAD
   demo                demo/anyloc_vlad_generate.py equivalent
 """
 
@@ -53,6 +55,10 @@ def main(argv=None):
         from anyloc_tpu.pipelines import run_gem_pipeline as fn
     elif cmd == "global-vpr":
         from anyloc_tpu.pipelines import run_global_vpr as fn
+    elif cmd == "clip-top-k":
+        from anyloc_tpu.pipelines.clip_pipelines import run_clip_top_k as fn
+    elif cmd == "patch-clip":
+        from anyloc_tpu.pipelines.clip_pipelines import run_patch_clip as fn
     else:
         print(f"Unknown pipeline: {cmd}", file=sys.stderr)
         return 2

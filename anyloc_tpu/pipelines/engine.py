@@ -31,25 +31,25 @@ class DescriptorEngine:
         use_cls: bool = False,
         norm_descs: bool = True,
         mesh=None,
+        extractor=None,
     ) -> None:
         self.batch_size = batch_size
         self.mesh = mesh
-        self.extractor = DinoV2ExtractFeatures(
-            model_type,
-            desc_layer,
-            desc_facet,
-            use_cls=use_cls,
-            norm_descs=norm_descs,
-            checkpoint=checkpoint,
-            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
-        )
-        self.patch = self.extractor.cfg.patch_size
-        if mesh is not None:
+        if extractor is None:
+            from anyloc_tpu.models.factory import make_extractor
+
+            extractor = make_extractor(
+                model_type, desc_layer, desc_facet,
+                checkpoint=checkpoint,
+                dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+                use_cls=use_cls, norm_descs=norm_descs,
+            )
+        self.extractor = extractor
+        self.patch = getattr(extractor.cfg, "patch_size", 14)
+        if mesh is not None and hasattr(extractor, "_forward"):
             from anyloc_tpu.parallel.distributed import sharded_extract_fn
 
-            self._sharded = sharded_extract_fn(
-                self.extractor._forward, mesh
-            )
+            self._sharded = sharded_extract_fn(extractor._forward, mesh)
         else:
             self._sharded = None
 

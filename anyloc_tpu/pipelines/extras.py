@@ -1,0 +1,165 @@
+"""Long-tail experiment pipelines from the reference's scripts/ inventory:
+
+  * multilayer VLAD (scripts/dino_multilayer_vlad.py) — per-layer VLADs
+    concatenated;
+  * sliding-window VLAD (scripts/dino_vlad_sliding_window.py) — VLAD per
+    window over the patch grid, max-similarity retrieval;
+  * contrastive MLP head over VLAD descriptors
+    (scripts/dino_vlad_contrastive_train.py:344-381) with its InfoNCE-ish
+    loss;
+  * joint PCA projection across datasets (scripts/joint_pca_project.py) and
+    recall-over-PCA-dim sweeps (scripts/pca_downsample_experiment.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from anyloc_tpu.ops.common import l2_normalize
+from anyloc_tpu.ops.pca import pca_fit, pca_transform
+from anyloc_tpu.ops.retrieval import get_top_k_recall
+from anyloc_tpu.ops.vlad import VLAD, vlad_aggregate
+
+
+# ---------------------------------------------------------------------------
+# Multi-layer VLAD
+# ---------------------------------------------------------------------------
+
+def multilayer_vlad(
+    descs_per_layer: Sequence[np.ndarray],  # list of [B, N, D]
+    num_clusters: int,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit one vocabulary per layer on the given descriptors and concatenate
+    the per-layer VLADs -> [B, L * C * D]."""
+    outs = []
+    for li, descs in enumerate(descs_per_layer):
+        v = VLAD(num_clusters, seed=seed + li)
+        outs.append(np.asarray(v.fit_and_generate(jnp.asarray(descs))))
+    cat = np.concatenate(outs, axis=1)
+    return cat / np.maximum(np.linalg.norm(cat, axis=1, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window VLAD
+# ---------------------------------------------------------------------------
+
+def sliding_window_vlad(
+    descs: np.ndarray,  # [B, N, D] with N = gh * gw (row-major grid)
+    grid: Tuple[int, int],
+    centers: np.ndarray,
+    window: int,
+    stride: int,
+) -> np.ndarray:
+    """VLAD per spatial window -> [B, n_windows, C*D]. Retrieval scores take
+    the max over window pairs (reference sliding-window variant)."""
+    gh, gw = grid
+    b, n, d = descs.shape
+    assert n == gh * gw
+    x = descs.reshape(b, gh, gw, d)
+    wins = []
+    for y0 in range(0, gh - window + 1, stride):
+        for x0 in range(0, gw - window + 1, stride):
+            w = x[:, y0 : y0 + window, x0 : x0 + window].reshape(b, -1, d)
+            wins.append(np.asarray(vlad_aggregate(jnp.asarray(w), jnp.asarray(centers))))
+    return np.stack(wins, axis=1)
+
+
+def sliding_window_scores(db_wins: np.ndarray, qu_wins: np.ndarray) -> np.ndarray:
+    """Max cosine over all (db window, query window) pairs -> [Q, Ndb]."""
+    q, wq, d = qu_wins.shape
+    ndb, wd, _ = db_wins.shape
+    sims = np.einsum("qwd,nvd->qnwv", qu_wins, db_wins)
+    return sims.reshape(q, ndb, -1).max(axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive MLP head (dino_vlad_contrastive_train.py)
+# ---------------------------------------------------------------------------
+
+import flax.linen as nn
+
+
+class ContrastiveMLP(nn.Module):
+    """2-layer MLP head over VLAD descriptors (:344-358)."""
+
+    out_dim: int
+    hidden_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out_dim, name="fc2")(x)
+
+
+def contrastive_loss(emb, pos, neg, temp: float = 1.0):
+    """Reference loss (:360-381): -log( sum_p e^{cos(a,p)/T} /
+    sum_n e^{cos(a,n)/T} ), batch-averaged. emb [B, D], pos [B, P, D],
+    neg [B, N, D]."""
+    ea = l2_normalize(emb)[:, None, :]
+    sp = jnp.sum(ea * l2_normalize(pos), axis=-1)  # [B, P]
+    sn = jnp.sum(ea * l2_normalize(neg), axis=-1)  # [B, N]
+    loss = -jnp.log(
+        jnp.sum(jnp.exp(sp / temp), axis=-1)
+        / jnp.sum(jnp.exp(sn / temp), axis=-1)
+    )
+    return jnp.mean(loss)
+
+
+def make_contrastive_train_step(mlp: ContrastiveMLP,
+                                optimizer: optax.GradientTransformation,
+                                temp: float = 1.0):
+    def loss_fn(params, anchor, pos, neg):
+        f = lambda x: mlp.apply(params, x)
+        return contrastive_loss(
+            f(anchor), f(pos.reshape(-1, pos.shape[-1])).reshape(pos.shape[:-1] + (-1,)),
+            f(neg.reshape(-1, neg.shape[-1])).reshape(neg.shape[:-1] + (-1,)),
+            temp,
+        )
+
+    @jax.jit
+    def step(params, opt_state, anchor, pos, neg):
+        l, g = jax.value_and_grad(loss_fn)(params, anchor, pos, neg)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# PCA tools
+# ---------------------------------------------------------------------------
+
+def joint_pca_project(
+    desc_sets: Dict[str, np.ndarray], lower_dim: int, whiten: bool = False
+) -> Dict[str, np.ndarray]:
+    """Fit one PCA on the concatenation of all datasets' descriptors and
+    project each (scripts/joint_pca_project.py)."""
+    allx = np.concatenate(list(desc_sets.values()))
+    mean, comps, scale = pca_fit(jnp.asarray(allx), lower_dim, whiten=whiten)
+    return {
+        k: np.asarray(pca_transform(jnp.asarray(v), mean, comps, scale))
+        for k, v in desc_sets.items()
+    }
+
+
+def pca_downsample_experiment(
+    db: np.ndarray, qu: np.ndarray, gt_pos, dims: Sequence[int],
+    top_k: Sequence[int] = (1, 5, 10),
+) -> Dict[int, Dict[int, float]]:
+    """Recall as a function of PCA-reduced dimension
+    (scripts/pca_downsample_experiment.py)."""
+    from anyloc_tpu.ops.pca import reduce_pca
+
+    out = {}
+    for dim in dims:
+        db_r, qu_r = reduce_pca(db, qu, dim)
+        _, _, recalls = get_top_k_recall(list(top_k), db_r, qu_r, gt_pos)
+        out[dim] = recalls
+    return out

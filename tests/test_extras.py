@@ -1,0 +1,142 @@
+"""Tests for the long-tail pipelines (clip_top_k / patch_clip / multilayer /
+sliding-window / contrastive MLP / PCA tools) + the extractor factory."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from anyloc_tpu.config import PipelineArgs
+from anyloc_tpu.data.synthetic import build_gardens
+from anyloc_tpu.pipelines.clip_pipelines import run_clip_top_k, run_patch_clip, unfold_crops
+from anyloc_tpu.pipelines.extras import (
+    ContrastiveMLP,
+    contrastive_loss,
+    joint_pca_project,
+    make_contrastive_train_step,
+    multilayer_vlad,
+    pca_downsample_experiment,
+    sliding_window_scores,
+    sliding_window_vlad,
+)
+
+
+@pytest.fixture(scope="module")
+def gardens_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    return build_gardens(str(root), n_db=8, n_q=4, size=(64, 64))
+
+
+@pytest.fixture(scope="module")
+def tiny_clip_args(gardens_root):
+    from anyloc_tpu.models import clip as C
+
+    C._VISION.setdefault("ViT-Tiny/16", (16, 32, 2, 4, 16, 32))
+    C._TEXT.setdefault("ViT-Tiny/16", (77, 1000, 16, 4, 2))
+    largs = PipelineArgs()
+    largs.prog.data_vg_dir = gardens_root
+    largs.prog.vg_dataset_name = "gardens"
+    largs.bd_args.resize = (64, 64)
+    largs.extractor.model_type = "clip_ViT-Tiny/16"
+    largs.extractor.batch_size = 4
+    largs.vlad.num_clusters = 4
+    largs.top_k_vals = [1, 3]
+    return largs
+
+
+def test_clip_top_k_pipeline(tiny_clip_args):
+    results = run_clip_top_k(tiny_clip_args, verbose=False)
+    assert "R@1" in results and 0 <= results["R@1"] <= 1
+    assert results["Agg-Method"] == "CLIP-global"
+
+
+def test_patch_clip_pipeline(tiny_clip_args):
+    results = run_patch_clip(tiny_clip_args, num_patches=2, verbose=False)
+    assert results["Agg-Method"] == "Patch-CLIP-VLAD"
+    assert "R@1" in results
+
+
+def test_unfold_crops_shape(rng):
+    imgs = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    crops = unfold_crops(imgs, num_patches=4)
+    # kernel = stride = 32 -> 2x2 grid
+    assert crops.shape == (2, 4, 32, 32, 3)
+    np.testing.assert_allclose(crops[:, 0], imgs[:, :32, :32])
+
+
+def test_multilayer_vlad(rng):
+    layers = [rng.standard_normal((4, 20, 8)).astype(np.float32) for _ in range(3)]
+    out = multilayer_vlad(layers, num_clusters=2)
+    assert out.shape == (4, 3 * 2 * 8)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+
+def test_sliding_window_vlad_and_scores(rng):
+    descs = rng.standard_normal((3, 16, 8)).astype(np.float32)
+    centers = rng.standard_normal((2, 8)).astype(np.float32)
+    wins = sliding_window_vlad(descs, (4, 4), centers, window=2, stride=2)
+    assert wins.shape == (3, 4, 16)
+    scores = sliding_window_scores(wins, wins[:2])
+    assert scores.shape == (2, 3)
+    # self-match is the max score per row
+    assert np.argmax(scores[0]) == 0 and np.argmax(scores[1]) == 1
+
+
+def test_contrastive_loss_prefers_positives(rng):
+    emb = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    pos = emb[:, None, :] + 0.01  # near-identical positives
+    neg = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    good = float(contrastive_loss(emb, pos, neg))
+    bad = float(contrastive_loss(emb, neg[:, :1], neg))
+    assert good < bad
+
+
+def test_contrastive_mlp_trains(rng):
+    mlp = ContrastiveMLP(out_dim=8)
+    anchor = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    pos = anchor[:, None, :] + 0.05
+    neg = jnp.asarray(rng.standard_normal((4, 6, 16)).astype(np.float32))
+    params = mlp.init(jax.random.PRNGKey(0), anchor)
+    opt = optax.adam(1e-2)
+    step = make_contrastive_train_step(mlp, opt)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(10):
+        params, opt_state, l = step(params, opt_state, anchor, pos, neg)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
+def test_joint_pca_project(rng):
+    sets = {
+        "a": rng.standard_normal((30, 16)).astype(np.float32),
+        "b": rng.standard_normal((20, 16)).astype(np.float32),
+    }
+    out = joint_pca_project(sets, 4)
+    assert out["a"].shape == (30, 4) and out["b"].shape == (20, 4)
+
+
+def test_pca_downsample_experiment(rng):
+    db = rng.standard_normal((40, 32)).astype(np.float32)
+    qu = db[:6] + 0.01 * rng.standard_normal((6, 32)).astype(np.float32)
+    gt = [np.array([i]) for i in range(6)]
+    res = pca_downsample_experiment(db, qu, gt, dims=[4, 16], top_k=(1,))
+    assert set(res) == {4, 16}
+    assert res[16][1] >= res[4][1] - 0.5  # more dims never much worse here
+
+
+def test_extractor_factory_families(rng):
+    """Every family constructs and produces sane descriptor shapes."""
+    from anyloc_tpu.models.factory import make_extractor
+
+    img = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    d1 = make_extractor("dino_vits8", layer=2, facet="key", stride=8,
+                        dtype=jnp.float32)
+    # dino_vits8 has 12 layers but we only run to layer 2
+    out = d1(jnp.asarray(img))
+    assert out.shape == (1, 16, 384)
+    mae = make_extractor("mae_vit_base_patch16", dtype=jnp.float32)
+    # mae config is 224px; skip heavy call, just check attrs
+    assert mae.cfg.patch_size == 16
