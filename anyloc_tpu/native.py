@@ -1,0 +1,101 @@
+"""ctypes bindings + on-demand build of the native C++ helpers
+(``native/nnsearch.cpp``): exact NN search (FAISS IndexFlat stand-in) and
+Recall@K accumulation for host-side retrieval where a device round-trip
+doesn't pay (small query batches, CPU-only deployments).
+
+The shared library builds lazily with g++ -O3 and caches next to the source;
+everything degrades gracefully to the numpy path when no compiler exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "nnsearch.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libnnsearch.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> str:
+    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-shared", "-fPIC",
+           "-std=c++17", _SRC, "-o", _LIB_PATH]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+        ):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+    except Exception:
+        return None
+    i64 = ctypes.c_int64
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.nn_search.argtypes = [f32p, i64, i64, f32p, i64, i64, ctypes.c_int,
+                              f32p, i64p]
+    lib.nn_search.restype = None
+    lib.recall_at_k.argtypes = [i64p, i64, i64, i64p, i64p, i64p, i64, i64,
+                                i64, i64p]
+    lib.recall_at_k.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def nn_search(
+    db: np.ndarray, qu: np.ndarray, k: int, method: str = "cosine"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact top-k on host. Conventions match ops.retrieval.top_k_search
+    (cosine -> IP descending; l2 -> squared distances ascending)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native nnsearch unavailable (no g++?)")
+    db = np.ascontiguousarray(db, np.float32)
+    qu = np.ascontiguousarray(qu, np.float32)
+    k = min(k, db.shape[0])
+    scores = np.empty((qu.shape[0], k), np.float32)
+    idx = np.empty((qu.shape[0], k), np.int64)
+    lib.nn_search(db, db.shape[0], db.shape[1], qu, qu.shape[0], k,
+                  0 if method == "cosine" else 1, scores, idx)
+    return scores, idx
+
+
+def recall_at_k(
+    retrieved: np.ndarray,
+    gt_pos: Sequence[np.ndarray],
+    top_k: Sequence[int],
+    sub_sample_db: int = 1,
+    sub_sample_qu: int = 1,
+) -> dict:
+    """Native Recall@K over CSR-packed ground truth."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native nnsearch unavailable (no g++?)")
+    retrieved = np.ascontiguousarray(retrieved, np.int64)
+    n_qu, max_k = retrieved.shape
+    indptr = np.zeros(len(gt_pos) + 1, np.int64)
+    for i, g in enumerate(gt_pos):
+        indptr[i + 1] = indptr[i] + len(g)
+    data = (np.concatenate([np.asarray(g, np.int64) for g in gt_pos])
+            if indptr[-1] else np.zeros(0, np.int64))
+    ks = np.asarray(sorted(top_k), np.int64)
+    hits = np.zeros(len(ks), np.int64)
+    lib.recall_at_k(retrieved, n_qu, max_k, indptr, data, ks, len(ks),
+                    sub_sample_db, sub_sample_qu, hits)
+    return {int(k): int(h) for k, h in zip(ks, hits)}

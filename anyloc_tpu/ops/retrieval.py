@@ -127,10 +127,14 @@ def get_top_k_recall(
     use_percentage: bool = True,
     sub_sample_db: int = 1,
     sub_sample_qu: int = 1,
+    engine: str = "device",
 ) -> Tuple[np.ndarray, np.ndarray, Dict[int, float]]:
     """Drop-in equivalent of the reference's ``get_top_k_recall``
     (utilities.py:390-469): returns (distances [Q, max(top_k)],
-    indices [Q, max(top_k)], {k: recall})."""
+    indices [Q, max(top_k)], {k: recall}).
+
+    ``engine``: "device" (TPU matmul + lax.top_k) or "native" (the C++
+    exact-NN library, anyloc_tpu.native — host-side FAISS stand-in)."""
     del use_gpu
     db = jnp.asarray(np.asarray(db), dtype=jnp.float32)
     qu = jnp.asarray(np.asarray(qu), dtype=jnp.float32)
@@ -140,9 +144,16 @@ def get_top_k_recall(
         db = l2_normalize(db)
         qu = l2_normalize(qu)
     max_k = min(int(max(top_k)), db.shape[0])
-    dists, indices = top_k_search(db, qu, max_k, method)
-    dists = np.asarray(dists)
-    indices = np.asarray(indices)
+    if engine == "native":
+        from anyloc_tpu import native
+
+        dists, indices = native.nn_search(
+            np.asarray(db), np.asarray(qu), max_k, method
+        )
+    else:
+        dists, indices = top_k_search(db, qu, max_k, method)
+        dists = np.asarray(dists)
+        indices = np.asarray(indices)
     recalls = compute_recalls(
         indices, gt_pos, top_k, use_percentage, sub_sample_db, sub_sample_qu
     )

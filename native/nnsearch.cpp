@@ -1,0 +1,145 @@
+// Exact nearest-neighbor search — the native stand-in for FAISS IndexFlatIP /
+// IndexFlatL2 (the reference's only native retrieval dependency,
+// AnyLoc utilities.py:439-450). Blocked score computation + bounded per-query
+// heap, C ABI for ctypes.
+//
+// Conventions match FAISS: metric 0 = inner product (descending scores),
+// metric 1 = squared L2 (ascending distances).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct HeapEntryMax {  // min-heap on score => keeps top-k largest
+    float score;
+    int64_t idx;
+    bool operator<(const HeapEntryMax& o) const { return score > o.score; }
+};
+
+// Blocked dot products: qu [nq, d] x db[block] -> scores.
+// Block sizes sized for L2-resident tiles.
+constexpr int kQBlock = 64;
+constexpr int kDbBlock = 256;
+
+}  // namespace
+
+extern "C" {
+
+// db: [n_db, d] row-major float32; qu: [n_qu, d]; out_scores/out_idx: [n_qu, k]
+// metric: 0 = IP (top-k largest), 1 = squared L2 (top-k smallest)
+void nn_search(const float* db, int64_t n_db, int64_t d, const float* qu,
+               int64_t n_qu, int64_t k, int metric, float* out_scores,
+               int64_t* out_idx) {
+    if (k > n_db) k = n_db;
+    std::vector<float> db_norms;
+    if (metric == 1) {
+        db_norms.resize(n_db);
+        for (int64_t i = 0; i < n_db; ++i) {
+            const float* row = db + i * d;
+            float s = 0.f;
+            for (int64_t j = 0; j < d; ++j) s += row[j] * row[j];
+            db_norms[i] = s;
+        }
+    }
+
+    std::vector<std::vector<HeapEntryMax>> heaps(kQBlock);
+    std::vector<float> block_scores(kQBlock * kDbBlock);
+
+    for (int64_t q0 = 0; q0 < n_qu; q0 += kQBlock) {
+        const int64_t qb = std::min<int64_t>(kQBlock, n_qu - q0);
+        for (int64_t qi = 0; qi < qb; ++qi) heaps[qi].clear();
+
+        std::vector<float> qu_norms(qb, 0.f);
+        if (metric == 1) {
+            for (int64_t qi = 0; qi < qb; ++qi) {
+                const float* row = qu + (q0 + qi) * d;
+                float s = 0.f;
+                for (int64_t j = 0; j < d; ++j) s += row[j] * row[j];
+                qu_norms[qi] = s;
+            }
+        }
+
+        for (int64_t b0 = 0; b0 < n_db; b0 += kDbBlock) {
+            const int64_t bb = std::min<int64_t>(kDbBlock, n_db - b0);
+            // score tile
+            for (int64_t qi = 0; qi < qb; ++qi) {
+                const float* qrow = qu + (q0 + qi) * d;
+                float* srow = block_scores.data() + qi * kDbBlock;
+                for (int64_t bi = 0; bi < bb; ++bi) {
+                    const float* drow = db + (b0 + bi) * d;
+                    float dot = 0.f;
+                    for (int64_t j = 0; j < d; ++j) dot += qrow[j] * drow[j];
+                    srow[bi] = dot;
+                }
+            }
+            // heap update (larger-is-better internally; L2 negated)
+            for (int64_t qi = 0; qi < qb; ++qi) {
+                auto& heap = heaps[qi];
+                const float* srow = block_scores.data() + qi * kDbBlock;
+                for (int64_t bi = 0; bi < bb; ++bi) {
+                    float s = (metric == 0)
+                                  ? srow[bi]
+                                  : -(qu_norms[qi] - 2.f * srow[bi] +
+                                      db_norms[b0 + bi]);
+                    if ((int64_t)heap.size() < k) {
+                        heap.push_back({s, b0 + bi});
+                        std::push_heap(heap.begin(), heap.end());
+                    } else if (s > heap.front().score) {
+                        std::pop_heap(heap.begin(), heap.end());
+                        heap.back() = {s, b0 + bi};
+                        std::push_heap(heap.begin(), heap.end());
+                    }
+                }
+            }
+        }
+        // emit sorted (best first), FAISS tie-break by index
+        for (int64_t qi = 0; qi < qb; ++qi) {
+            auto& heap = heaps[qi];
+            std::sort(heap.begin(), heap.end(), [](const HeapEntryMax& a,
+                                                   const HeapEntryMax& b) {
+                if (a.score != b.score) return a.score > b.score;
+                return a.idx < b.idx;
+            });
+            for (int64_t r = 0; r < k; ++r) {
+                const float s = heap[r].score;
+                out_scores[(q0 + qi) * k + r] = (metric == 0) ? s : -s;
+                out_idx[(q0 + qi) * k + r] = heap[r].idx;
+            }
+        }
+    }
+}
+
+// Recall@K accumulation over variable-length ground-truth positive lists
+// (CSR layout: gt_indptr [n_qu+1], gt_data). Mirrors utilities.py:451-465.
+void recall_at_k(const int64_t* retrieved, int64_t n_qu, int64_t max_k,
+                 const int64_t* gt_indptr, const int64_t* gt_data,
+                 const int64_t* ks, int64_t n_ks, int64_t sub_sample_db,
+                 int64_t sub_sample_qu, int64_t* hits_out) {
+    std::memset(hits_out, 0, sizeof(int64_t) * n_ks);
+    for (int64_t q = 0; q < n_qu; ++q) {
+        const int64_t g0 = gt_indptr[q * sub_sample_qu];
+        const int64_t g1 = gt_indptr[q * sub_sample_qu + 1];
+        int64_t first_hit = -1;
+        for (int64_t r = 0; r < max_k; ++r) {
+            const int64_t item = retrieved[q * max_k + r] * sub_sample_db;
+            for (int64_t g = g0; g < g1; ++g) {
+                if (gt_data[g] == item) {
+                    first_hit = r;
+                    break;
+                }
+            }
+            if (first_hit >= 0) break;
+        }
+        if (first_hit >= 0) {
+            for (int64_t i = 0; i < n_ks; ++i) {
+                if (first_hit < ks[i]) ++hits_out[i];
+            }
+        }
+    }
+}
+
+}  // extern "C"
