@@ -1,0 +1,80 @@
+"""Large-scale retrieval benchmark — BASELINE.json config #5 (Pitts-250k /
+MSLS-scale global-vocab VLAD retrieval with a sharded database).
+
+Three engines over the same synthetic database:
+  * device   — single-device matmul + lax.top_k (db must fit HBM);
+  * blocked  — host-streaming shards through the device
+    (ops.retrieval.top_k_search_blocked) for databases beyond HBM;
+  * native   — the C++ exact-NN library (host-only baseline).
+
+At the full 250k x 49152-dim f32 scale the database is ~49 GB: on real pods
+it shards across chips (parallel.top_k_search_sharded); on this 1-chip rig
+use --pca-dim (the reference's reduce_pca path) or the blocked engine.
+
+Prints one JSON line per engine.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-db", type=int, default=100_000)
+    p.add_argument("--n-qu", type=int, default=1_000)
+    p.add_argument("--dim", type=int, default=4096)
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--engines", nargs="*",
+                   default=["device", "blocked"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from anyloc_tpu.ops.retrieval import top_k_search, top_k_search_blocked
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((args.n_db, args.dim)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    qu = db[rng.choice(args.n_db, args.n_qu, replace=False)]
+
+    results = {}
+    if "device" in args.engines:
+        dbj = jnp.asarray(db)
+        quj = jnp.asarray(qu)
+        s, i = top_k_search(dbj, quj, args.k)  # compile + warm
+        ok = float(np.mean(np.asarray(i)[:, 0] >= 0))
+        t0 = time.perf_counter()
+        s, i = top_k_search(dbj, quj, args.k)
+        _ = float(jnp.sum(s))
+        dt = time.perf_counter() - t0
+        results["device"] = args.n_qu / dt
+    if "blocked" in args.engines:
+        t0 = time.perf_counter()
+        s, i = top_k_search_blocked(db, qu, args.k, query_block=256,
+                                    db_block=65536)
+        dt = time.perf_counter() - t0
+        results["blocked"] = args.n_qu / dt
+    if "native" in args.engines:
+        from anyloc_tpu import native
+
+        if native.available():
+            t0 = time.perf_counter()
+            s, i = native.nn_search(db, qu, args.k)
+            dt = time.perf_counter() - t0
+            results["native"] = args.n_qu / dt
+
+    for engine, qps in results.items():
+        print(json.dumps({
+            "metric": f"retrieval_qps_{engine}",
+            "value": round(qps, 2),
+            "unit": f"queries/sec ({args.n_db} db x {args.dim}d, top-{args.k})",
+            "vs_baseline": None,
+        }))
+
+
+if __name__ == "__main__":
+    main()
