@@ -1,0 +1,120 @@
+"""Cluster-visualization app — CLI replacement for the reference's gradio /
+HF-space demos (demo/gradio_imgs_vlad_clusters.py, hf_imgs_vlad_clusters.py):
+per-pixel VLAD cluster-assignment overlays + the GeM t-SNE domain projector,
+written as image/JSON artifacts instead of a web UI (gradio isn't in this
+image; the functions compose into a gradio app unchanged where it exists).
+
+Usage:
+  python -m anyloc_tpu.pipelines.viz_cli clusters --in-dir imgs/ \
+      --cache-dir cache/ --domain indoor --out-dir viz/
+  python -m anyloc_tpu.pipelines.viz_cli domain --in-dir imgs/ \
+      --gem-cache gem_descs.npz --out viz/domain.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def cmd_clusters(args) -> int:
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from anyloc_tpu.data.base import natsorted
+    from anyloc_tpu.data.transforms import preprocess_image
+    from anyloc_tpu.models.extractor import DinoV2ExtractFeatures
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines.demo import vocab_dir
+    from anyloc_tpu.viz import cluster_assignment_map
+
+    vdir = vocab_dir(args.cache_dir, args.model, args.layer, args.facet,
+                     args.num_clusters, args.domain)
+    vlad = VLAD(args.num_clusters, cache_dir=vdir)
+    vlad.fit(None)
+    ext = DinoV2ExtractFeatures(args.model, args.layer, args.facet)
+    os.makedirs(args.out_dir, exist_ok=True)
+    paths = natsorted(
+        [p for e in ("*.jpg", "*.png") for p in glob.glob(os.path.join(args.in_dir, e))]
+    )
+    patch = ext.cfg.patch_size
+    for path in paths[: args.first_n] if args.first_n else paths:
+        pil = Image.open(path).convert("RGB")
+        arr = preprocess_image(pil, max_edge=args.max_img_size, crop_multiple=patch)
+        descs = np.asarray(ext(jnp.asarray(arr[None]))[0])
+        gh, gw = arr.shape[0] // patch, arr.shape[1] // patch
+        raw = np.asarray(pil.resize((arr.shape[1], arr.shape[0])))
+        overlay = cluster_assignment_map(
+            descs, np.asarray(vlad.c_centers), (gh, gw), image=raw,
+            alpha=args.alpha,
+        )
+        out = os.path.join(args.out_dir,
+                           os.path.splitext(os.path.basename(path))[0] + "_clusters.png")
+        Image.fromarray(overlay).save(out)
+        print(out)
+    return 0
+
+
+def cmd_domain(args) -> int:
+    """Project user images against cached per-dataset GeM descriptors
+    (hf_imgs_vlad_clusters.py:257-356 domain projector)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from anyloc_tpu.data.base import natsorted
+    from anyloc_tpu.data.transforms import preprocess_image
+    from anyloc_tpu.models.extractor import DinoV2ExtractFeatures
+    from anyloc_tpu.ops.gem import gem_pool
+    from anyloc_tpu.viz import tsne_projection
+
+    ref = dict(np.load(args.gem_cache))  # {dataset_name: [N, D]}
+    ext = DinoV2ExtractFeatures(args.model, args.layer, args.facet)
+    user = []
+    paths = natsorted(glob.glob(os.path.join(args.in_dir, "*.jpg")))
+    for path in paths:
+        arr = preprocess_image(Image.open(path).convert("RGB"),
+                               size_hw=(224, 224), crop_multiple=14)
+        d = ext(jnp.asarray(arr[None]))
+        user.append(np.asarray(gem_pool(d))[0])
+    ref["user"] = np.stack(user)
+    proj = tsne_projection(ref)
+    out = {k: v.tolist() for k, v in proj.items()}
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(args.out)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("clusters")
+    c.add_argument("--in-dir", required=True)
+    c.add_argument("--out-dir", required=True)
+    c.add_argument("--cache-dir", default="./cache")
+    c.add_argument("--domain", default="indoor")
+    c.add_argument("--model", default="dinov2_vitg14")
+    c.add_argument("--layer", type=int, default=31)
+    c.add_argument("--facet", default="value")
+    c.add_argument("--num-clusters", type=int, default=32)
+    c.add_argument("--max-img-size", type=int, default=640)
+    c.add_argument("--alpha", type=float, default=0.5)
+    c.add_argument("--first-n", type=int, default=None)
+    d = sub.add_parser("domain")
+    d.add_argument("--in-dir", required=True)
+    d.add_argument("--gem-cache", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--model", default="dinov2_vitg14")
+    d.add_argument("--layer", type=int, default=31)
+    d.add_argument("--facet", default="value")
+    args = p.parse_args(argv)
+    return cmd_clusters(args) if args.cmd == "clusters" else cmd_domain(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

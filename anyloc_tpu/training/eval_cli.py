@@ -1,0 +1,94 @@
+"""Checkpoint evaluation — the dvgl ``eval.py`` analogue: load a trained
+GeoLocalizationNet checkpoint (orbax, or a torch ``.pth`` via the converters)
+and run the retrieval evaluation on a dataset; also evaluates off-the-shelf
+GeM models (eval.py:70-79 loads radenovic/naver weights by URL — here any
+local torch resnet+GeM checkpoint path).
+
+Usage:
+  python -m anyloc_tpu.training.eval_cli --checkpoint ./ckpt/best_checkpoint \
+      --backbone resnet18conv4 --aggregation netvlad \
+      --dataset gardens --datasets-folder /data/vpr
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_model_params(args, model):
+    if args.checkpoint is None:
+        return model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, *args.resize, 3)))
+    if args.checkpoint.endswith((".pth", ".pt")):
+        from anyloc_tpu.models.convert import load_torch_checkpoint, strip_prefix
+        from anyloc_tpu.models.resnet import (
+            convert_torchvision_resnet, resnet18_config, resnet50_config,
+            resnet101_config,
+        )
+
+        sd = strip_prefix(load_torch_checkpoint(args.checkpoint), "module.")
+        sd = strip_prefix(sd, "backbone.")
+        fac = {"resnet18": resnet18_config, "resnet50": resnet50_config,
+               "resnet101": resnet101_config}[args.backbone.rstrip("conv45")]
+        trunc = "conv4" if args.backbone.endswith("conv4") else "conv5"
+        bb = convert_torchvision_resnet(sd, fac(truncate=trunc))
+        # graft backbone into a fresh init (aggregation params stay random
+        # unless present in the checkpoint)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, *args.resize, 3)))
+        variables = jax.tree_util.tree_map(lambda x: x, variables)
+        variables["params"]["backbone"] = bb["params"]
+        variables["batch_stats"]["backbone"] = bb["batch_stats"]
+        return variables
+    from anyloc_tpu.utils.checkpoint import load_checkpoint
+
+    state = load_checkpoint(args.checkpoint)
+    return state["params"] if "params" in state else state
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--backbone", default="resnet18conv4")
+    p.add_argument("--aggregation", default="netvlad")
+    p.add_argument("--netvlad-clusters", type=int, default=64)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--datasets-folder", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--resize", type=int, nargs=2, default=(480, 640))
+    p.add_argument("--test-method", default="hard_resize")
+    p.add_argument("--recall-values", type=int, nargs="*", default=[1, 5, 10, 20])
+    p.add_argument("--batch-size", type=int, default=16)
+    args = p.parse_args(argv)
+    args.resize = tuple(args.resize)
+
+    from anyloc_tpu.data.registry import get_dataset
+    from anyloc_tpu.training.evaluate import evaluate
+    from anyloc_tpu.training.network import GeoLocalizationNet
+
+    model = GeoLocalizationNet(
+        backbone=args.backbone, aggregation=args.aggregation,
+        netvlad_clusters=args.netvlad_clusters,
+    )
+    variables = load_model_params(args, model)
+    ds = get_dataset(args.dataset, args.datasets_folder, args.split,
+                     img_size=args.resize)
+    infer = jax.jit(lambda imgs: model.apply(variables, imgs))
+    recalls, recalls_str = evaluate(
+        lambda imgs: infer(jnp.asarray(imgs, jnp.float32)), ds,
+        test_method=args.test_method, recall_values=args.recall_values,
+        batch_size=args.batch_size,
+    )
+    print(recalls_str)
+    print(json.dumps({f"R@{k}": float(r)
+                      for k, r in zip(args.recall_values, recalls)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -162,3 +162,40 @@ def pca_projection(desc_sets: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     from anyloc_tpu.pipelines.extras import joint_pca_project
 
     return joint_pca_project(desc_sets, 2)
+
+
+def ablation_plot(
+    csv_paths: Dict[str, str],
+    x_col: str,
+    y_col: str = "R@1",
+    output_path: str = "ablation.png",
+    title: str = "",
+):
+    """Line plot of recall vs a swept hyperparameter from result CSVs —
+    the paper_utils/data/ablations figure generator (facet / layer / cluster
+    sweeps). CSV columns are the WandB-export style the reference stores."""
+    import csv as _csv
+
+    plt = _agg_backend()
+    fig, ax = plt.subplots()
+    for name, path in csv_paths.items():
+        xs, ys = [], []
+        with open(path) as f:
+            for row in _csv.DictReader(f):
+                if x_col in row and y_col in row and row[y_col]:
+                    xs.append(row[x_col])
+                    ys.append(float(row[y_col]))
+        try:
+            order = np.argsort([float(x) for x in xs])
+            xs = [xs[i] for i in order]
+            ys = [ys[i] for i in order]
+        except ValueError:
+            pass  # categorical x (facets)
+        ax.plot(xs, ys, marker="o", label=name)
+    ax.set_xlabel(x_col)
+    ax.set_ylabel(y_col)
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    fig.savefig(output_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return output_path

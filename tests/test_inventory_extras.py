@@ -1,0 +1,91 @@
+"""Tests for the inventory long tail: CCT, eval CLI, downloaders registry,
+viz CLI, ablation plots."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_cct_shapes(rng):
+    from anyloc_tpu.models.cct import CCT, CCTConfig
+
+    cfg = CCTConfig(img_size=64, embed_dim=32, n_conv_layers=2,
+                    kernel_size=3, depth=2, num_heads=4)
+    model = CCT(cfg)
+    imgs = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), imgs)
+    pooled = model.apply(v, imgs)
+    assert pooled.shape == (1, 32)
+    tokens = model.apply(v, imgs, return_tokens=True)
+    assert tokens.ndim == 3 and tokens.shape[-1] == 32
+    # truncation executes fewer blocks but same tokenizer
+    cfg_t = CCTConfig(img_size=64, embed_dim=32, n_conv_layers=2,
+                      kernel_size=3, depth=2, num_heads=4, truncate_at=1)
+    t2 = CCT(cfg_t).apply(v, imgs, return_tokens=True)
+    assert t2.shape == tokens.shape
+
+
+def test_eval_cli_random_weights(tmp_path, rng):
+    from anyloc_tpu.data.synthetic import build_gardens
+    from anyloc_tpu.training.eval_cli import main
+
+    root = build_gardens(str(tmp_path), n_db=6, n_q=3, size=(64, 64))
+    rc = main([
+        "--backbone", "resnet18conv4", "--aggregation", "gem",
+        "--dataset", "gardens", "--datasets-folder", root,
+        "--resize", "64", "64", "--recall-values", "1", "3",
+        "--batch-size", "3",
+    ])
+    assert rc == 0
+
+
+def test_downloaders_registry():
+    from anyloc_tpu.data.downloaders import RECIPES, download_dataset
+
+    assert {"st_lucia", "nordland", "eynsham"} <= set(RECIPES)
+    with pytest.raises(RuntimeError):
+        download_dataset("pitts30k", "/tmp/nowhere")  # no-URL recipe
+
+
+def test_viz_cli_clusters(tmp_path, rng):
+    """Drive the gradio-replacement cluster overlay end-to-end with a tiny
+    model + seeded vocabulary."""
+    from PIL import Image
+
+    from anyloc_tpu.pipelines.viz_cli import main
+
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            (rng.random((70, 70, 3)) * 255).astype(np.uint8)
+        ).save(in_dir / f"im{i}.jpg")
+    vdir = tmp_path / "cache" / "vocabulary" / "dinov2_vits14" / "l3_value_c4" / "indoor"
+    os.makedirs(vdir)
+    np.savez(vdir / "c_centers.npz",
+             centers=rng.standard_normal((4, 384)).astype(np.float32))
+    out_dir = tmp_path / "viz"
+    rc = main([
+        "clusters", "--in-dir", str(in_dir), "--out-dir", str(out_dir),
+        "--cache-dir", str(tmp_path / "cache"), "--domain", "indoor",
+        "--model", "dinov2_vits14", "--layer", "3", "--facet", "value",
+        "--num-clusters", "4", "--max-img-size", "70",
+    ])
+    assert rc == 0
+    outs = list(out_dir.glob("*_clusters.png"))
+    assert len(outs) == 2
+
+
+def test_ablation_plot(tmp_path):
+    from anyloc_tpu.viz import ablation_plot
+
+    csv1 = tmp_path / "a.csv"
+    csv1.write_text("layer,R@1\n9,0.6\n11,0.7\n10,0.65\n")
+    out = ablation_plot({"dinov2": str(csv1)}, "layer",
+                        output_path=str(tmp_path / "abl.png"))
+    assert os.path.exists(out)
