@@ -21,6 +21,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (jax.distributed) — the reference has no
+    multi-node story at all (SURVEY.md §5 distributed row); on TPU pods this
+    is one call with env-var autodetection, after which ``jax.devices()``
+    spans the pod and every mesh in this module is pod-wide."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def get_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

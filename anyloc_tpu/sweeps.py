@@ -1,0 +1,139 @@
+"""Ablation sweep driver — replaces the reference's 15 bash sweep scripts
+(scripts/*_ablations.sh, *_many.sh: nested for-loops over model x layer x
+facet x clusters x dataset x vocab-domain with GPU pinning and run
+bookkeeping, e.g. dino_v2_global_vocab_vlad_ablations.sh:12-44) with one
+Python product-sweep that reuses compiled extractors across grid points and
+writes a tidy CSV.
+
+Example:
+  python -m anyloc_tpu.sweeps --pipeline vlad \
+      --prog.data-vg-dir /data/vpr \
+      --grid.model-type dinov2_vits14 dinov2_vitb14 \
+      --grid.desc-layer 9 11 --grid.desc-facet key value \
+      --grid.num-clusters 8 32 --grid.dataset gardens baidu_datasets \
+      --out sweep_results.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import itertools
+import os
+import sys
+import traceback
+from typing import Dict, List, Optional
+
+from anyloc_tpu.config import PipelineArgs
+
+
+def run_sweep(
+    pipeline: str,
+    grid: Dict[str, List],
+    base: Optional[PipelineArgs] = None,
+    out_csv: Optional[str] = None,
+    verbose: bool = True,
+) -> List[Dict]:
+    """grid keys: model_type, desc_layer, desc_facet, num_clusters, dataset,
+    domain (any subset; missing ones use the base config). The extractor is
+    rebuilt only when (model_type, desc_layer, desc_facet) changes — the
+    expensive trunk compile amortizes over clusters/dataset/domain points.
+    Failures are caught per-point so sweeps continue (the reference's
+    try/except traceback pattern, dino_v2_global_vocab_vlad.py:628-635).
+    """
+    from anyloc_tpu.pipelines import (
+        DescriptorEngine,
+        run_gem_pipeline,
+        run_global_vocab_vlad,
+        run_vlad_pipeline,
+    )
+
+    fns = {
+        "vlad": run_vlad_pipeline,
+        "global-vocab-vlad": run_global_vocab_vlad,
+        "gem": run_gem_pipeline,
+    }
+    fn = fns[pipeline]
+    base = base or PipelineArgs()
+    keys = list(grid)
+    rows: List[Dict] = []
+    engine_key, engine = None, None
+    for values in itertools.product(*(grid[k] for k in keys)):
+        point = dict(zip(keys, values))
+        largs = PipelineArgs(**{**base.__dict__})
+        largs.extractor = type(base.extractor)(**{**base.extractor.__dict__})
+        largs.vlad = type(base.vlad)(**{**base.vlad.__dict__})
+        largs.prog = type(base.prog)(**{**base.prog.__dict__})
+        if "model_type" in point:
+            largs.extractor.model_type = point["model_type"]
+        if "desc_layer" in point:
+            largs.extractor.desc_layer = int(point["desc_layer"])
+        if "desc_facet" in point:
+            largs.extractor.desc_facet = point["desc_facet"]
+        if "num_clusters" in point:
+            largs.vlad.num_clusters = int(point["num_clusters"])
+        if "dataset" in point:
+            largs.prog.vg_dataset_name = point["dataset"]
+        if "domain" in point:
+            largs.global_vocab = point["domain"]
+        ek = (largs.extractor.model_type, largs.extractor.desc_layer,
+              largs.extractor.desc_facet)
+        try:
+            if ek != engine_key:
+                engine = DescriptorEngine(
+                    largs.extractor.model_type, largs.extractor.desc_layer,
+                    largs.extractor.desc_facet, largs.extractor.checkpoint,
+                    largs.extractor.dtype, largs.extractor.batch_size,
+                )
+                engine_key = ek
+            results = fn(largs, engine=engine, verbose=False)
+            row = dict(point)
+            row.update({k: v for k, v in results.items()
+                        if not k.startswith("Qual-")})
+            rows.append(row)
+            if verbose:
+                print(f"{point} -> R@1={results.get('R@1'):.4f}")
+        except Exception:
+            traceback.print_exc()
+            rows.append(dict(point, error=True))
+    if out_csv and rows:
+        fieldnames = sorted({k for r in rows for k in r})
+        os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+        with open(out_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fieldnames)
+            w.writeheader()
+            w.writerows(rows)
+    return rows
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pipeline", default="vlad",
+                   choices=["vlad", "global-vocab-vlad", "gem"])
+    p.add_argument("--out", default="sweep_results.csv")
+    p.add_argument("--grid.model-type", dest="g_model", nargs="*", default=[])
+    p.add_argument("--grid.desc-layer", dest="g_layer", nargs="*", type=int,
+                   default=[])
+    p.add_argument("--grid.desc-facet", dest="g_facet", nargs="*", default=[])
+    p.add_argument("--grid.num-clusters", dest="g_clusters", nargs="*",
+                   type=int, default=[])
+    p.add_argument("--grid.dataset", dest="g_dataset", nargs="*", default=[])
+    p.add_argument("--grid.domain", dest="g_domain", nargs="*", default=[])
+    args, rest = p.parse_known_args(argv)
+    from anyloc_tpu.config import parse_args
+
+    base = parse_args(PipelineArgs, rest)
+    grid = {}
+    for key, vals in (("model_type", args.g_model), ("desc_layer", args.g_layer),
+                      ("desc_facet", args.g_facet),
+                      ("num_clusters", args.g_clusters),
+                      ("dataset", args.g_dataset), ("domain", args.g_domain)):
+        if vals:
+            grid[key] = vals
+    run_sweep(args.pipeline, grid, base, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,77 @@
+"""Sweep driver + descriptor cache tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from anyloc_tpu.config import PipelineArgs
+from anyloc_tpu.data.synthetic import build_gardens
+from anyloc_tpu.sweeps import run_sweep
+from anyloc_tpu.utils.desc_cache import DescriptorCache
+
+
+def test_sweep_grid(tmp_path):
+    root = build_gardens(str(tmp_path / "data"), n_db=8, n_q=4, size=(70, 70))
+    base = PipelineArgs()
+    base.prog.data_vg_dir = root
+    base.prog.vg_dataset_name = "gardens"
+    base.bd_args.resize = (70, 70)
+    base.extractor.model_type = "dinov2_vits14"
+    base.extractor.desc_layer = 3
+    base.extractor.dtype = "float32"
+    base.extractor.batch_size = 4
+    base.top_k_vals = [1, 3]
+    out = str(tmp_path / "sweep.csv")
+    rows = run_sweep(
+        "vlad",
+        {"desc_facet": ["key", "value"], "num_clusters": [2, 4]},
+        base, out_csv=out, verbose=False,
+    )
+    assert len(rows) == 4
+    assert all("R@1" in r for r in rows)
+    assert os.path.exists(out)
+    import csv
+
+    with open(out) as f:
+        assert len(list(csv.DictReader(f))) == 4
+
+
+def test_sweep_continues_on_failure(tmp_path):
+    root = build_gardens(str(tmp_path / "data"), n_db=6, n_q=3, size=(70, 70))
+    base = PipelineArgs()
+    base.prog.data_vg_dir = root
+    base.prog.vg_dataset_name = "gardens"
+    base.bd_args.resize = (70, 70)
+    base.extractor.model_type = "dinov2_vits14"
+    base.extractor.desc_layer = 3
+    base.extractor.dtype = "float32"
+    base.extractor.batch_size = 4
+    base.top_k_vals = [1]
+    rows = run_sweep(
+        "vlad", {"dataset": ["no_such_dataset", "gardens"]}, base,
+        verbose=False,
+    )
+    assert rows[0].get("error") is True
+    assert "R@1" in rows[1]
+
+
+def test_descriptor_cache_roundtrip(tmp_path, rng):
+    cache = DescriptorCache(str(tmp_path), {"model": "x", "layer": 3},
+                            shard_size=4)
+    descs = rng.standard_normal((10, 6, 8)).astype(np.float32)
+    assert not cache.has("db", 10)
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return descs
+
+    out1 = cache.get_or_compute("db", 10, compute)
+    out2 = cache.get_or_compute("db", 10, compute)
+    assert len(calls) == 1  # second call served from cache
+    np.testing.assert_allclose(out1, descs)
+    np.testing.assert_allclose(out2, descs)
+    # distinct config -> distinct cache dir
+    cache2 = DescriptorCache(str(tmp_path), {"model": "y", "layer": 3})
+    assert cache2.dir != cache.dir
