@@ -228,9 +228,11 @@ class Attention(nn.Module):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
         if impl == "pallas":
-            from anyloc_tpu.ops.pallas.flash_attention import flash_attention
+            from anyloc_tpu.ops.pallas.flash_attention import (
+                flash_attention_heads,
+            )
 
-            out = flash_attention(q, k, v)
+            out = flash_attention_heads(q, k, v)
         else:
             from anyloc_tpu.ops.pallas.flash_attention import xla_attention
 

@@ -97,6 +97,66 @@ def flash_attention(
     return out[:, :, :n]
 
 
+def _attn_kernel_heads(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    """One batch element per cell, all heads in-block: q/k/v [1, H, Np, hd].
+    Fewer, larger grid cells than the per-(batch,head) kernel — better for
+    short sequences where per-cell overhead dominates."""
+    q = q_ref[0].astype(jnp.float32) * scale          # [H, Np, hd]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [H, Np, Np]
+    np_tokens = s.shape[-1]
+    if n_valid < np_tokens:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def flash_attention_heads(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+    scale: Optional[float] = None, head_chunk: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Head-batched variant of flash_attention (same semantics). Heads are
+    chunked to stay inside the VMEM scoped-stack limit: the f32 score block
+    is chunk * Np^2 * 4 bytes, and the q/k/v/o blocks double-buffer — the
+    auto-sizer budgets ~6 MB for scores."""
+    b, h, n, hd = q.shape
+    scale = hd ** -0.5 if scale is None else scale
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    np_tok = _round_up(n, sub)
+    if np_tok != n:
+        pad = [(0, 0), (0, 0), (0, np_tok - n), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    if head_chunk is None:
+        budget = 6 * 1024 * 1024
+        head_chunk = max(1, min(h, budget // (np_tok * np_tok * 4)))
+    hc = head_chunk
+    while h % hc:
+        hc -= 1
+    kernel = functools.partial(_attn_kernel_heads, scale=scale, n_valid=n)
+    spec = pl.BlockSpec((1, hc, np_tok, hd), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // hc),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, np_tok, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :, :n]
+
+
 def xla_attention(q, k, v, *, scale: Optional[float] = None) -> jnp.ndarray:
     """Reference XLA path (identical math, materializes the score tensor)."""
     hd = q.shape[-1]

@@ -5,19 +5,35 @@ import pytest
 
 import jax.numpy as jnp
 
-from anyloc_tpu.ops.pallas.flash_attention import flash_attention, xla_attention
+from anyloc_tpu.ops.pallas.flash_attention import (
+    flash_attention,
+    flash_attention_heads,
+    xla_attention,
+)
 from anyloc_tpu.ops.pallas.vlad_kernel import vlad_aggregate_fused
 from anyloc_tpu.ops.vlad import vlad_aggregate
 
 
 @pytest.mark.parametrize("n", [64, 57])  # aligned and padded token counts
-def test_flash_attention_matches_xla(rng, n):
-    b, h, hd = 2, 3, 32
+@pytest.mark.parametrize("variant", [flash_attention, flash_attention_heads])
+def test_flash_attention_matches_xla(rng, n, variant):
+    b, h, hd = 2, 4, 32
     q = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
-    ours = np.asarray(flash_attention(q, k, v, interpret=True))
+    ours = np.asarray(variant(q, k, v, interpret=True))
     ref = np.asarray(xla_attention(q, k, v))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_flash_attention_heads_chunking(rng):
+    """head_chunk not dividing h falls back to a divisor; odd h works."""
+    b, h, n, hd = 1, 6, 40, 16
+    q = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
+    ours = np.asarray(
+        flash_attention_heads(q, q, q, head_chunk=4, interpret=True)
+    )
+    ref = np.asarray(xla_attention(q, q, q))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
