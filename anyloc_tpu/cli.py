@@ -7,6 +7,7 @@ LocalArgs + main()) with subcommands over the shared PipelineArgs config:
   vlad                per-dataset-vocabulary VLAD
   gem                 GeM pooling
   global-vpr          CLS-token global descriptor
+  gp                  global max/avg pooling
   clip-top-k          CLIP global-descriptor retrieval
   patch-clip          CLIP crops -> VLAD
   demo                demo/anyloc_vlad_generate.py equivalent
@@ -59,6 +60,8 @@ def main(argv=None):
         from anyloc_tpu.pipelines.clip_pipelines import run_clip_top_k as fn
     elif cmd == "patch-clip":
         from anyloc_tpu.pipelines.clip_pipelines import run_patch_clip as fn
+    elif cmd == "gp":
+        from anyloc_tpu.pipelines.gp_pipeline import run_gp_pipeline as fn
     else:
         print(f"Unknown pipeline: {cmd}", file=sys.stderr)
         return 2

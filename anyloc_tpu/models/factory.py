@@ -165,4 +165,10 @@ def make_extractor(
             checkpoint, layer, facet, use_cls=use_cls, norm_descs=norm_descs,
             dtype=dtype, seed=seed,
         )
+    if model_type.startswith("lseg"):
+        raise NotImplementedError(
+            "LSeg needs the external LSeg package + checkpoint (the reference "
+            "also requires a separate env for it, scripts/lseg_ablations_env.sh); "
+            "extract LSeg features externally and feed them to ops.vlad directly"
+        )
     raise KeyError(f"Unknown model family for '{model_type}'")
