@@ -139,6 +139,74 @@ def build_aerial(root: str, name="Tartan_GNSS_test_rotated", n_db=10, n_q=4,
     return root
 
 
+def build_eiffel(root: str, n_db=6, n_q=3, seed=0, size=(64, 64)) -> str:
+    """Eiffel layout: db_images/ q_images/ + eiffel_gt.npy whose first 101
+    entries are skipped by the loader (eiffel_dataloader.py:119)."""
+    rng = np.random.default_rng(seed)
+    db, qs, gt = make_image_pairs(rng, n_db, n_q, size)
+    ds = os.path.join(root, "eiffel")
+    for i, a in enumerate(db):
+        _write_img(os.path.join(ds, "db_images", f"img_{i:03d}.jpg"), a)
+    for i, a in enumerate(qs):
+        _write_img(os.path.join(ds, "q_images", f"img_{i:03d}.jpg"), a)
+    pad = [(i, np.array([0])) for i in range(101)]  # skipped region
+    rows = pad + [(101 + i, np.array([g])) for i, g in enumerate(gt)]
+    np.save(os.path.join(ds, "eiffel_gt.npy"),
+            np.array(rows, dtype=object), allow_pickle=True)
+    return root
+
+
+def build_oxford(root: str, n_db=6, n_q=3, seed=0, size=(64, 64)) -> str:
+    """Oxford layout: Oxford_Robotcar/oxdatapart.mat dbStruct + oxDataPart/
+    image tree (paths 2 levels below oxDataPart -> _imgs_level=3).
+    db locations 30 m apart; query i at its gt location + 1 m."""
+    from scipy.io import savemat
+
+    rng = np.random.default_rng(seed)
+    db, qs, gt = make_image_pairs(rng, n_db, n_q, size)
+    base = os.path.join(root, "Oxford_Robotcar")
+    db_rel = [f"run1/im{i:03d}.png" for i in range(n_db)]
+    q_rel = [f"run2/im{i:03d}.png" for i in range(n_q)]
+    for rel, arr in zip(db_rel + q_rel, list(db) + qs):
+        _write_img(os.path.join(base, "oxDataPart", rel), arr)
+    loc_db = np.stack([np.arange(n_db) * 30.0, np.zeros(n_db)])  # [2, N]
+    loc_q = np.stack([gt * 30.0 + 1.0, np.zeros(n_q)])
+    savemat(
+        os.path.join(base, "oxdatapart.mat"),
+        {"dbStruct": np.array([[
+            np.array(db_rel, object), loc_db,
+            np.array(q_rel, object), loc_q,
+            np.array([[n_db]]), np.array([[n_q]]),
+            np.array([[25.0]]), np.array([[625.0]]),
+        ]], dtype=object)},
+    )
+    return root
+
+
+def build_naverlabs(root: str, n_db=6, n_q=3, seed=0, size=(64, 64)) -> str:
+    """NaverLabs layout: database_images/ query_images/ + *_trajectories.txt
+    (CSV: name, cam_time, qw, qx, qy, qz... positions at cols 6-8)."""
+    rng = np.random.default_rng(seed)
+    db, qs, gt = make_image_pairs(rng, n_db, n_q, size)
+    ds = os.path.join(root, "NVL_datasets")
+    for i, a in enumerate(db):
+        _write_img(os.path.join(ds, "database_images", f"cam_{i:04d}.jpg"), a)
+    for i, a in enumerate(qs):
+        _write_img(os.path.join(ds, "query_images", f"cam_{i:04d}.jpg"), a)
+
+    def write_traj(path, xs):
+        with open(path, "w") as f:
+            f.write("header\nheader2\n")
+            for i, x in enumerate(xs):
+                f.write(
+                    f"{i},cam_{i:04d},1.0,0.0,0.0,0.0,{x},0.0,0.0\n"
+                )
+
+    write_traj(os.path.join(ds, "db_trajectories.txt"), np.arange(n_db) * 50.0)
+    write_traj(os.path.join(ds, "q_trajectories.txt"), gt * 50.0 + 2.0)
+    return root
+
+
 def build_baidu(root: str, n_db=8, n_q=4, seed=0, size=(64, 64)) -> str:
     """Baidu layout: training_images_undistort/ query_images_undistort/ +
     .camera pose files in training_gt/ query_gt/."""

@@ -132,3 +132,43 @@ def test_query_test_methods(tmp_path):
                          test_method=method)
         out, _ = ds[ds.database_num]  # first query
         assert out.shape == expect_shape, (method, out.shape)
+
+
+def test_oxford_loader(tmp_path):
+    from anyloc_tpu.data.synthetic import build_oxford
+
+    root = build_oxford(str(tmp_path), n_db=6, n_q=3)
+    ds = get_dataset("Oxford", root, img_size=(64, 64))
+    assert ds.database_num == 6 and ds.queries_num == 3
+    # db 30 m apart, query at gt+1 m, radius 25 -> exactly {gt}
+    for pos in ds.soft_positives_per_query:
+        assert len(pos) == 1
+    assert ds._imgs_level == 3
+    assert ds.get_image_relpaths(0).count("/") == 2
+    # Oxford_25m override keeps the same GT here (thr already 25)
+    ds25 = get_dataset("Oxford_25m", root, img_size=(64, 64))
+    assert ds25.loc_rad == 25
+
+
+def test_naverlabs_loader(tmp_path):
+    from anyloc_tpu.data.synthetic import build_naverlabs
+
+    root = build_naverlabs(str(tmp_path), n_db=6, n_q=3)
+    ds = get_dataset("NVL_datasets", root, img_size=(64, 64))
+    assert ds.database_num == 6 and ds.queries_num == 3
+    # db 50 m apart, query at gt+2 m, radius 20 -> exactly {gt}
+    for pos in ds.soft_positives_per_query:
+        assert len(pos) == 1
+    img, _ = ds[0]
+    assert img.shape == (64, 64, 3)
+
+
+def test_eiffel_loader(tmp_path):
+    from anyloc_tpu.data.synthetic import build_eiffel
+
+    root = build_eiffel(str(tmp_path), n_db=6, n_q=3)
+    ds = get_dataset("eiffel", root, img_size=(64, 64))
+    assert ds.database_num == 6 and ds.queries_num == 3
+    # the loader must skip the first 101 gt rows
+    for pos in ds.soft_positives_per_query:
+        assert len(pos) == 1
