@@ -1,4 +1,4 @@
-"""Fused VLAD aggregation kernel (hard assignment).
+"""Fused VLAD aggregation kernel.
 
 One pallas grid cell per image fuses the full AnyLoc-VLAD pipeline that the
 XLA path expresses as separate ops (normalize -> assignment matmul -> one-hot
@@ -10,8 +10,10 @@ returns to HBM.
 VMEM budget per cell at the SOTA shape (N=529+pad, D=1536, C=32, f32):
 descs ~3.3 MB + centers/sums ~0.4 MB — comfortably inside 16 MB.
 
-Hard + cosine/euclidean assignment only; the soft mode (and CPU) uses the XLA
-path in ops.vlad (identical semantics, tested against the same oracle).
+Supports hard (cosine/euclidean) and the reference's soft assignment
+(all-centers residual sum, utilities.py:880-884). CPU and masked batches use
+the XLA path in ops.vlad (identical semantics, tested against the same
+oracle).
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def _round_up(x: int, m: int) -> int:
 def _vlad_kernel(
     x_ref, c_ref, cn_ref, o_ref, *,
     n_valid: int, dist_mode: str, intra_norm: bool, norm_descs: bool,
+    vlad_mode: str = "hard", soft_temp: float = 1.0,
 ):
     """x [1, Np, D] descriptors; c [C, D] centers; cn [C, D] unit centers;
     o [1, C*D] output."""
@@ -44,12 +47,18 @@ def _vlad_kernel(
         inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-24))
         x = x * inv
     # Assignment similarity
-    if dist_mode == "cosine":
+    if dist_mode == "cosine" or vlad_mode == "soft":
         sim = jax.lax.dot_general(
             x, cn_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [Np, C]
-    else:  # euclidean: -||x-c||^2 up to const
+        )  # [Np, C] cosine (x normalized when norm_descs; for soft mode the
+        # reference always uses cosine regardless of dist_mode)
+        if vlad_mode == "soft" and not norm_descs:
+            xin = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-24)
+            )
+            sim = sim * xin
+    else:  # euclidean hard: -||x-c||^2 up to const
         xc = jax.lax.dot_general(
             x, centers, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -58,17 +67,28 @@ def _vlad_kernel(
     # Mask padded tokens out of the assignment
     row = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
     valid = row < n_valid
-    # Hard one-hot: argmax (ties -> lowest index, jnp semantics) compared
-    # against a column iota — no gather/scatter, VPU-only.
-    labels = jnp.argmax(sim, axis=-1)  # [Np]
-    col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    onehot = jnp.where((col == labels[:, None]) & valid, 1.0, 0.0)
+    if vlad_mode == "hard":
+        # Hard one-hot: argmax (ties -> lowest index, jnp semantics) compared
+        # against a column iota — no gather/scatter, VPU-only.
+        labels = jnp.argmax(sim, axis=-1)  # [Np]
+        col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        a = jnp.where((col == labels[:, None]) & valid, 1.0, 0.0)
+    else:
+        e = jnp.exp(soft_temp * sim
+                    - jnp.max(soft_temp * sim, axis=-1, keepdims=True))
+        a = e / jnp.sum(e, axis=-1, keepdims=True)
+        a = jnp.where(valid, a, 0.0)
 
     wsum = jax.lax.dot_general(
-        onehot, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [C, D]
-    counts = jnp.sum(onehot, axis=0)  # [C]
-    v = wsum - counts[:, None] * centers
+    counts = jnp.sum(a, axis=0)  # [C]
+    if vlad_mode == "hard":
+        v = wsum - counts[:, None] * centers
+    else:
+        # reference soft semantics (utilities.py:880-884): residuals to ALL
+        # centers, summed: V[k] = C * wsum[k] - counts[k] * sum_c centers_c
+        v = c * wsum - counts[:, None] * jnp.sum(centers, axis=0)[None, :]
     if intra_norm:
         nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
         v = v / jnp.maximum(nrm, 1e-12)
@@ -83,9 +103,12 @@ def vlad_aggregate_fused(
     dist_mode: str = "cosine",
     intra_norm: bool = True,
     norm_descs: bool = True,
+    vlad_mode: str = "hard",
+    soft_temp: float = 1.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused hard-assignment VLAD. descs [B, N, D] -> [B, C*D]."""
+    """Fused VLAD (hard or reference-soft assignment).
+    descs [B, N, D] -> [B, C*D]."""
     b, n, d = descs.shape
     c = centers.shape[0]
     sub = 8  # f32 sublane
@@ -102,6 +125,8 @@ def vlad_aggregate_fused(
         dist_mode=dist_mode,
         intra_norm=intra_norm,
         norm_descs=norm_descs,
+        vlad_mode=vlad_mode,
+        soft_temp=soft_temp,
     )
     return pl.pallas_call(
         kernel,

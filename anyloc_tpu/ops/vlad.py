@@ -100,16 +100,15 @@ def vlad_aggregate(
     ``mask`` (optional, [B, N]) zeroes padded tokens so shape-bucketed batches
     of variable-size images can share one compiled program.
 
-    ``impl``: "auto" routes hard-assignment, unmasked batches through the
-    fused Pallas kernel on TPU (~14x faster than the XLA lowering at the SOTA
-    shape); "xla" forces the reference XLA path (CPU, soft mode, masks).
+    ``impl``: "auto" routes unmasked batches through the fused Pallas kernel
+    on TPU (~14x faster than the XLA lowering at the SOTA shape); "xla"
+    forces the reference XLA path (CPU, masked batches).
     """
     squeeze = descs.ndim == 2
     if squeeze:
         descs = descs[None]
     if (
         impl in ("auto", "pallas")
-        and vlad_mode == "hard"
         and mask is None
         and jax.default_backend() not in ("cpu",)
     ):
@@ -121,6 +120,8 @@ def vlad_aggregate(
             dist_mode=dist_mode,
             intra_norm=intra_norm,
             norm_descs=norm_descs,
+            vlad_mode=vlad_mode,
+            soft_temp=soft_temp,
         )
         return out[0] if squeeze else out
     b, n, d = descs.shape

@@ -69,3 +69,20 @@ def test_fused_vlad_flag_combinations(rng):
                 )
             )
             np.testing.assert_allclose(fused, ref, atol=2e-5, err_msg=f"{intra},{normd}")
+
+
+@pytest.mark.parametrize("norm_descs", [True, False])
+def test_fused_vlad_soft_mode(rng, norm_descs):
+    """Soft mode must reproduce the reference's all-centers residual sum
+    (the XLA path is oracle-tested in test_vlad.py)."""
+    descs = jnp.asarray(rng.standard_normal((2, 40, 32)).astype(np.float32))
+    centers = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    fused = np.asarray(
+        vlad_aggregate_fused(descs, centers, vlad_mode="soft", soft_temp=2.0,
+                             norm_descs=norm_descs, interpret=True)
+    )
+    ref = np.asarray(
+        vlad_aggregate(descs, centers, vlad_mode="soft", soft_temp=2.0,
+                       norm_descs=norm_descs, impl="xla")
+    )
+    np.testing.assert_allclose(fused, ref, atol=3e-5)
