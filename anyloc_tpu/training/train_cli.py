@@ -1,0 +1,137 @@
+"""Training CLI — the dvgl ``train.py`` surface (parser.py's core flags) over
+the TPU training loop.
+
+  python -m anyloc_tpu.training.train_cli --dataset pitts30k \
+      --datasets-folder /data/vpr --backbone resnet18conv4 \
+      --aggregation netvlad --mining partial --epochs 3 \
+      --output-dir ./runs/exp1
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--datasets-folder", required=True)
+    p.add_argument("--val-dataset", default=None,
+                   help="defaults to --dataset val split")
+    p.add_argument("--backbone", default="resnet18conv4")
+    p.add_argument("--aggregation", default="netvlad",
+                   choices=["netvlad", "crn", "rrm", "gem", "mac", "spoc", "rmac"])
+    p.add_argument("--netvlad-clusters", type=int, default=64)
+    p.add_argument("--fc-output-dim", type=int, default=None)
+    p.add_argument("--mining", default="partial",
+                   choices=["random", "partial", "full"])
+    p.add_argument("--criterion", default="triplet",
+                   choices=["triplet", "sare_ind", "sare_joint"])
+    p.add_argument("--margin", type=float, default=0.1)
+    p.add_argument("--neg-num", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--queries-per-epoch", type=int, default=5000)
+    p.add_argument("--cache-refresh-every", type=int, default=1000)
+    p.add_argument("--train-batch-size", type=int, default=4)
+    p.add_argument("--infer-batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--resize", type=int, nargs=2, default=(480, 640))
+    p.add_argument("--recall-values", type=int, nargs="*", default=[1, 5, 10, 20])
+    p.add_argument("--output-dir", default="./runs/default")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--netvlad-init-samples", type=int, default=0,
+                   help=">0: k-means-initialize NetVLAD centroids from this "
+                        "many database descriptors (dvgl initialize_netvlad)")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anyloc_tpu.data.registry import get_dataset
+    from anyloc_tpu.training.network import GeoLocalizationNet
+    from anyloc_tpu.training.train_loop import train_triplet
+    from anyloc_tpu.utils.logging_utils import setup_logging
+    from anyloc_tpu.utils.seeding import seed_everything
+
+    seed_everything(args.seed)
+    setup_logging(args.output_dir)
+    resize = tuple(args.resize)
+
+    def load(name, split):
+        try:
+            return get_dataset(name, args.datasets_folder, split,
+                               img_size=resize)
+        except (FileNotFoundError, OSError):
+            return None
+
+    train_ds = load(args.dataset, "train") or load(args.dataset, "test")
+    if train_ds is None:
+        raise FileNotFoundError(f"no train/test split for {args.dataset}")
+    val_name = args.val_dataset or args.dataset
+    val_ds = load(val_name, "val")
+    if val_ds is None:
+        val_ds = train_ds
+        logging.info("no val split; validating on the train dataset")
+
+    model = GeoLocalizationNet(
+        backbone=args.backbone, aggregation=args.aggregation,
+        netvlad_clusters=args.netvlad_clusters,
+        fc_output_dim=args.fc_output_dim,
+    )
+    variables = model.init(jax.random.PRNGKey(args.seed),
+                           jnp.zeros((1, *resize, 3)))
+    if args.resume:
+        from anyloc_tpu.utils.checkpoint import resume_train
+
+        state, start_epoch, best = resume_train(args.output_dir)
+        variables = state["params"]
+        logging.info(f"resumed at epoch {start_epoch} (best R@5 {best:.1f})")
+
+    def descriptor_fn(params, images):
+        return model.apply(params, images)
+
+    if args.netvlad_init_samples > 0 and args.aggregation == "netvlad":
+        # dvgl aggregation.py:148-174: forward a database sample, k-means the
+        # local descriptors, seed the NetVLAD layer.
+        from anyloc_tpu.training.aggregators import NetVLAD
+        from anyloc_tpu.models.resnet import ResNet
+
+        logging.info("k-means-initializing NetVLAD centroids")
+        sample_idx = np.random.default_rng(args.seed).choice(
+            train_ds.database_num,
+            min(args.netvlad_init_samples, train_ds.database_num),
+            replace=False,
+        )
+        imgs = np.stack([train_ds[i][0] for i in sample_idx[:16]])
+        # backbone features only
+        bb_out = model.apply(
+            variables, jnp.asarray(imgs),
+            method=lambda m, x: m._backbone()[0](x),
+        )
+        descs = np.asarray(bb_out).reshape(-1, bb_out.shape[-1])
+        variables = dict(variables)
+        variables["params"] = dict(variables["params"])
+        variables["params"]["aggregation"] = NetVLAD.init_from_descriptors(
+            {"params": variables["params"]["aggregation"]}, descs,
+            seed=args.seed,
+        )["params"]
+
+    state, best_r5, history = train_triplet(
+        descriptor_fn, variables, train_ds, val_ds,
+        epochs=args.epochs, queries_per_epoch=args.queries_per_epoch,
+        cache_refresh_every=args.cache_refresh_every,
+        batch_size=args.train_batch_size, neg_num=args.neg_num,
+        mining=args.mining, criterion=args.criterion, margin=args.margin,
+        lr=args.lr, output_dir=args.output_dir,
+        recall_values=tuple(args.recall_values),
+        eval_batch_size=args.infer_batch_size, seed=args.seed,
+    )
+    logging.info(f"done: best R@5 {best_r5:.1f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
