@@ -24,7 +24,12 @@ import numpy as np
 from PIL import Image
 
 from anyloc_tpu.data.base import VPRDataset, natsorted, radius_positives
-from anyloc_tpu.data.transforms import base_transform, load_pil, normalize, resize_pil
+from anyloc_tpu.data.transforms import (
+    base_transform,
+    load_pil,
+    normalize,
+    resize_tensor_bilinear,
+)
 
 TEST_METHODS = (
     "hard_resize",
@@ -122,10 +127,10 @@ class BaseDataset(VPRDataset):
         if m == "central_crop":
             iw, ih = img.size
             scale = max(h / ih, w / iw)
-            r = img.resize(
-                (int(round(iw * scale)), int(round(ih * scale))), Image.BILINEAR
+            arr = normalize(np.asarray(img, np.float32) / 255.0)
+            arr = resize_tensor_bilinear(
+                arr, (int(round(ih * scale)), int(round(iw * scale)))
             )
-            arr = normalize(np.asarray(r, np.float32) / 255.0)
             top = (arr.shape[0] - h) // 2
             left = (arr.shape[1] - w) // 2
             return arr[top : top + h, left : left + w]
@@ -134,10 +139,10 @@ class BaseDataset(VPRDataset):
         short = min(h, w)
         iw, ih = img.size
         scale = short / min(iw, ih)
-        r = img.resize(
-            (int(round(iw * scale)), int(round(ih * scale))), Image.BILINEAR
+        arr = normalize(np.asarray(img, np.float32) / 255.0)
+        arr = resize_tensor_bilinear(
+            arr, (int(round(ih * scale)), int(round(iw * scale)))
         )
-        arr = normalize(np.asarray(r, np.float32) / 255.0)
         hh, ww = arr.shape[:2]
         s = short
         crops = [

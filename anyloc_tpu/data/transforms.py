@@ -32,10 +32,36 @@ def normalize(img: np.ndarray) -> np.ndarray:
 
 
 def resize_pil(img: Image.Image, size_hw: Tuple[int, int]) -> Image.Image:
-    """(H, W) bilinear resize. torchvision's T.Resize on a PIL image
-    delegates to PIL bilinear, so this matches the reference bit-for-bit."""
+    """(H, W) PIL bilinear resize (antialiased on downscale)."""
     h, w = size_hw
     return img.resize((w, h), Image.BILINEAR)
+
+
+def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] matrix reproducing torch tensor-mode bilinear resize
+    (align_corners=False, antialias=False — the torchvision<=0.14 default the
+    reference ran with). PIL bilinear antialiases on downscale and therefore
+    does NOT match; the reference resizes the normalized *tensor*
+    (T.Compose([ToTensor, Normalize, Resize]))."""
+    m = np.zeros((dst, src), np.float32)
+    scale = src / dst
+    for i in range(dst):
+        pos = (i + 0.5) * scale - 0.5
+        lo = int(np.floor(pos))
+        t = pos - lo
+        m[i, min(max(lo, 0), src - 1)] += 1.0 - t
+        m[i, min(max(lo + 1, 0), src - 1)] += t
+    return m
+
+
+def resize_tensor_bilinear(arr: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    """[H, W, C] float -> [h, w, C], torch F.interpolate bilinear semantics."""
+    h, w = size_hw
+    if arr.shape[:2] == (h, w):
+        return arr
+    mh = _bilinear_matrix(arr.shape[0], h)
+    mw = _bilinear_matrix(arr.shape[1], w)
+    return np.einsum("hs,swc,tw->htc", mh, arr, mw, optimize=True)
 
 
 def max_edge_resize(img: Image.Image, max_edge: int = 1024) -> Image.Image:
@@ -60,19 +86,17 @@ def center_crop_multiple(img: np.ndarray, multiple: int = 14) -> np.ndarray:
 def base_transform(img: Image.Image, size_hw: Optional[Tuple[int, int]]) -> np.ndarray:
     """decode -> [0,1] -> normalize -> optional resize. Returns [H, W, 3] f32.
 
-    NOTE the reference order is normalize-then-resize (T.Compose([ToTensor,
-    Normalize, Resize]) in the loaders); we match it (resize after normalize
-    gives slightly different pixels than resize-then-normalize for bilinear —
-    it does not, actually, since normalize is affine and bilinear is linear:
-    the two orders commute exactly; either is parity-safe).
+    The reference composes ToTensor -> Normalize -> Resize, i.e. a
+    *tensor-mode* torchvision Resize (4-tap bilinear, align_corners=False,
+    antialias=False in the torchvision the reference pins). Normalize is
+    affine and bilinear is linear, so normalize/resize commute — but
+    PIL-vs-tensor bilinear do NOT (PIL antialiases on downscale), so the
+    resize here reproduces the tensor-mode kernel exactly.
     """
     arr = np.asarray(img, np.float32) / 255.0
     arr = normalize(arr)
     if size_hw is not None and arr.shape[:2] != tuple(size_hw):
-        # bilinear on the normalized array via PIL per-channel is slow; use
-        # PIL on the uint8 image and renormalize — exact by linearity.
-        img_r = resize_pil(img, size_hw)
-        arr = normalize(np.asarray(img_r, np.float32) / 255.0)
+        arr = resize_tensor_bilinear(arr, tuple(size_hw))
     return arr
 
 

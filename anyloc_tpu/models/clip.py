@@ -205,7 +205,8 @@ class SimpleTokenizer:
 
         merges = gzip.open(path).read().decode("utf-8").split("\n")[1 : 49152 - 256 - 2 + 1]
         merges = [tuple(m.split()) for m in merges]
-        vocab = [chr(i) for i in self._byte_vocab()]
+        self.byte_encoder = self._bytes_to_unicode()
+        vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]
         for m in merges:
             vocab.append("".join(m))
@@ -219,11 +220,21 @@ class SimpleTokenizer:
         self.bpe = True
 
     @staticmethod
-    def _byte_vocab():
-        bs = list(range(ord("!"), ord("~") + 1)) + list(
-            range(ord("\xa1"), ord("\xac") + 1)
-        ) + list(range(ord("\xae"), ord("\xff") + 1))
-        return bs + [b for b in range(256) if b not in bs][: 256 - len(bs)]
+    def _bytes_to_unicode():
+        """GPT-2/CLIP byte->unicode table: printable bytes map to themselves,
+        the rest to chr(256+n) — BPE then operates on these surrogate chars
+        (CLIP simple_tokenizer.bytes_to_unicode)."""
+        bs = (list(range(ord("!"), ord("~") + 1))
+              + list(range(ord("\xa1"), ord("\xac") + 1))
+              + list(range(ord("\xae"), ord("\xff") + 1)))
+        cs = bs[:]
+        n = 0
+        for b in range(256):
+            if b not in bs:
+                bs.append(b)
+                cs.append(256 + n)
+                n += 1
+        return dict(zip(bs, (chr(c) for c in cs)))
 
     def _bpe_word(self, token: str) -> List[str]:
         word = tuple(token[:-1]) + (token[-1] + "</w>",)
@@ -249,6 +260,9 @@ class SimpleTokenizer:
         if self.bpe:
             out = []
             for tok in self.pat.findall(text.lower().strip()):
+                # UTF-8 bytes -> surrogate unicode chars, then BPE (CLIP's
+                # exact preprocessing; raw unicode would mistokenize non-ASCII)
+                tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
                 out.extend(self.encoder[u] for u in self._bpe_word(tok))
             return out
         # hash fallback: one id per whitespace token, stable across runs,
@@ -407,7 +421,10 @@ class ClipWrapper:
                     normalize: bool = False, ci: Optional[str] = None):
         path = self._cache_path("text", ci)
         if path and os.path.exists(path):
-            return jnp.asarray(np.load(path)["desc"])
+            out = jnp.asarray(np.load(path)["desc"])
+            if normalize and not self.save_norm_descs:
+                out = l2_normalize(out)
+            return out
         toks = text
         if self.prep_apply or isinstance(text, (str, list)):
             toks = self.tokenizer.tokenize(text, context_length)

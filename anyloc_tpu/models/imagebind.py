@@ -44,10 +44,14 @@ class ModalityType:  # API parity (imagebind_extractor.py:1115)
 
 
 def imagebind_vision_config(dtype=None, img_size: int = 224) -> ViTConfig:
+    # Reference vision trunk (imagebind_extractor.py:1403-1410): a learned
+    # pre-transformer LayerNorm (pre_transformer_ln=True -> our pre_norm) and
+    # NO trunk-final LayerNorm (post_transformer_layer is only a rearrange);
+    # the final LN lives in the modality head (:1466-1470).
     kwargs = dict(
         img_size=img_size, patch_size=14, embed_dim=1280, depth=32,
         num_heads=16, mlp_type="mlp", layerscale_init=None, ln_eps=1e-6,
-        pre_norm=False, interpolate_offset=0.0,
+        pre_norm=True, final_norm=False, interpolate_offset=0.0,
     )
     if dtype is not None:
         kwargs["dtype"] = dtype
@@ -326,7 +330,10 @@ class ImageBindModel:
 
 
 class ImageBindVision:
-    """Vision-trunk extractor (the VPR path): global embedding + patch tokens."""
+    """Vision-trunk extractor (the VPR path,
+    scripts/imagebind_global_vpr.py): ``cls`` = the modality-head output
+    (LN -> CLS -> Linear(1280, 1024), the embedding the reference's
+    eval consumes), ``tokens`` = trunk patch features (for VLAD)."""
 
     def __init__(self, checkpoint: Optional[str] = None, dtype=jnp.bfloat16,
                  seed: int = 42):
@@ -335,18 +342,36 @@ class ImageBindVision:
         if checkpoint is not None:
             from anyloc_tpu.models.convert import load_torch_checkpoint
 
-            self.params = convert_imagebind_vision(
-                load_torch_checkpoint(checkpoint), self.cfg
-            )
+            sd = load_torch_checkpoint(checkpoint)
+            self.params = convert_imagebind_vision(sd, self.cfg)
+            self.head_ln, self.head_w = convert_imagebind_vision_head(sd)
         else:
             from anyloc_tpu.models.extractor import init_params
 
             self.params = init_params(self.cfg, seed=seed)
+            key = jax.random.PRNGKey(seed + 1)
+            self.head_ln = {
+                "scale": np.ones(self.cfg.embed_dim, np.float32),
+                "bias": np.zeros(self.cfg.embed_dim, np.float32),
+            }
+            self.head_w = np.asarray(
+                jax.random.normal(key, (self.cfg.embed_dim, 1024)) * 0.02
+            )
+
+        head_ln = {k: jnp.asarray(v) for k, v in self.head_ln.items()}
+        head_w = jnp.asarray(self.head_w)
 
         @jax.jit
         def _fwd(params, imgs):
             out = self.model.apply(params, imgs)
-            return out["cls"].astype(jnp.float32), out["tokens"].astype(jnp.float32)
+            # trunk-final LN lives in the head (reference :1466-1470)
+            pre = out["pre_norm_tokens"].astype(jnp.float32)
+            mu = pre.mean(-1, keepdims=True)
+            var = ((pre - mu) ** 2).mean(-1, keepdims=True)
+            normed = (pre - mu) / jnp.sqrt(var + 1e-6)
+            normed = normed * head_ln["scale"] + head_ln["bias"]
+            emb = l2_normalize(normed[:, 0] @ head_w)
+            return emb, out["tokens"].astype(jnp.float32)
 
         self._fwd = _fwd
 
@@ -365,7 +390,8 @@ class ImageBindVision:
 def convert_imagebind_vision(sd: Dict, cfg: ViTConfig) -> Dict:
     """ImageBind checkpoint (modality_trunks.vision.* naming) -> flax params.
     The 3-D patch kernel [D, 3, 2, 14, 14] collapses over time (sum) because
-    still images duplicate the frame — exact equivalence."""
+    still images duplicate the frame — exact equivalence. The learned
+    pre-transformer LN converts to ``norm_pre``; there is no trunk-final LN."""
     vp = "modality_preprocessors.vision."
     vt = "modality_trunks.vision."
     k3d = t2np(sd[f"{vp}rgbt_stem.proj.1.weight"])  # [D, 3, T, p, p]
@@ -374,10 +400,7 @@ def convert_imagebind_vision(sd: Dict, cfg: ViTConfig) -> Dict:
         "patch_embed": {"kernel": k2d.transpose(2, 3, 1, 0)},
         "cls_token": t2np(sd[f"{vp}cls_token"]),
         "pos_embed": t2np(sd[f"{vp}pos_embedding_helper.pos_embed"]),
-        "norm": ln_params(sd, f"{vt}post_transformer_layer.0")
-        if f"{vt}post_transformer_layer.0.weight" in sd
-        else {"scale": np.ones(cfg.embed_dim, np.float32),
-              "bias": np.zeros(cfg.embed_dim, np.float32)},
+        "norm_pre": ln_params(sd, f"{vt}pre_transformer_layer.0"),
     }
     for i in range(cfg.depth):
         b = f"{vt}blocks.{i}"
@@ -397,6 +420,15 @@ def convert_imagebind_vision(sd: Dict, cfg: ViTConfig) -> Dict:
             },
         }
     return {"params": p}
+
+
+def convert_imagebind_vision_head(sd: Dict):
+    """modality_heads.vision: LN(1280) -> CLS select -> Linear(1280, 1024,
+    no bias) (imagebind_extractor.py:1466-1470). Returns (ln_params, w)."""
+    return (
+        ln_params(sd, "modality_heads.vision.0"),
+        t2np(sd["modality_heads.vision.2.weight"]).T,  # [1280, 1024]
+    )
 
 
 def imagebind_huge(checkpoint: Optional[str] = None, full: bool = False, **kw):

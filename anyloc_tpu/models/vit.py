@@ -226,7 +226,7 @@ class Attention(nn.Module):
             return jax.nn.softmax(s, axis=-1)
         impl = c.attn_impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
             from anyloc_tpu.ops.pallas.flash_attention import (
                 flash_attention_heads,

@@ -110,7 +110,7 @@ def vlad_aggregate(
     if (
         impl in ("auto", "pallas")
         and mask is None
-        and jax.default_backend() not in ("cpu",)
+        and jax.default_backend() == "tpu"  # pltpu kernels are TPU-only
     ):
         from anyloc_tpu.ops.pallas.vlad_kernel import vlad_aggregate_fused
 
@@ -183,7 +183,9 @@ class VLAD:
 
     Differences from the reference (by design):
       * caches are ``.npz`` arrays instead of pickled ``.pt`` tensors
-        (``c_centers.npz``, ``<id>_r.npz``, ``<id>_l.npz``, ``<id>_s.npz``);
+        (``c_centers.npz`` for the vocabulary, ``<id>_v.npz`` per-image
+        global descriptors — smaller than the reference's residual/label
+        caches and sufficient to resume);
         ``fit`` can also *read* a PyTorch ``c_centers.pt`` (via torch, if
         installed) so reference-exported vocabularies load for strict parity;
       * ``generate_multi`` is one batched device call, not a Python loop.
@@ -235,19 +237,19 @@ class VLAD:
         cache_ids: Union[List[str], str, None],
         only_residuals: bool = False,
     ) -> bool:
-        """Mirror of utilities.py:710-746 over the .npz cache layout."""
+        """Mirror of utilities.py:710-746 over this class's cache layout.
+        We cache the final global descriptor per image (``<id>_v.npz``) —
+        strictly smaller than the reference's residual/label caches and
+        sufficient to skip re-extraction — so that is what's checked."""
+        del only_residuals
         if not self.can_use_cache_vlad() or cache_ids is None:
             return False
         if isinstance(cache_ids, str):
             cache_ids = [cache_ids]
-        for cid in cache_ids:
-            if not os.path.exists(f"{self.cache_dir}/{cid}_r.npz"):
-                return False
-            if not only_residuals:
-                suffix = "_l.npz" if self.vlad_mode == "hard" else "_s.npz"
-                if not os.path.exists(f"{self.cache_dir}/{cid}{suffix}"):
-                    return False
-        return True
+        return all(
+            os.path.exists(f"{self.cache_dir}/{cid}_v.npz")
+            for cid in cache_ids
+        )
 
     def _load_cached_centers(self) -> jnp.ndarray:
         npz, pt = self._centers_paths()

@@ -76,6 +76,11 @@ def run_sweep(
             largs.prog.vg_dataset_name = point["dataset"]
         if "domain" in point:
             largs.global_vocab = point["domain"]
+        if largs.vlad.cache_dir:
+            # one vocabulary cache per grid point — a shared dir would make
+            # every later point silently reuse the first point's centers
+            tag = "_".join(f"{k}-{v}" for k, v in point.items())
+            largs.vlad.cache_dir = os.path.join(largs.vlad.cache_dir, tag)
         ek = (largs.extractor.model_type, largs.extractor.desc_layer,
               largs.extractor.desc_facet)
         try:

@@ -56,10 +56,11 @@ class NetVLAD(nn.Module):
 
     @staticmethod
     def init_from_descriptors(params, descs, seed: int = 42):
-        """k-means initialization of centroids + assignment weights from
-        sampled descriptors (dvgl initialize_netvlad_layer,
-        aggregation.py:148-174): centroids = k-means centers; assign weight
-        = 2 * alpha * centroids with alpha from the softmax sharpness fit."""
+        """k-means initialization (dvgl init_params, aggregation.py:112-124):
+        centroids = k-means centers; dots of L2-NORMALIZED centroids against
+        the (already L2-normalized backbone) descriptors give
+        alpha = -log(0.01) / mean(top1 - top2); assignment conv weight =
+        alpha * normalized_centroids (no bias)."""
         import numpy as np
 
         from anyloc_tpu.ops.kmeans import kmeans_fit
@@ -70,14 +71,14 @@ class NetVLAD(nn.Module):
             jax.random.PRNGKey(seed), jnp.asarray(descs), c, mode="euclidean"
         )
         centers = np.asarray(centers)
-        # dvgl: alpha from mean distance ratio of closest two centroids
-        dots = np.sort((centers @ np.asarray(descs).T), axis=0)[::-1]
-        alpha = (-np.log(0.01) / np.mean(dots[0] - dots[1] + 1e-9)).astype(
-            np.float32
+        cnorm = centers / np.maximum(
+            np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
         )
+        dots = np.sort(cnorm @ np.asarray(descs).T, axis=0)[::-1]
+        alpha = float(-np.log(0.01) / np.mean(dots[0] - dots[1] + 1e-9))
         p = dict(p)
         p["centroids"] = jnp.asarray(centers)
-        p["assign"] = {"kernel": jnp.asarray(2.0 * alpha * centers.T)}
+        p["assign"] = {"kernel": jnp.asarray((alpha * cnorm).T)}
         return {"params": p}
 
 

@@ -94,28 +94,45 @@ def main(argv=None) -> int:
         return model.apply(params, images)
 
     if args.netvlad_init_samples > 0 and args.aggregation == "netvlad":
-        # dvgl aggregation.py:148-174: forward a database sample, k-means the
-        # local descriptors, seed the NetVLAD layer.
+        # dvgl aggregation.py:148-174: forward a database sample through the
+        # backbone, L2-normalize the local descriptors, k-means them, seed the
+        # NetVLAD layer. The backbone runs standalone with its parameter
+        # subtree grafted out of the composite model's variables (a lambda
+        # method on the composite would construct submodules outside compact).
+        from anyloc_tpu.models.resnet import ResNet, VGG16
+        from anyloc_tpu.ops.common import l2_normalize as _l2
         from anyloc_tpu.training.aggregators import NetVLAD
-        from anyloc_tpu.models.resnet import ResNet
+        from anyloc_tpu.training.network import _RESNETS
 
         logging.info("k-means-initializing NetVLAD centroids")
+        if args.backbone in _RESNETS:
+            fac, trunc = _RESNETS[args.backbone]
+            bb = ResNet(fac(truncate=trunc))
+        else:
+            bb = VGG16()
+        bb_vars = {
+            "params": variables["params"]["backbone"],
+        }
+        if "batch_stats" in variables:
+            bb_vars["batch_stats"] = variables["batch_stats"]["backbone"]
         sample_idx = np.random.default_rng(args.seed).choice(
             train_ds.database_num,
-            min(args.netvlad_init_samples, train_ds.database_num),
+            min(max(args.netvlad_init_samples // 64, 1), 16),
             replace=False,
         )
-        imgs = np.stack([train_ds[i][0] for i in sample_idx[:16]])
-        # backbone features only
-        bb_out = model.apply(
-            variables, jnp.asarray(imgs),
-            method=lambda m, x: m._backbone()[0](x),
+        imgs = np.stack([train_ds[i][0] for i in sample_idx])
+        fmap = bb.apply(bb_vars, jnp.asarray(imgs))  # [B, h, w, C]
+        descs = np.asarray(
+            _l2(jnp.asarray(fmap), axis=-1)
+        ).reshape(-1, fmap.shape[-1])
+        rng_sub = np.random.default_rng(args.seed).choice(
+            len(descs), min(args.netvlad_init_samples, len(descs)),
+            replace=False,
         )
-        descs = np.asarray(bb_out).reshape(-1, bb_out.shape[-1])
         variables = dict(variables)
         variables["params"] = dict(variables["params"])
         variables["params"]["aggregation"] = NetVLAD.init_from_descriptors(
-            {"params": variables["params"]["aggregation"]}, descs,
+            {"params": variables["params"]["aggregation"]}, descs[rng_sub],
             seed=args.seed,
         )["params"]
 

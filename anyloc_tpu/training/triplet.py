@@ -60,6 +60,30 @@ _LOSSES = {
 }
 
 
+def _split_trainable(variables):
+    """Partition a variables pytree into (trainable, frozen) by path: any
+    subtree under a 'batch_stats' collection is frozen. BatchNorm running
+    statistics must never receive optimizer updates (they are not parameters;
+    dvgl updates them from batch moments, never by gradient)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables)
+    trainable = {k: v for k, v in flat.items() if "batch_stats" not in k}
+    frozen = {k: v for k, v in flat.items() if "batch_stats" in k}
+    return (
+        traverse_util.unflatten_dict(trainable),
+        traverse_util.unflatten_dict(frozen),
+    )
+
+
+def _merge(trainable, frozen):
+    from flax import traverse_util
+
+    flat = dict(traverse_util.flatten_dict(trainable))
+    flat.update(traverse_util.flatten_dict(frozen))
+    return traverse_util.unflatten_dict(flat)
+
+
 def make_triplet_train_step(
     descriptor_fn: Callable,
     optimizer: optax.GradientTransformation,
@@ -69,30 +93,43 @@ def make_triplet_train_step(
 ):
     """Build a jitted train step.
 
-    ``descriptor_fn(params, images [B*, H, W, 3]) -> [B*, D]`` — the full
+    ``descriptor_fn(variables, images [B*, H, W, 3]) -> [B*, D]`` — the full
     model (trunk + aggregation head). The step takes tuples
     [B, 1 + 1 + neg_num, H, W, 3] (query, positive, negatives — dvgl's
     12-image tuple with the default neg_num=10).
+
+    BatchNorm handling: running statistics (any 'batch_stats' collection in
+    the variables) are FROZEN — excluded from gradients and optimizer state,
+    and the model runs BN in inference mode (descriptor_fn is called without
+    train=True). This is the standard frozen-BN fine-tuning regime; dvgl's
+    train-mode BN stat updates are intentionally not emulated here.
     """
     loss_fn = _LOSSES[criterion]
 
-    def loss(params, tuples):
+    def loss(trainable, frozen, tuples):
         b, t, h, w, c = tuples.shape
         flat = tuples.reshape(b * t, h, w, c)
-        descs = descriptor_fn(params, flat)
+        descs = descriptor_fn(_merge(trainable, frozen), flat)
         descs = descs.reshape(b, t, -1)
         q, p, n = descs[:, 0], descs[:, 1], descs[:, 2:]
         return loss_fn(q, p, n, margin)
 
     @jax.jit
     def train_step(state: TripletTrainState, tuples: jnp.ndarray):
-        l, grads = jax.value_and_grad(loss)(state.params, tuples)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TripletTrainState(params, opt_state, state.step + 1), l
+        trainable, frozen = _split_trainable(state.params)
+        l, grads = jax.value_and_grad(loss)(trainable, frozen, tuples)
+        updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return (
+            TripletTrainState(_merge(trainable, frozen), opt_state, state.step + 1),
+            l,
+        )
 
     def init_state(params) -> TripletTrainState:
-        return TripletTrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+        trainable, _ = _split_trainable(params)
+        return TripletTrainState(
+            params, optimizer.init(trainable), jnp.zeros((), jnp.int32)
+        )
 
     train_step.init_state = init_state
     return train_step

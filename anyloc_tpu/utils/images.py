@@ -39,6 +39,8 @@ def pad_img(img: np.ndarray, padding: int, color=(0, 0, 0)) -> np.ndarray:
     """Pad [H, W, 3] on all sides with a solid color (utilities.py:474-500)."""
     color = np.asarray(tuple(color), np.uint8)
     assert color.shape == (3,), "Color should be (R, G, B)"
+    if padding <= 0:
+        return img
     h, w = img.shape[:2]
     out = np.ones((h + 2 * padding, w + 2 * padding, 3), np.uint8) * color
     out[padding:-padding, padding:-padding] = img

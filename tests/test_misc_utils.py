@@ -77,3 +77,71 @@ def test_lseg_gate():
 
     with pytest.raises(NotImplementedError, match="LSeg"):
         make_extractor("lseg_vit_l16")
+
+
+def test_resize_tensor_bilinear_matches_torch():
+    """Tensor-mode resize parity: torch F.interpolate bilinear
+    (align_corners=False, antialias=False) is what the reference's
+    ToTensor->Normalize->Resize pipeline runs."""
+    torch = pytest.importorskip("torch")
+    from anyloc_tpu.data.transforms import resize_tensor_bilinear
+
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal((37, 53, 3)).astype(np.float32)
+    for out_hw in ((20, 20), (64, 48)):
+        ours = resize_tensor_bilinear(arr, out_hw)
+        t = torch.from_numpy(arr.transpose(2, 0, 1))[None]
+        expect = torch.nn.functional.interpolate(
+            t, size=out_hw, mode="bilinear", align_corners=False,
+            antialias=False,
+        )[0].numpy().transpose(1, 2, 0)
+        np.testing.assert_allclose(ours, expect, atol=3e-5)
+
+
+def test_netvlad_init_matches_dvgl_semantics(rng):
+    """alpha from normalized-centroid dots; assign kernel = alpha * cnorm."""
+    import jax
+
+    from anyloc_tpu.training.aggregators import NetVLAD
+
+    descs = rng.standard_normal((300, 16)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=1, keepdims=True)
+    head = NetVLAD(num_clusters=4, dim=16)
+    params = head.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)))
+    newp = NetVLAD.init_from_descriptors(params, descs)["params"]
+    centers = np.asarray(newp["centroids"])
+    kernel = np.asarray(newp["assign"]["kernel"])  # [D, C]
+    cnorm = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    dots = np.sort(cnorm @ descs.T, axis=0)[::-1]
+    alpha = -np.log(0.01) / np.mean(dots[0] - dots[1] + 1e-9)
+    np.testing.assert_allclose(kernel, (alpha * cnorm).T, rtol=1e-5)
+
+
+def test_triplet_step_freezes_batch_stats(rng):
+    """BN running statistics must not receive optimizer updates."""
+    import jax
+    import optax
+
+    from anyloc_tpu.training.network import GeoLocalizationNet
+    from anyloc_tpu.training.triplet import make_triplet_train_step
+
+    model = GeoLocalizationNet(backbone="resnet18conv4", aggregation="gem")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    step = make_triplet_train_step(
+        lambda v, im: model.apply(v, im), optax.sgd(1.0), neg_num=2
+    )
+    state = step.init_state(variables)
+    tuples = jnp.asarray(
+        rng.standard_normal((2, 4, 64, 64, 3)).astype(np.float32)
+    )
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    state, _ = step(state, tuples)
+    after = jax.tree_util.tree_leaves(state.params["batch_stats"])
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # params DID change
+    p0 = np.asarray(
+        jax.tree_util.tree_leaves(variables["params"])[0]
+    )
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params["params"])[0])
+    assert np.abs(p0 - p1).max() > 0
