@@ -51,8 +51,10 @@ def color_jitter(
         x = gray + (x - gray) * f
     if hue:
         # cheap hue rotation in YIQ space
+        # torchvision hue factor is a fraction of the FULL hue circle
         theta = jax.random.uniform(kh, (b, 1, 1),
-                                   minval=-hue * jnp.pi, maxval=hue * jnp.pi)
+                                   minval=-hue * 2 * jnp.pi,
+                                   maxval=hue * 2 * jnp.pi)
         y = _rgb_to_gray(x)[..., 0]
         i = 0.596 * x[..., 0] - 0.274 * x[..., 1] - 0.322 * x[..., 2]
         q = 0.211 * x[..., 0] - 0.523 * x[..., 1] + 0.312 * x[..., 2]

@@ -32,6 +32,13 @@ def natsorted(items: Sequence[str]) -> List[str]:
     return sorted(items, key=_nat_key)
 
 
+def listdir_abs(root: str, sub: str) -> List[str]:
+    """Natural-sorted absolute paths of a dataset subdirectory (the listing
+    idiom every loader shares)."""
+    d = os.path.join(root, sub)
+    return [os.path.join(d, p) for p in natsorted(os.listdir(d))]
+
+
 class VPRDataset:
     """Base class implementing the shared protocol over
     ``db_paths`` + ``query_paths`` absolute path lists."""
@@ -133,8 +140,9 @@ def _prefetched(it: Iterator, depth: int) -> Iterator:
         try:
             for item in it:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate loader errors to the consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -142,6 +150,8 @@ def _prefetched(it: Iterator, depth: int) -> Iterator:
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

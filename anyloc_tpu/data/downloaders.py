@@ -13,7 +13,7 @@ import os
 import zipfile
 from typing import Callable, Dict, List, NamedTuple, Optional
 
-from anyloc_tpu.data.tools import download_heavy_file
+from anyloc_tpu.data.tools import download_heavy_file  # noqa: F401
 
 
 class DatasetRecipe(NamedTuple):
@@ -83,10 +83,11 @@ def format_pitts(mat_path: str, images_root: str, out_root: str,
 
     from anyloc_tpu.data.tools import build_utm_filename
 
-    m = loadmat(mat_path)["dbStruct"][0]
-    db_fns = [str(x[0][0]) for x in m[1]]
+    m = loadmat(mat_path)["dbStruct"].item()  # (1,1) struct array
+    db_fns = [str(f[0].item()) for f in m[1]]
     utm_db = m[2].T
-    q_fns = [str(x[0][0]) for x in m[3]]
+    # query filenames live under queries_real/ (format_pitts30k.py:51)
+    q_fns = [os.path.join("queries_real", str(f[0].item())) for f in m[3]]
     utm_q = m[4].T
     import shutil
 

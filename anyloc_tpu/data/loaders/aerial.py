@@ -10,7 +10,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from anyloc_tpu.data.base import VPRDataset, natsorted
+from anyloc_tpu.data.base import VPRDataset, listdir_abs
 
 _NAME_MAP = {
     "Tartan_GNSS_rotated": "gnss_train_rotated",
@@ -30,12 +30,8 @@ class Aerial(VPRDataset):
         folder = _NAME_MAP[dataset_name]
         root = os.path.join(datasets_folder, folder)
 
-        def listdir_abs(sub):
-            d = os.path.join(root, sub)
-            return [os.path.join(d, p) for p in natsorted(os.listdir(d))]
-
-        db = listdir_abs("reference_images")
-        qu = listdir_abs("query_images")
+        db = listdir_abs(root, "reference_images")
+        qu = listdir_abs(root, "query_images")
         pos = []
         with open(os.path.join(root, "gt_matches.csv")) as f:
             for row in csv.DictReader(f):

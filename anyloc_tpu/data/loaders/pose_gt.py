@@ -18,11 +18,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from anyloc_tpu.data.base import VPRDataset, natsorted, radius_positives
-
-
-def _listdir_abs(root: str, sub: str):
-    d = os.path.join(root, sub)
-    return [os.path.join(d, p) for p in natsorted(os.listdir(d))]
+from anyloc_tpu.data.base import listdir_abs as _listdir_abs
 
 
 def parse_camera_file(path: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -13,11 +13,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from anyloc_tpu.data.base import VPRDataset, natsorted
-
-
-def _listdir_abs(root: str, sub: str):
-    d = os.path.join(root, sub)
-    return [os.path.join(d, p) for p in natsorted(os.listdir(d))]
+from anyloc_tpu.data.base import listdir_abs as _listdir_abs
 
 
 def _npy_positives(path: str, skip: int = 0):

@@ -47,6 +47,7 @@ def download_heavy_file(url: str, output_path: str, attempts: int = 10) -> None:
     for attempt in range(attempts):
         try:
             req = requests.get(url, stream=True)
+            req.raise_for_status()  # a 404 page must not be saved as data
             total = int(req.headers.get("content-length", 0))
             got = 0
             with open(tmp, "wb") as f:
@@ -56,10 +57,11 @@ def download_heavy_file(url: str, output_path: str, attempts: int = 10) -> None:
             if total and got != total:
                 raise RuntimeError(f"short read {got}/{total}")
             break
-        except Exception as e:
+        except Exception:
             if os.path.exists(tmp):
                 os.remove(tmp)
-            time.sleep(RETRY_SECONDS ** attempt)
+            if attempt < attempts - 1:
+                time.sleep(min(RETRY_SECONDS ** attempt, 60))
     else:
         raise RuntimeError(f"couldn't download {output_path} from {url}")
     os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)

@@ -74,12 +74,14 @@ def max_edge_resize(img: Image.Image, max_edge: int = 1024) -> Image.Image:
 
 
 def center_crop_multiple(img: np.ndarray, multiple: int = 14) -> np.ndarray:
-    """Center-crop [H, W, C] so H and W are multiples of ``multiple``
-    (torchvision CenterCrop semantics: floor-div margins)."""
+    """Center-crop [H, W, C] so H and W are multiples of ``multiple``.
+    Margin split uses torchvision CenterCrop semantics — crop_top =
+    int(round(margin / 2)) (python banker's rounding), NOT floor-div; the
+    two differ by one pixel for odd margins of 3, 7, 11."""
     h, w = img.shape[:2]
     ch, cw = (h // multiple) * multiple, (w // multiple) * multiple
-    top = (h - ch) // 2
-    left = (w - cw) // 2
+    top = int(round((h - ch) / 2.0))
+    left = int(round((w - cw) / 2.0))
     return img[top : top + ch, left : left + cw]
 
 

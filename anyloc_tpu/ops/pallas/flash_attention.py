@@ -7,9 +7,11 @@ the [B, H, N, N] probability tensor in HBM (~100 MB per DINOv2-G layer at
 batch 32 / 257 tokens); this kernel keeps each (batch, head) attention row
 resident in VMEM and writes only the [N, hd] output.
 
-For N <= ~1k the whole row fits VMEM, so the kernel is a single-pass
+For N <= ~1.2k the whole row fits VMEM, so the kernel is a single-pass
 softmax(QK^T)V per grid cell — no online-softmax bookkeeping needed. Longer
-sequences fall back to a k-blocked online-softmax loop.
+sequences (demo-path images up to ~5.4k tokens) fall back to the XLA path,
+whose score tensor lives in HBM; a k-blocked online-softmax kernel is the
+planned replacement (docs/PERFORMANCE.md next levers).
 """
 
 from __future__ import annotations
@@ -24,8 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from anyloc_tpu.ops.common import round_up as _round_up
+
+# Beyond this many (padded) tokens the per-cell f32 score block cannot fit
+# the VMEM scoped stack even at one head per cell.
+_MAX_VMEM_TOKENS = 1216
 
 
 def _attn_kernel_full(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
@@ -68,6 +73,8 @@ def flash_attention(
     scale = hd ** -0.5 if scale is None else scale
     sub = 16 if q.dtype == jnp.bfloat16 else 8
     np_tok = _round_up(n, sub)
+    if np_tok > _MAX_VMEM_TOKENS and not interpret:
+        return xla_attention(q, k, v, scale=scale)
     if np_tok != n:
         pad = [(0, 0), (0, 0), (0, np_tok - n), (0, 0)]
         q = jnp.pad(q, pad)
@@ -134,6 +141,9 @@ def flash_attention_heads(
     scale = hd ** -0.5 if scale is None else scale
     sub = 16 if q.dtype == jnp.bfloat16 else 8
     np_tok = _round_up(n, sub)
+    if np_tok > _MAX_VMEM_TOKENS and not interpret:
+        # score block would blow the VMEM scoped stack even at 1 head/cell
+        return xla_attention(q, k, v, scale=scale)
     if np_tok != n:
         pad = [(0, 0), (0, 0), (0, np_tok - n), (0, 0)]
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)

@@ -30,6 +30,13 @@ def pca_fit(
     scale [n_components]) where transform = ((x - mean) @ components.T) / scale.
     ``scale`` is 1 unless whitening (then sqrt(explained_variance), sklearn
     semantics)."""
+    rank = min(x.shape)
+    if n_components > rank:
+        raise ValueError(
+            f"n_components={n_components} exceeds min(n_samples, n_features)="
+            f"{rank} (sklearn raises here too; use the low_factor fallback "
+            "path of reduce_pca for few-sample regimes)"
+        )
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=0)
     xc = x - mean

@@ -65,25 +65,30 @@ def top_k_search_blocked(
     out_idx = np.empty((n_qu, k), np.int64)
     sign = 1.0 if method == "cosine" else -1.0
 
-    @functools.partial(jax.jit, static_argnames=("k", "method"))
-    def _merge(best_s, best_i, db_blk, qu_blk, offset, k, method):
-        s, i = top_k_search(db_blk, qu_blk, min(k, db_blk.shape[0]), method)
-        i = i + offset
-        cat_s = jnp.concatenate([best_s, sign * s], axis=1)
-        cat_i = jnp.concatenate([best_i, i], axis=1)
-        top, pos = jax.lax.top_k(cat_s, k)
-        return top, jnp.take_along_axis(cat_i, pos, axis=1)
-
     for q0 in range(0, n_qu, query_block):
         qb = jnp.asarray(qu[q0 : q0 + query_block])
         best_s = jnp.full((qb.shape[0], k), -jnp.inf, jnp.float32)
         best_i = jnp.zeros((qb.shape[0], k), jnp.int64)
         for d0 in range(0, n_db, db_block):
             dbb = jnp.asarray(db[d0 : d0 + db_block])
-            best_s, best_i = _merge(best_s, best_i, dbb, qb, d0, k, method)
+            best_s, best_i = _blocked_merge(
+                best_s, best_i, dbb, qb, d0, k, method, sign
+            )
         out_scores[q0 : q0 + query_block] = np.asarray(sign * best_s)
         out_idx[q0 : q0 + query_block] = np.asarray(best_i)
     return out_scores, out_idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "method", "sign"))
+def _blocked_merge(best_s, best_i, db_blk, qu_blk, offset, k, method, sign):
+    """Merge one database shard into the running top-k (module-level jit so
+    repeated blocked searches reuse the compiled program)."""
+    s, i = top_k_search(db_blk, qu_blk, min(k, db_blk.shape[0]), method)
+    i = i + offset
+    cat_s = jnp.concatenate([best_s, sign * s], axis=1)
+    cat_i = jnp.concatenate([best_i, i], axis=1)
+    top, pos = jax.lax.top_k(cat_s, k)
+    return top, jnp.take_along_axis(cat_i, pos, axis=1)
 
 
 def compute_recalls(

@@ -332,6 +332,13 @@ class VLAD:
             q.shape == multi_query[0].shape for q in multi_query
         ):
             return self._generate_ragged(list(multi_query), cache_ids)
+        # Serve fully-cached requests without recomputation (resume path).
+        if cache_ids is not None and self.cache_dir is not None:
+            paths = [f"{self.cache_dir}/{cid}_v.npz" for cid in cache_ids]
+            if all(os.path.exists(pth) for pth in paths):
+                return jnp.asarray(
+                    np.stack([np.load(pth)["vlad"] for pth in paths])
+                )
         batch = jnp.asarray(np.stack([np.asarray(q) for q in multi_query]))
         out = self._aggregate(batch)
         if cache_ids is not None and self.cache_dir is not None:

@@ -98,26 +98,15 @@ def kmeans_fit_sharded(
 # Sharded exact top-k retrieval
 # ---------------------------------------------------------------------------
 
-def top_k_search_sharded(
-    db: np.ndarray,
-    qu: np.ndarray,
-    k: int,
-    mesh: Mesh,
-    method: str = "cosine",
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Database-sharded exact top-k. db [Ndb, D] shards over 'data'; queries
-    replicate; per-shard top-k partials all-gather and merge. Exact equality
-    with the single-device search (ties broken by global index order)."""
-    n_dev = mesh.shape["data"]
-    db_pad, n_valid = pad_to_multiple(np.asarray(db, np.float32), n_dev)
-    local_n = db_pad.shape[0] // n_dev
-    k_local = min(k, local_n)
+_SHARDED_SEARCH_CACHE: dict = {}
 
-    db_sharded = jax.device_put(db_pad, NamedSharding(mesh, P("data", None)))
-    qu_rep = jax.device_put(
-        np.asarray(qu, np.float32), NamedSharding(mesh, P(None, None))
-    )
-    sign = 1.0 if method == "cosine" else -1.0
+
+def _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev):
+    """Build (and cache) the jitted shard_map search — rebuilding the closure
+    per call would force a full XLA recompile every invocation."""
+    key = (mesh, method, local_n, n_valid, k, k_local, n_dev)
+    if key in _SHARDED_SEARCH_CACHE:
+        return _SHARDED_SEARCH_CACHE[key]
 
     @functools.partial(
         shard_map,
@@ -144,13 +133,10 @@ def top_k_search_sharded(
                 - 2.0 * qx
                 + jnp.sum(db_local * db_local, axis=-1)[None, :]
             )
-        # Mask padded database rows (only the last shard can contain them).
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
-        s, i = jax.lax.top_k(scores, k_local)  # [Q, k_local] local
+        s, i = jax.lax.top_k(scores, k_local)
         i = i + offset
-        # All-gather partials over ICI, merge with one more top_k. Partials
-        # concatenate on a new leading axis -> [n_dev, Q, k_local].
         s_all = jax.lax.all_gather(s, "data")
         i_all = jax.lax.all_gather(i, "data")
         q = s.shape[0]
@@ -159,7 +145,33 @@ def top_k_search_sharded(
         top, pos = jax.lax.top_k(s_cat, k)
         return top, jnp.take_along_axis(i_cat, pos, axis=1)
 
-    s, i = jax.jit(_search)(db_sharded, qu_rep)
+    fn = jax.jit(_search)
+    _SHARDED_SEARCH_CACHE[key] = fn
+    return fn
+
+
+def top_k_search_sharded(
+    db: np.ndarray,
+    qu: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    method: str = "cosine",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Database-sharded exact top-k. db [Ndb, D] shards over 'data'; queries
+    replicate; per-shard top-k partials all-gather and merge. Exact equality
+    with the single-device search (ties broken by global index order)."""
+    n_dev = mesh.shape["data"]
+    db_pad, n_valid = pad_to_multiple(np.asarray(db, np.float32), n_dev)
+    local_n = db_pad.shape[0] // n_dev
+    k_local = min(k, local_n)
+
+    db_sharded = jax.device_put(db_pad, NamedSharding(mesh, P("data", None)))
+    qu_rep = jax.device_put(
+        np.asarray(qu, np.float32), NamedSharding(mesh, P(None, None))
+    )
+    sign = 1.0 if method == "cosine" else -1.0
+    fn = _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev)
+    s, i = fn(db_sharded, qu_rep)
     return np.asarray(sign * s), np.asarray(i)
 
 

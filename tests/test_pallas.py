@@ -86,3 +86,13 @@ def test_fused_vlad_soft_mode(rng, norm_descs):
                        norm_descs=norm_descs, impl="xla")
     )
     np.testing.assert_allclose(fused, ref, atol=3e-5)
+
+
+def test_flash_attention_long_sequence_falls_back(rng):
+    """Beyond the VMEM token budget the kernels must route to XLA instead of
+    dying in Mosaic (demo-path images reach ~5.4k tokens)."""
+    b, h, n, hd = 1, 2, 1536, 16
+    q = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
+    out = flash_attention_heads(q, q, q)  # would VMEM-OOM without fallback
+    ref = xla_attention(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

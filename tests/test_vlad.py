@@ -147,3 +147,18 @@ def test_vlad_residuals_shape(rng):
     assert res.shape == (10, 4, 8)
     expect = _normalize(descs)[:, None, :] - centers[None, :, :]
     np.testing.assert_allclose(res, expect, atol=1e-6)
+
+
+def test_generate_multi_serves_cache(rng, tmp_path):
+    """Cached per-image descriptors must short-circuit recomputation."""
+    d, c = 8, 4
+    vlad = VLAD(num_clusters=c, cache_dir=str(tmp_path))
+    vlad.fit(rng.standard_normal((100, d)).astype(np.float32))
+    descs = rng.standard_normal((3, 20, d)).astype(np.float32)
+    ids = ["a", "b", "c"]
+    out1 = np.asarray(vlad.generate_multi(descs, cache_ids=ids))
+    assert vlad.can_use_cache_ids(ids)
+    # different descriptors + same ids -> cached values returned unchanged
+    other = rng.standard_normal((3, 20, d)).astype(np.float32)
+    out2 = np.asarray(vlad.generate_multi(other, cache_ids=ids))
+    np.testing.assert_allclose(out2, out1)
