@@ -42,8 +42,9 @@ class CCTTokenizer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B,H,W,3] -> [B,T,D]
         c = self.cfg
-        chans = [max(c.embed_dim // 2 ** (c.n_conv_layers - 1 - i), 64)
-                 for i in range(c.n_conv_layers - 1)] + [c.embed_dim]
+        # reference tokenizer uses a fixed 64-channel stem for every
+        # intermediate conv (dvgl model/cct/tokenizer.py n_filter_list)
+        chans = [64] * (c.n_conv_layers - 1) + [c.embed_dim]
         for i, ch in enumerate(chans):
             x = nn.Conv(ch, (c.kernel_size, c.kernel_size), strides=(2, 2),
                         padding=c.kernel_size // 2, use_bias=False,

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from anyloc_tpu.models.vit import ViT, ViTConfig, quick_gelu
+from anyloc_tpu.models.vit import ViT, ViTConfig, exact_gelu, quick_gelu
 from anyloc_tpu.models.convert import conv_kernel, dense_params, ln_params, t2np
 from anyloc_tpu.ops.common import l2_normalize
 
@@ -94,7 +94,9 @@ class CLIPTextTower(nn.Module):
         )
         x = x + pos[None, :t]
         mask = jnp.tril(jnp.ones((t, t), bool))
-        act = quick_gelu if self.quick else nn.gelu
+        # non-quickGELU CLIP variants use torch's exact-erf GELU (flax's
+        # default is the tanh approximation — parity pitfall, see vit.py)
+        act = quick_gelu if self.quick else exact_gelu
         for i in range(self.layers):
             h = nn.LayerNorm(epsilon=1e-5, name=f"ln1_{i}")(x)
             qkv = nn.Dense(3 * self.width, name=f"attn_qkv_{i}")(h)
@@ -314,7 +316,12 @@ class ClipWrapper:
         self.prep_apply = prep_apply
         self.save_norm_descs = save_norm_descs
         quick = impl == self.IMPL_OPENAI or "quickgelu" in name
-        canonical = name.replace("-", "/", 1) if impl == self.IMPL_OPEN_CLIP and name not in _VISION else name
+        canonical = name
+        if impl == self.IMPL_OPEN_CLIP and name not in _VISION:
+            # open_clip writes 'ViT-B-16' for OpenAI's 'ViT-B/16': the LAST
+            # dash is the patch separator
+            head, _, tail = name.rpartition("-")
+            canonical = f"{head}/{tail}"
         if canonical not in _VISION:
             raise KeyError(f"Unknown CLIP model {name}; have {list(_VISION)}")
         self.vcfg = clip_vision_config(canonical, dtype=dtype, quick=quick)

@@ -179,6 +179,23 @@ class ViTExtractor:
             self.params = init_params(self.cfg, seed=seed)
         self.num_patches: Optional[Tuple[int, int]] = None
 
+    @property
+    def _forward(self):
+        """Lazily-built jitted truncated forward (every other extractor
+        family jits; unjitted model.apply dispatches op-by-op on TPU)."""
+        fn = getattr(self, "_fwd", None)
+        if fn is None:
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=("layer", "facet"))
+            def fn(params, batch, layer, facet):
+                return self.model.apply(
+                    params, batch, capture_layer=layer, capture_facet=facet
+                ).astype(jnp.float32)
+
+            self._fwd = fn
+        return fn
+
     def _grid(self, h: int, w: int) -> Tuple[int, int]:
         s = self.cfg.patch_stride or self.p
         return (1 + (h - self.p) // s, 1 + (w - self.p) // s)
@@ -196,10 +213,7 @@ class ViTExtractor:
             batch = batch[None]
         b, h, w, _ = batch.shape
         self.num_patches = self._grid(h, w)
-        out = self.model.apply(
-            self.params, batch, capture_layer=layer, capture_facet=facet
-        )  # [B, 1+T, D]
-        out = out.astype(jnp.float32)
+        out = self._forward(self.params, batch, layer, facet)  # [B, 1+T, D]
         if facet != "token":
             # reference head-minor flatten: [B,h,t,dh] -> permute ->
             # [B,t,dh,h] -> flatten == reshape heads then swap

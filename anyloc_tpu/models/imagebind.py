@@ -144,6 +144,10 @@ class _PatchTrunk(nn.Module):
                         strides=(s, s), padding="VALID", use_bias=False,
                         dtype=self.dtype, name="stem")(x.astype(self.dtype))
             x = x.reshape(b, -1, self.embed_dim)
+            # reference audio/depth/thermal stems LayerNorm the projected
+            # tokens (PatchEmbedGeneric norm_layer, imagebind :1273/1292/1313)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="stem_norm")(x)
         else:  # imu: x [B, C=6, T]; linear over kernel-sized chunks
             k = self.kernel
             bt = x.shape[-1] // k
@@ -274,6 +278,7 @@ class ImageBindModel:
         self.tokenizer = SimpleTokenizer(bpe_path)
         self._params: Dict[str, Dict] = {}
         self._fns: Dict[str, object] = {}
+        self._vision_head = None  # (ln_params, w) once known
         if checkpoint is not None:
             from anyloc_tpu.models.convert import load_torch_checkpoint
 
@@ -281,6 +286,7 @@ class ImageBindModel:
             self._params[ModalityType.VISION] = convert_imagebind_vision(
                 sd, self.vision_cfg
             )
+            self._vision_head = convert_imagebind_vision_head(sd)
             # Other modalities' converters follow the same uniform naming;
             # add as checkpoints become available in-environment.
 
@@ -299,19 +305,34 @@ class ImageBindModel:
                     jax.random.PRNGKey(self.seed), example
                 )
             if modality == ModalityType.VISION:
-                # vision head: LN'd CLS -> Linear(1280, 1024) (init-only when
-                # no checkpoint); trunk 'cls' is already post-final-LN
-                key = jax.random.PRNGKey(self.seed + 1)
-                w = jax.random.normal(key, (1280, 1024), jnp.float32) * 0.02
-                head_w = self._params.get("vision_head", w)
-                self._params["vision_head"] = head_w
+                # vision head: LN -> CLS -> Linear(1280, 1024). The trunk has
+                # NO final LN (cfg.final_norm=False); the LN lives here. Uses
+                # the converted head when a checkpoint was loaded, otherwise
+                # a seeded random one.
+                if self._vision_head is None:
+                    key = jax.random.PRNGKey(self.seed + 1)
+                    dim = self.vision_cfg.embed_dim
+                    self._vision_head = (
+                        {"scale": np.ones(dim, np.float32),
+                         "bias": np.zeros(dim, np.float32)},
+                        np.asarray(jax.random.normal(key, (dim, 1024)) * 0.02),
+                    )
+                head_ln = {k: jnp.asarray(v)
+                           for k, v in self._vision_head[0].items()}
+                head_w = jnp.asarray(self._vision_head[1])
 
                 @jax.jit
-                def fn(params, head_w, x):
-                    cls = module.apply(params, x)["cls"].astype(jnp.float32)
-                    return l2_normalize(cls @ head_w)
+                def fn(params, x):
+                    pre = module.apply(params, x)["pre_norm_tokens"].astype(
+                        jnp.float32
+                    )
+                    mu = pre.mean(-1, keepdims=True)
+                    var = ((pre - mu) ** 2).mean(-1, keepdims=True)
+                    normed = (pre - mu) / jnp.sqrt(var + 1e-6)
+                    normed = normed * head_ln["scale"] + head_ln["bias"]
+                    return l2_normalize(normed[:, 0] @ head_w)
 
-                self._fns[modality] = lambda p, x: fn(p, self._params["vision_head"], x)
+                self._fns[modality] = fn
             else:
                 self._fns[modality] = jax.jit(module.apply)
         return self._fns[modality]

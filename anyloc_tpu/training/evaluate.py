@@ -32,15 +32,19 @@ def extract_features(
     prev_method = getattr(dataset, "test_method", "hard_resize")
     dataset.test_method = test_method
     try:
-        for qi in range(dataset.database_num, len(dataset)):
-            item, _ = dataset[qi]
-            if test_method in ("five_crops", "nearest_crop", "maj_voting"):
+        if test_method in ("hard_resize", "single_query"):
+            # same fixed-shape batched path as the database — per-query
+            # batch-1 forwards would waste the accelerator
+            for imgs, bidx in dataset.batches(batch_size, which="queries"):
+                f = np.asarray(descriptor_fn(imgs))
+                qu_feats.append(f[bidx >= 0])
+        else:
+            for qi in range(dataset.database_num, len(dataset)):
+                item, _ = dataset[qi]
                 f = np.asarray(descriptor_fn(item))  # [5, D]
                 if test_method == "five_crops":
                     f = f.mean(axis=0, keepdims=True)
-            else:
-                f = np.asarray(descriptor_fn(item[None]))
-            qu_feats.append(f)
+                qu_feats.append(f)
     finally:
         dataset.test_method = prev_method
     qu = np.concatenate(qu_feats)

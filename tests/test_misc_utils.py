@@ -145,3 +145,41 @@ def test_triplet_step_freezes_batch_stats(rng):
     )
     p1 = np.asarray(jax.tree_util.tree_leaves(state.params["params"])[0])
     assert np.abs(p0 - p1).max() > 0
+
+
+def test_openclip_name_canonicalization():
+    from anyloc_tpu.models import clip as C
+
+    C._VISION.setdefault("ViT-Tiny/16", (16, 32, 2, 4, 16, 32))
+    C._TEXT.setdefault("ViT-Tiny/16", (77, 1000, 16, 4, 2))
+    m = C.ClipWrapper(C.ClipWrapper.IMPL_OPEN_CLIP, "ViT-Tiny-16",
+                      use_caching=False)
+    assert m.vcfg.embed_dim == 32
+
+
+def test_antialias_bicubic_matrix_matches_torch():
+    torch = pytest.importorskip("torch")
+    from anyloc_tpu.models.vit import _torch_bicubic_matrix
+
+    rng = np.random.default_rng(0)
+    src, dst = 24, 9  # downscale: antialias changes values
+    x = rng.standard_normal((1, 1, src, src)).astype(np.float32)
+    for aa in (False, True):
+        m = _torch_bicubic_matrix(src, dst, antialias=aa)
+        ours = np.einsum("hs,swc->hwc", m,
+                         np.einsum("sw,tw->swt", x[0, 0], m)[..., None]
+                         )[..., 0] if False else m @ x[0, 0] @ m.T
+        expect = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=(dst, dst), mode="bicubic",
+            align_corners=False, antialias=aa,
+        )[0, 0].numpy()
+        np.testing.assert_allclose(ours, expect, atol=2e-5, err_msg=f"aa={aa}")
+
+
+def test_sam_registry_kwargs():
+    import jax.numpy as _jnp
+
+    from anyloc_tpu.models import registry
+
+    cfg = registry.get("sam_vit_b").config(dtype=_jnp.bfloat16)
+    assert cfg.dtype == _jnp.bfloat16
