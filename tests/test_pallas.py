@@ -96,3 +96,18 @@ def test_flash_attention_long_sequence_falls_back(rng):
     out = flash_attention_heads(q, q, q)  # would VMEM-OOM without fallback
     ref = xla_attention(q, q, q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [96, 100])
+def test_flash_attention_blocked_matches_xla(rng, n):
+    from anyloc_tpu.ops.pallas.flash_attention import flash_attention_blocked
+
+    b, h, hd = 1, 2, 32
+    q = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, hd)).astype(np.float32))
+    ours = np.asarray(
+        flash_attention_blocked(q, k, v, block_q=64, block_k=64, interpret=True)
+    )
+    ref = np.asarray(xla_attention(q, k, v))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
