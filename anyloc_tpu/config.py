@@ -81,6 +81,14 @@ class PipelineArgs:
     save_results: bool = True
 
 
+def _parse_kv(token: str):
+    if "=" not in token:
+        raise argparse.ArgumentTypeError(
+            f"expected KEY=VALUE, got {token!r}"
+        )
+    return token
+
+
 def _add_fields(parser: argparse.ArgumentParser, cls, prefix: str = ""):
     for f in dataclasses.fields(cls):
         name = f"{prefix}{f.name}".replace("_", "-")
@@ -90,7 +98,9 @@ def _add_fields(parser: argparse.ArgumentParser, cls, prefix: str = ""):
             else None
         ):
             sub = f.default_factory() if f.default_factory is not dataclasses.MISSING else f.default
-            _add_fields(parser, type(sub), prefix=f"{f.name}.")
+            # accumulate the FULL path — dropping the incoming prefix breaks
+            # (and can collide) any dataclass nested two levels deep
+            _add_fields(parser, type(sub), prefix=f"{prefix}{f.name}.")
             continue
         default = (
             f.default_factory()
@@ -109,7 +119,7 @@ def _add_fields(parser: argparse.ArgumentParser, cls, prefix: str = ""):
             )
         elif isinstance(default, dict):
             parser.add_argument(f"--{name}", nargs="*", default=[],
-                                metavar="KEY=VAL")
+                                type=_parse_kv, metavar="KEY=VAL")
         else:
             typ = type(default) if default is not None else str
             parser.add_argument(f"--{name}", type=typ, default=default)
@@ -124,13 +134,24 @@ def _build(cls, ns: argparse.Namespace, prefix: str = ""):
             else f.default
         )
         if dataclasses.is_dataclass(sub_default):
-            kwargs[f.name] = _build(type(sub_default), ns, prefix=f"{f.name}.")
+            kwargs[f.name] = _build(
+                type(sub_default), ns, prefix=f"{prefix}{f.name}."
+            )
             continue
         key = f"{prefix}{f.name}".replace("-", "_").replace(".", "_")
         val = getattr(ns, key)
         if isinstance(sub_default, dict) and isinstance(val, list):
+            def _coerce(v: str):
+                try:
+                    return int(v)
+                except ValueError:
+                    try:
+                        return float(v)
+                    except ValueError:
+                        return v
+
             val = {
-                kv.split("=")[0]: int(kv.split("=")[1]) for kv in val
+                kv.split("=", 1)[0]: _coerce(kv.split("=", 1)[1]) for kv in val
             }
         elif isinstance(sub_default, tuple) and isinstance(val, list):
             val = tuple(val)

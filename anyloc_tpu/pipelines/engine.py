@@ -32,9 +32,21 @@ class DescriptorEngine:
         norm_descs: bool = True,
         mesh=None,
         extractor=None,
+        cache_dir: Optional[str] = None,
     ) -> None:
         self.batch_size = batch_size
         self.mesh = mesh
+        # optional sharded descriptor cache (resumable extraction): keyed by
+        # the full extraction config so stale caches can't be confused
+        self.desc_cache = None
+        if cache_dir is not None:
+            from anyloc_tpu.utils.desc_cache import DescriptorCache
+
+            self.desc_cache = DescriptorCache(
+                cache_dir,
+                {"model": model_type, "layer": desc_layer, "facet": desc_facet,
+                 "use_cls": use_cls, "norm": norm_descs, "dtype": dtype},
+            )
         if extractor is None:
             from anyloc_tpu.models.factory import make_extractor
 
@@ -68,6 +80,17 @@ class DescriptorEngine:
         verbose: bool = True,
     ) -> np.ndarray:
         """-> [N, P, D] float32 patch descriptors for the selected items."""
+        idx = dataset.indices(which, sub_sample)
+        if self.desc_cache is not None:
+            key = f"{type(dataset).__name__}_{which}_ss{sub_sample}"
+            return self.desc_cache.get_or_compute(
+                key, len(idx),
+                lambda: self._extract_dataset(dataset, which, sub_sample,
+                                              verbose),
+            )
+        return self._extract_dataset(dataset, which, sub_sample, verbose)
+
+    def _extract_dataset(self, dataset, which, sub_sample, verbose):
         idx = dataset.indices(which, sub_sample)
         out = None
         done = 0

@@ -60,10 +60,9 @@ def run_sweep(
     engine_key, engine = None, None
     for values in itertools.product(*(grid[k] for k in keys)):
         point = dict(zip(keys, values))
-        largs = PipelineArgs(**{**base.__dict__})
-        largs.extractor = type(base.extractor)(**{**base.extractor.__dict__})
-        largs.vlad = type(base.vlad)(**{**base.vlad.__dict__})
-        largs.prog = type(base.prog)(**{**base.prog.__dict__})
+        import copy
+
+        largs = copy.deepcopy(base)
         if "model_type" in point:
             largs.extractor.model_type = point["model_type"]
         if "desc_layer" in point:
@@ -97,7 +96,9 @@ def run_sweep(
                         if not k.startswith("Qual-")})
             rows.append(row)
             if verbose:
-                print(f"{point} -> R@1={results.get('R@1'):.4f}")
+                r1 = results.get("R@1")
+                r1s = f"{r1:.4f}" if r1 is not None else "n/a"
+                print(f"{point} -> R@1={r1s}")
         except Exception:
             traceback.print_exc()
             rows.append(dict(point, error=True))

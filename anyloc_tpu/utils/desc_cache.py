@@ -34,9 +34,14 @@ class DescriptorCache:
 
     def has(self, which: str, n_items: int) -> bool:
         n_shards = -(-n_items // self.shard_size)
-        return all(
+        if not all(
             os.path.exists(self._shard_path(which, s)) for s in range(n_shards)
-        )
+        ):
+            return False
+        # the final shard must actually cover n_items (a grown dataset or an
+        # interrupted write must trigger recompute, not a read crash)
+        last = np.load(self._shard_path(which, n_shards - 1))["descs"]
+        return (n_shards - 1) * self.shard_size + len(last) >= n_items
 
     def write(self, which: str, descs: np.ndarray) -> None:
         for s in range(0, len(descs), self.shard_size):

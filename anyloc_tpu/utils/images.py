@@ -42,6 +42,9 @@ def pad_img(img: np.ndarray, padding: int, color=(0, 0, 0)) -> np.ndarray:
     if padding <= 0:
         return img
     h, w = img.shape[:2]
-    out = np.ones((h + 2 * padding, w + 2 * padding, 3), np.uint8) * color
+    # allocate in the IMAGE dtype (a uint8 buffer truncates float content)
+    out = (np.ones((h + 2 * padding, w + 2 * padding, 3)) * color).astype(
+        img.dtype
+    )
     out[padding:-padding, padding:-padding] = img
-    return out.astype(img.dtype)
+    return out

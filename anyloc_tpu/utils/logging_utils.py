@@ -41,7 +41,13 @@ def setup_logging(
         base.addHandler(ch)
 
     def exception_handler(type_, value, tb):
+        if issubclass(type_, KeyboardInterrupt):
+            sys.__excepthook__(type_, value, tb)
+            return
         base.info("\n" + "".join(traceback.format_exception(type_, value, tb)))
+        # keep the standard stderr traceback — with console='' the log-only
+        # hook would exit with a blank terminal
+        sys.__excepthook__(type_, value, tb)
 
     sys.excepthook = exception_handler
 

@@ -111,7 +111,9 @@ def cluster_assignment_map(
     if image is None:
         return cmap
     h, w = image.shape[:2]
-    up = np.repeat(np.repeat(cmap, h // gh + 1, 0), w // gw + 1, 1)[:h, :w]
+    # index-map upsample: pixel (y, x) takes its patch's color exactly
+    # (repeat-by-(h//gh+1) drifts cells and truncates the last row/column)
+    up = cmap[np.arange(h) * gh // h][:, np.arange(w) * gw // w]
     out = (alpha * up + (1 - alpha) * image).astype(np.uint8)
     return out
 

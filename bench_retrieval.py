@@ -53,6 +53,8 @@ def main():
         dt = time.perf_counter() - t0
         results["device"] = args.n_qu / dt
     if "blocked" in args.engines:
+        top_k_search_blocked(db[:8192], qu[:16], args.k, query_block=256,
+                             db_block=65536)  # warm/compile the merge kernel
         t0 = time.perf_counter()
         s, i = top_k_search_blocked(db, qu, args.k, query_block=256,
                                     db_block=65536)

@@ -75,3 +75,32 @@ def test_descriptor_cache_roundtrip(tmp_path, rng):
     # distinct config -> distinct cache dir
     cache2 = DescriptorCache(str(tmp_path), {"model": "y", "layer": 3})
     assert cache2.dir != cache.dir
+
+
+def test_engine_uses_descriptor_cache(tmp_path):
+    from anyloc_tpu.data.synthetic import build_gardens
+    from anyloc_tpu.data.registry import get_dataset
+    from anyloc_tpu.pipelines import DescriptorEngine
+
+    root = build_gardens(str(tmp_path / "d"), n_db=6, n_q=3, size=(70, 70))
+    ds = get_dataset("gardens", root, img_size=(70, 70))
+    eng = DescriptorEngine("dinov2_vits14", 3, "value", dtype="float32",
+                           batch_size=3, cache_dir=str(tmp_path / "cache"))
+    out1 = eng.extract_dataset(ds, "db", verbose=False)
+    # poison the extractor: a cache hit must NOT re-extract
+    eng.extract_batch = lambda imgs: (_ for _ in ()).throw(AssertionError)
+    out2 = eng.extract_dataset(ds, "db", verbose=False)
+    np.testing.assert_allclose(out1, out2)
+
+
+def test_descriptor_cache_recomputes_when_grown(tmp_path, rng):
+    from anyloc_tpu.utils.desc_cache import DescriptorCache
+
+    cache = DescriptorCache(str(tmp_path), {"m": 1}, shard_size=4)
+    cache.write("db", rng.standard_normal((6, 2, 3)).astype(np.float32))
+    assert cache.has("db", 6)
+    assert not cache.has("db", 8)  # grown dataset must recompute, not crash
+    out = cache.get_or_compute(
+        "db", 8, lambda: rng.standard_normal((8, 2, 3)).astype(np.float32)
+    )
+    assert out.shape == (8, 2, 3)
