@@ -64,6 +64,9 @@ class ViTConfig:
     dtype: Dtype = jnp.float32     # activation/compute dtype (bf16 for speed)
     attn_impl: str = "auto"        # "auto" | "pallas" | "xla"
     # "auto" resolves to the Pallas VMEM-resident kernel on TPU, XLA elsewhere.
+    quant: Optional[str] = None    # None | "int8" — int8 W8A8 block matmuls
+    # (frozen-trunk weight quantization, ops/quant.py; ~1.27x matmul stack on
+    # v5e; params carry kernel_q/kernel_scale — see quantize_vit_params)
 
     @property
     def head_dim(self) -> int:
@@ -215,6 +218,58 @@ def sincos_2d_pos_embed(embed_dim: int, grid: int, cls_token: bool) -> jnp.ndarr
     return jnp.asarray(emb[None], dtype=jnp.float32)
 
 
+class QDense(nn.Module):
+    """int8 W8A8 Dense for the frozen trunk (ops/quant.py).
+
+    Params: ``kernel_q`` int8 [in, out] + ``kernel_scale`` f32 [out]
+    (produced by ``quantize_vit_params`` from a converted checkpoint; random
+    init quantizes a normal draw so random-weight benches are shape- and
+    dtype-true). Activations are quantized per-token on the fly.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from anyloc_tpu.ops.quant import qdense, quantize_weight_cols
+
+        in_dim = x.shape[-1]
+
+        def init_q(key, shape, _=None):
+            w = jax.random.normal(key, shape, jnp.float32) * (in_dim ** -0.5)
+            return quantize_weight_cols(w)[0]
+
+        kq = self.param("kernel_q", init_q, (in_dim, self.features))
+        ks = self.param(
+            "kernel_scale",
+            nn.initializers.constant(in_dim ** -0.5 / 127.0),
+            (self.features,),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return qdense(x, kq, ks, bias, out_dtype=self.dtype)
+
+
+_MLP_DENSE_NAMES = ("fc1", "fc2", "w12", "w3")
+
+
+def _dense(cfg: ViTConfig, features: int, *, use_bias: bool = True, name: str):
+    """Block-internal Dense factory: bf16 nn.Dense, or QDense when
+    cfg.quant == 'int8' (all four block matmuls) / 'int8_mlp' (MLP only —
+    the attention-adjacent qkv/proj quantization interacts badly with the
+    attention custom-call's layout constraints)."""
+    if cfg.quant == "int8" or (
+        cfg.quant == "int8_mlp" and name in _MLP_DENSE_NAMES
+    ):
+        return QDense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with the fused-qkv layout the facet API needs.
 
@@ -229,8 +284,8 @@ class Attention(nn.Module):
                  return_attn_probs: bool = False):
         c = self.cfg
         b, n, d = x.shape
-        qkv = nn.Dense(
-            3 * d, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv"
+        qkv = _dense(
+            c, 3 * d, use_bias=c.qkv_bias, name="qkv"
         )(x)  # [B, N, 3D] fused — facet source
         if qkv_only:
             # Facet capture: the attention itself (and proj) is never built —
@@ -253,7 +308,11 @@ class Attention(nn.Module):
         impl = c.attn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if impl == "pallas":
+        if impl == "stub":
+            # Diagnostic: skip the attention math entirely (out = v). Only
+            # for performance accounting — never a real model config.
+            out = v
+        elif impl == "pallas":
             from anyloc_tpu.ops.pallas.flash_attention import (
                 flash_attention_heads,
             )
@@ -264,7 +323,7 @@ class Attention(nn.Module):
 
             out = xla_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-        out = nn.Dense(d, dtype=c.dtype, name="proj")(out)
+        out = _dense(c, d, name="proj")(out)
         if return_qkv:
             return out, qkv
         return out
@@ -289,17 +348,17 @@ class Mlp(nn.Module):
         d = x.shape[-1]
         hidden = int(d * c.mlp_ratio)
         if c.mlp_type == "mlp":
-            x = nn.Dense(hidden, dtype=c.dtype, name="fc1")(x)
+            x = _dense(c, hidden, name="fc1")(x)
             x = _act(c.act)(x)
-            x = nn.Dense(d, dtype=c.dtype, name="fc2")(x)
+            x = _dense(c, d, name="fc2")(x)
             return x
         elif c.mlp_type == "swiglu_fused":
             # DINOv2-giant SwiGLUFFNFused: hidden = (int(4d * 2/3) + 7) // 8 * 8
             hidden = ((int(d * c.mlp_ratio * 2 / 3) + 7) // 8) * 8
-            w12 = nn.Dense(2 * hidden, dtype=c.dtype, name="w12")(x)
+            w12 = _dense(c, 2 * hidden, name="w12")(x)
             x1, x2 = jnp.split(w12, 2, axis=-1)
             x = jax.nn.silu(x1) * x2
-            return nn.Dense(d, dtype=c.dtype, name="w3")(x)
+            return _dense(c, d, name="w3")(x)
         raise ValueError(f"Unknown mlp_type {c.mlp_type}")
 
 

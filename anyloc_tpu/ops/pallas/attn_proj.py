@@ -1,0 +1,184 @@
+"""Fused attention + output-projection Pallas kernel.
+
+The flagship trunk's residual attention cost (~35 ms/batch-32 after XLA's
+partial overlap, docs/PERFORMANCE.md) is VPU-bound softmax sitting on the
+critical path between two MXU matmuls. This kernel gives the Mosaic
+scheduler *independent* MXU work to dual-issue against the softmax:
+
+  * the output projection W_O is folded into the kernel as per-head-chunk
+    [hc*hd, D] matmul accumulation — o_h @ W_O[h] for already-softmaxed
+    heads runs on the MXU while later heads' scores are still being
+    softmaxed on the VPU;
+  * heads inside a cell are processed in a software-pipelined (skewed)
+    loop: scores(h) [MXU] || softmax(h-1) [VPU] || o(h-1)@W_O [MXU];
+  * the [B, H, N, hd] attention output never round-trips HBM — the kernel
+    writes the projected [B, N, D] directly.
+
+Grid: (batch, head-chunks), head-chunk innermost; the projected output
+accumulates in an f32 VMEM scratch across head-chunk cells and is written
+once on the last chunk.
+
+Reference equivalence: softmax(q k^T / sqrt(hd)) v per head, concat heads,
+@ W_proj — i.e. torch ``attn`` + ``proj`` of a ViT block
+(utilities.py:219-288 trunk internals). Bias and LayerScale stay outside
+(XLA fuses them into the residual add).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from anyloc_tpu.ops.common import round_up as _round_up
+
+# Beyond this many (padded) tokens the f32 score block cannot fit VMEM even
+# at one head per cell — callers should use the k-blocked kernel + XLA proj.
+MAX_FUSED_TOKENS = 1216
+
+
+def _softmax_masked(s: jnp.ndarray, n_valid: int) -> jnp.ndarray:
+    """Row softmax over the last axis with key-padding masked out."""
+    if n_valid < s.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _attn_proj_kernel(
+    q_ref, k_ref, v_ref, wp_ref, o_ref, acc_ref,
+    *, scale: float, n_valid: int, skew: bool,
+):
+    """One (batch, head-chunk) cell.
+
+    Block shapes: q/k/v [1, hc, Np, hd]; wp [hc*hd, D]; o [1, Np, D];
+    acc scratch [Np, D] f32 persists across the innermost (head-chunk) grid
+    dimension.
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    hc, np_tok, hd = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+
+    def head_scores(h):
+        q = q_ref[0, h].astype(jnp.float32) * scale        # [Np, hd]
+        k = k_ref[0, h].astype(jnp.float32)
+        return jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                   # [Np, Np]
+
+    def head_pv(h, s):
+        p = _softmax_masked(s, n_valid)                     # VPU
+        return jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0, h], preferred_element_type=jnp.float32
+        ).astype(v_ref.dtype)                               # [Np, hd] MXU
+
+    if skew:
+        # Software-pipelined: scores(h) is issued before head h-1's
+        # softmax/PV — independent ops the scheduler can dual-issue.
+        outs = []
+        prev = head_scores(0)
+        for h in range(1, hc):
+            cur = head_scores(h)
+            outs.append(head_pv(h - 1, prev))
+            prev = cur
+        outs.append(head_pv(hc - 1, prev))
+    else:
+        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
+    # One projection matmul per cell over the concatenated head outputs:
+    # [Np, hc*hd] @ [hc*hd, D] — K = hc*hd keeps the MXU fed (per-head
+    # K=64 proj matmuls measured ~7% slower end-to-end).
+    o_cat = jnp.concatenate(outs, axis=1)
+    acc_ref[:] += jnp.dot(
+        o_cat, wp_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+def attention_proj(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    head_chunk: Optional[int] = None,
+    skew: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q k^T * scale) v per head, heads concatenated, @ w_proj.
+
+    q/k/v: [B, H, N, hd]; w_proj: [H*hd, D_out] -> [B, N, D_out].
+    Padded key columns are masked; padded query rows are sliced off.
+    """
+    b, h, n, hd = q.shape
+    d_out = w_proj.shape[1]
+    assert w_proj.shape[0] == h * hd, (w_proj.shape, h, hd)
+    scale = hd ** -0.5 if scale is None else scale
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    np_tok = _round_up(n, sub)
+    if np_tok != n:
+        pad = [(0, 0), (0, 0), (0, np_tok - n), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    if head_chunk is None:
+        # budget ~6 MB of f32 score blocks per cell (skewed keeps ~2 live,
+        # but Mosaic may keep the chunk staged — budget the full chunk).
+        budget = 6 * 1024 * 1024
+        head_chunk = max(1, min(h, budget // (np_tok * np_tok * 4)))
+    hc = head_chunk
+    while h % hc:
+        hc -= 1
+    # scoped-VMEM requirement: staged scores + double-buffered qkv/wp blocks
+    # + out block + the f32 accumulator. Mosaic's default scoped limit is
+    # 16 MB; the chip has far more VMEM — raise the limit with headroom.
+    esz = 2 if q.dtype == jnp.bfloat16 else 4
+    vmem_bytes = (
+        hc * np_tok * np_tok * 4
+        + 2 * 3 * hc * np_tok * hd * esz
+        + 2 * hc * hd * d_out * esz
+        + np_tok * d_out * esz
+        + np_tok * d_out * 4
+    )
+    vmem_limit = min(int(vmem_bytes * 1.5) + (2 << 20), 100 << 20)
+
+    # w_proj laid out per-head rows: [H*hd, D]; chunk j uses rows
+    # [j*hc*hd, (j+1)*hc*hd).
+    kernel = functools.partial(
+        _attn_proj_kernel, scale=scale, n_valid=n, skew=skew
+    )
+    qkv_spec = pl.BlockSpec(
+        (1, hc, np_tok, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // hc),
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec(
+                (hc * hd, d_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, np_tok, d_out), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, np_tok, d_out), q.dtype),
+        scratch_shapes=[pltpu.VMEM((np_tok, d_out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(q, k, v, w_proj)
+    return out[:, :n]

@@ -30,9 +30,15 @@ def main():
     model_name = "dinov2_vitg14"
     img_size = 224  # 16x16 grid = 257 tokens
     layer, n_clusters = 31, 32
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    args = [a for a in sys.argv[1:] if a != "--quant"]
+    quant = "int8" if "--quant" in sys.argv[1:] else None
+    batch = int(args[0]) if args else 32
 
     cfg = dinov2_config(model_name, dtype=jnp.bfloat16)
+    if quant:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, quant=quant)
     model = ViT(cfg)
     params = init_params(cfg, seed=0)
     centers = jnp.asarray(
@@ -80,7 +86,7 @@ def main():
                 "metric": "vlad_descriptors_per_sec_per_chip",
                 "value": round(imgs_per_sec, 2),
                 "unit": f"imgs/sec ({model_name} l{layer} value + VLAD-{n_clusters}, "
-                f"{img_size}px, bf16, batch {batch}, {dev.device_kind})",
+                f"{img_size}px, {quant or 'bf16'}, batch {batch}, {dev.device_kind})",
                 "vs_baseline": round(imgs_per_sec / 1000.0, 4),
             }
         )

@@ -1,0 +1,137 @@
+"""int8 W8A8 quantized-trunk tests (ops/quant.py + ViTConfig.quant).
+
+The reference has no quantization; this is a TPU-native addition (v5e int8
+MXU = 2x bf16). Correctness here = quantized math tracks f32 within int8
+noise, and the quantized trunk's descriptors stay rank-consistent with bf16.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anyloc_tpu.ops.quant import (
+    int8_matmul,
+    qdense,
+    quantize_rows,
+    quantize_tree,
+    quantize_vit_params,
+    quantize_weight_cols,
+)
+
+
+class TestQuantMath:
+    def test_quantize_rows_roundtrip(self):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((16, 64)), jnp.float32)
+        q, s = quantize_rows(x)
+        assert q.dtype == jnp.int8 and s.shape == (16, 1)
+        err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(x))
+        # max error is half a quantization step = scale/2
+        assert (err <= np.asarray(s) * 0.51).all()
+
+    def test_quantize_weight_cols_roundtrip(self):
+        w = jnp.asarray(np.random.default_rng(1).standard_normal((64, 32)), jnp.float32)
+        q, s = quantize_weight_cols(w)
+        assert q.dtype == jnp.int8 and s.shape == (32,)
+        err = np.abs(np.asarray(q, np.float32) * np.asarray(s)[None] - np.asarray(w))
+        assert (err <= np.asarray(s)[None] * 0.51).all()
+
+    def test_int8_matmul_matches_f32(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((32, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((128, 64)), jnp.float32)
+        xq, xs = quantize_rows(x)
+        wq, ws = quantize_weight_cols(w)
+        got = np.asarray(int8_matmul(xq, wq, xs, ws, out_dtype=jnp.float32))
+        want = np.asarray(x @ w)
+        # int8 relative error ~ 1/127 per factor; rms tolerance
+        rms = np.sqrt(np.mean((got - want) ** 2)) / np.sqrt(np.mean(want ** 2))
+        assert rms < 0.02, rms
+
+    def test_qdense_bias_and_shape(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 5, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((128, 64)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+        wq, ws = quantize_weight_cols(w)
+        out = qdense(x, wq, ws, b, out_dtype=jnp.float32)
+        assert out.shape == (2, 5, 64)
+        want = np.asarray(x @ w + b)
+        rms = np.sqrt(np.mean((np.asarray(out) - want) ** 2))
+        assert rms < 0.05 * np.sqrt(np.mean(want ** 2))
+
+
+class TestQuantTrunk:
+    @pytest.fixture(scope="class")
+    def small_cfg(self):
+        from anyloc_tpu.models.vit import ViTConfig
+
+        return dict(
+            img_size=56, patch_size=14, embed_dim=128, depth=3, num_heads=4,
+            layerscale_init=1e-5, attn_impl="xla",
+        )
+
+    def test_quantize_tree_structure(self, small_cfg):
+        from anyloc_tpu.models.extractor import init_params
+        from anyloc_tpu.models.vit import ViTConfig
+
+        cfg = ViTConfig(**small_cfg)
+        params = init_params(cfg, seed=0)
+        qparams = quantize_tree(params, min_size=1)
+        blk = qparams["params"]["blocks_0"]
+        assert "kernel_q" in blk["attn"]["qkv"]
+        assert "kernel_scale" in blk["attn"]["qkv"]
+        assert "kernel" not in blk["attn"]["qkv"]
+        assert blk["attn"]["qkv"]["kernel_q"].dtype == jnp.int8
+        # LayerNorm / LayerScale untouched
+        assert "scale" in blk["norm1"]
+        assert "gamma" in blk["ls1"]
+        # patch-embed conv kernel untouched (4-D)
+        assert qparams["params"]["patch_embed"]["kernel"].ndim == 4
+
+    def test_quant_trunk_tracks_bf16(self, small_cfg):
+        """Descriptors from the int8 trunk stay close to the f32 trunk's on
+        the value facet (per-image cosine similarity)."""
+        from anyloc_tpu.models.extractor import init_params
+        from anyloc_tpu.models.vit import ViT, ViTConfig
+
+        cfg = ViTConfig(**small_cfg)
+        qcfg = ViTConfig(**small_cfg, quant="int8")
+        params = init_params(cfg, seed=0)
+        qparams = quantize_tree(params, min_size=1)
+
+        imgs = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 56, 56, 3)), jnp.float32
+        )
+        ref = ViT(cfg).apply(params, imgs, capture_layer=2, capture_facet="value")
+        got = ViT(qcfg).apply(qparams, imgs, capture_layer=2, capture_facet="value")
+        assert got.shape == ref.shape
+        a = np.asarray(ref, np.float64).reshape(-1, ref.shape[-1])
+        b = np.asarray(got, np.float64).reshape(-1, ref.shape[-1])
+        cos = np.sum(a * b, -1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+        )
+        assert cos.min() > 0.99, cos.min()
+
+    def test_quant_init_params_shape_true(self, small_cfg):
+        """Random init of the quant config produces the same tree structure
+        as quantize_tree of a converted checkpoint (bench/dryrun path)."""
+        from anyloc_tpu.models.extractor import init_params
+        from anyloc_tpu.models.vit import ViTConfig
+
+        qcfg = ViTConfig(**small_cfg, quant="int8")
+        qparams = init_params(qcfg, seed=0)
+        blk = qparams["params"]["blocks_0"]
+        assert blk["attn"]["qkv"]["kernel_q"].dtype == jnp.int8
+        assert blk["mlp"]["fc1"]["kernel_scale"].shape == (512,)
+
+    def test_quantize_vit_params_matches_quant_init_tree(self, small_cfg):
+        from anyloc_tpu.models.extractor import init_params
+        from anyloc_tpu.models.vit import ViTConfig
+
+        cfg = ViTConfig(**small_cfg)
+        qcfg = ViTConfig(**small_cfg, quant="int8")
+        qparams = quantize_tree(init_params(cfg, seed=0), min_size=1)
+        want = jax.tree_util.tree_structure(init_params(qcfg, seed=0))
+        got = jax.tree_util.tree_structure(qparams)
+        assert got == want
