@@ -77,6 +77,11 @@ class ViTConfig:
         return self.img_size // self.patch_size
 
 
+# Test hook: run the fused-MLP Pallas kernel in interpret mode (CPU tests
+# exercise the real kernel; production CPU falls back to the XLA int8 path).
+_FUSED_MLP_INTERPRET = False
+
+
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
@@ -232,7 +237,7 @@ class QDense(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         from anyloc_tpu.ops.quant import qdense, quantize_weight_cols
 
         in_dim = x.shape[-1]
@@ -252,6 +257,10 @@ class QDense(nn.Module):
             if self.use_bias
             else None
         )
+        if return_params:
+            # Declaration-only pass for fused kernels that consume the same
+            # param tree (ops/pallas/fused_mlp.py); x supplies in_dim only.
+            return kq, ks, bias
         return qdense(x, kq, ks, bias, out_dtype=self.dtype)
 
 
@@ -267,6 +276,8 @@ def _dense(cfg: ViTConfig, features: int, *, use_bias: bool = True, name: str):
         cfg.quant == "int8_mlp" and name in _MLP_DENSE_NAMES
     ):
         return QDense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+    # 'int8_fused' keeps qkv/proj in bf16 (XLA int8 loses at the attention
+    # boundary) — the MLP is handled by the fused kernel inside Mlp.
     return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
 
 
@@ -281,7 +292,7 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False,
-                 return_attn_probs: bool = False):
+                 return_attn_probs: bool = False, fused_tail=None):
         c = self.cfg
         b, n, d = x.shape
         qkv = _dense(
@@ -292,6 +303,22 @@ class Attention(nn.Module):
             # the reference computes the full block then discards it
             # (SURVEY.md §3.5); we stop at the hooked tensor.
             return qkv
+        if fused_tail is not None and not return_attn_probs:
+            # Whole attention half in one kernel from the raw qkv tensor:
+            # no head split/transpose relayouts, proj + LayerScale +
+            # residual folded in (1.03 vs 1.58 ms/layer at the flagship
+            # shape). fused_tail = (gamma | None, residual).
+            from anyloc_tpu.ops.pallas.attn_proj import flash_attention_qkv_proj
+
+            gamma, res = fused_tail
+            wp, bp = _DenseParams(d, d, name="proj")()
+            out = flash_attention_qkv_proj(
+                qkv, wp.astype(c.dtype), bp, num_heads=c.num_heads,
+                layerscale=gamma, residual=res,
+            )
+            if return_qkv:
+                return out, qkv
+            return out
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -334,19 +361,98 @@ class LayerScale(nn.Module):
     init: float
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         gamma = self.param("gamma", nn.initializers.constant(self.init), (self.dim,))
+        if return_params:
+            return gamma
         return x * gamma.astype(x.dtype)
+
+
+class _DenseParams(nn.Module):
+    """Declare-only Dense params (same names/inits as nn.Dense) for kernels
+    that fold the projection in."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Declare-only LayerNorm params (same names/inits/shapes as
+    nn.LayerNorm) for kernels that fuse the normalization in."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+def _mlp_int8_xla(c: "ViTConfig", x, p1, p3):
+    """XLA composition of the fused-MLP int8 math (CPU fallback)."""
+    from anyloc_tpu.ops.quant import qdense
+
+    h = qdense(x, *p1, out_dtype=c.dtype)
+    if c.mlp_type == "swiglu_fused":
+        x1, x2 = jnp.split(h, 2, axis=-1)
+        g = jax.nn.silu(x1) * x2
+    else:
+        g = exact_gelu(h)
+    return qdense(g, *p3, out_dtype=c.dtype)
 
 
 class Mlp(nn.Module):
     cfg: ViTConfig
 
+    def _supports_fused(self) -> bool:
+        c = self.cfg
+        return c.quant == "int8_fused" and (
+            c.mlp_type == "swiglu_fused" or c.act == "gelu"
+        )
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         c = self.cfg
         d = x.shape[-1]
         hidden = int(d * c.mlp_ratio)
+        if self._supports_fused():
+            # Single Pallas kernel: quantize -> int8 w12 -> SwiGLU/GELU ->
+            # requantize -> int8 w3 (1.5x the XLA bf16 MLP at flagship
+            # shapes; XLA-level int8 loses its gain to fusion boundaries —
+            # docs/PERFORMANCE.md). Same param tree as quant='int8_fused'.
+            # ``return_params`` lets Block fuse LN/LayerScale/residual into
+            # the same kernel (the trunk path).
+            from anyloc_tpu.ops.pallas.fused_mlp import fused_mlp_int8
+
+            if c.mlp_type == "swiglu_fused":
+                hidden = ((int(d * c.mlp_ratio * 2 / 3) + 7) // 8) * 8
+                n1, n3, two = "w12", "w3", 2
+            else:
+                n1, n3, two = "fc1", "fc2", 1
+            kq1, ks1, b1 = QDense(two * hidden, dtype=c.dtype, name=n1)(
+                x, return_params=True
+            )
+            kq3, ks3, b3 = QDense(d, dtype=c.dtype, name=n3)(
+                jnp.zeros((1, hidden), c.dtype), return_params=True
+            )
+            if return_params:
+                return (kq1, ks1, b1), (kq3, ks3, b3)
+            if jax.default_backend() in ("cpu",) and not _FUSED_MLP_INTERPRET:
+                return _mlp_int8_xla(c, x, (kq1, ks1, b1), (kq3, ks3, b3))
+            return fused_mlp_int8(
+                x, kq1, ks1, b1, kq3, ks3, b3,
+                mlp_type="swiglu_fused" if c.mlp_type == "swiglu_fused" else "mlp",
+                interpret=_FUSED_MLP_INTERPRET,
+            )
         if c.mlp_type == "mlp":
             x = _dense(c, hidden, name="fc1")(x)
             x = _act(c.act)(x)
@@ -377,15 +483,77 @@ class Block(nn.Module):
             return Attention(c, name="attn")(h, qkv_only=True)
         if return_attn_probs:
             return Attention(c, name="attn")(h, return_attn_probs=True)
-        if return_qkv:
-            attn_out, qkv = Attention(c, name="attn")(h, return_qkv=True)
+        impl = c.attn_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from anyloc_tpu.ops.pallas.attn_proj import MAX_FUSED_TOKENS
+
+        use_fused_attn = (
+            impl == "pallas"
+            and x.shape[1] <= MAX_FUSED_TOKENS
+            and c.quant != "int8"  # int8 quantizes proj -> different params
+        )
+        if use_fused_attn:
+            gamma1 = (
+                LayerScale(d, c.layerscale_init, name="ls1")(
+                    None, return_params=True
+                )
+                if c.layerscale_init is not None
+                else None
+            )
+            if return_qkv:
+                x, qkv = Attention(c, name="attn")(
+                    h, return_qkv=True, fused_tail=(gamma1, x)
+                )
+            else:
+                x = Attention(c, name="attn")(h, fused_tail=(gamma1, x))
         else:
-            attn_out = Attention(c, name="attn")(h)
-        if c.layerscale_init is not None:
-            attn_out = LayerScale(d, c.layerscale_init, name="ls1")(attn_out)
-        x = x + attn_out
+            if return_qkv:
+                attn_out, qkv = Attention(c, name="attn")(h, return_qkv=True)
+            else:
+                attn_out = Attention(c, name="attn")(h)
+            if c.layerscale_init is not None:
+                attn_out = LayerScale(d, c.layerscale_init, name="ls1")(attn_out)
+            x = x + attn_out
+        mlp = Mlp(c, name="mlp")
+        if mlp._supports_fused():
+            # Whole MLP half (norm2 + mlp + ls2 + residual) as ONE Pallas
+            # kernel — removes the LN round-trip and the residual pass that
+            # otherwise sit on the kernel boundary.
+            from anyloc_tpu.ops.pallas.fused_mlp import fused_mlp_int8
+
+            ln_scale, ln_bias = _LNParams(d, name="norm2")()
+            p1, p3 = mlp(x, return_params=True)
+            gamma = (
+                LayerScale(d, c.layerscale_init, name="ls2")(
+                    None, return_params=True
+                )
+                if c.layerscale_init is not None
+                else None
+            )
+            if jax.default_backend() in ("cpu",) and not _FUSED_MLP_INTERPRET:
+                hf = x.astype(jnp.float32)
+                mean = jnp.mean(hf, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(hf - mean), axis=-1, keepdims=True)
+                hn = (hf - mean) * jax.lax.rsqrt(var + c.ln_eps)
+                hn = (hn * ln_scale + ln_bias).astype(c.dtype)
+                m = _mlp_int8_xla(c, hn, p1, p3).astype(jnp.float32)
+                if gamma is not None:
+                    m = m * gamma
+                x = (x.astype(jnp.float32) + m).astype(c.dtype)
+            else:
+                x = fused_mlp_int8(
+                    x, *p1, *p3,
+                    mlp_type="swiglu_fused" if c.mlp_type == "swiglu_fused" else "mlp",
+                    ln_params=(ln_scale, ln_bias), ln_eps=c.ln_eps,
+                    layerscale=gamma, residual=True,
+                    interpret=_FUSED_MLP_INTERPRET,
+                )
+            if return_qkv:
+                return x, qkv
+            return x
         h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm2")(x)
-        m = Mlp(c, name="mlp")(h)
+        m = mlp(h)
         if c.layerscale_init is not None:
             m = LayerScale(d, c.layerscale_init, name="ls2")(m)
         x = x + m

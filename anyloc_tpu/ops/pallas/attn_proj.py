@@ -108,6 +108,167 @@ def _attn_proj_kernel(
         o_ref[0] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _attn_qkv_proj_kernel(
+    q_ref, k_ref, v_ref, wp_ref, *rest,
+    scale: float, hd: int, skew: bool,
+    has_bias: bool, has_gamma: bool, has_res: bool,
+):
+    """One (batch, head-chunk) cell over raw fused-qkv views.
+
+    q/k/v refs are [1, N, hc*hd] column views of the SAME [B, N, 3D] qkv
+    tensor (BlockSpec index maps offset by 0 / H / 2H chunk positions) —
+    the head split is a free lane slice, so none of the XLA path's six
+    split/reshape/transpose relayout copies exist. Output accumulates the
+    projected result and finishes with bias/LayerScale/residual.
+    """
+    refs = list(rest)
+    b_ref = refs.pop(0) if has_bias else None
+    g_ref = refs.pop(0) if has_gamma else None
+    x_ref = refs.pop(0) if has_res else None
+    o_ref, acc_ref = refs
+
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    hc = q_ref.shape[2] // hd
+
+    def head_scores(h):
+        q = q_ref[0, :, h * hd : (h + 1) * hd].astype(jnp.float32) * scale
+        k = k_ref[0, :, h * hd : (h + 1) * hd].astype(jnp.float32)
+        return jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                   # [N, N]
+
+    def head_pv(h, s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        v = v_ref[0, :, h * hd : (h + 1) * hd]
+        return jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(v.dtype)                                   # [N, hd]
+
+    if skew:
+        outs = []
+        prev = head_scores(0)
+        for h in range(1, hc):
+            cur = head_scores(h)
+            outs.append(head_pv(h - 1, prev))
+            prev = cur
+        outs.append(head_pv(hc - 1, prev))
+    else:
+        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
+    o_cat = jnp.concatenate(outs, axis=1)                   # [N, hc*hd]
+    acc_ref[:] += jnp.dot(
+        o_cat, wp_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        out = acc_ref[:]
+        if b_ref is not None:
+            out = out + b_ref[:]
+        if g_ref is not None:
+            out = out * g_ref[:]
+        if x_ref is not None:
+            out = out + x_ref[0].astype(jnp.float32)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def flash_attention_qkv_proj(
+    qkv: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    b_proj: Optional[jnp.ndarray] = None,
+    *,
+    num_heads: int,
+    layerscale: Optional[jnp.ndarray] = None,
+    residual: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    head_chunk: Optional[int] = None,
+    skew: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention + out-projection from the raw fused qkv tensor.
+
+    qkv: [B, N, 3D] (the facet-source layout, reference utilities.py:274 —
+    columns [0:D]=q, [D:2D]=k, [2D:3D]=v, head-minor within each);
+    w_proj [D, D]. Optional epilogue: + b_proj, * layerscale gamma,
+    + residual [B, N, D]. Returns [B, N, D] — the full attention half of a
+    pre-norm ViT block in one kernel, with NO head transposes in HBM.
+    """
+    b, n, three_d = qkv.shape
+    d = three_d // 3
+    h = num_heads
+    hd = d // h
+    d_out = w_proj.shape[1]
+    scale = hd ** -0.5 if scale is None else scale
+    if head_chunk is None:
+        budget = 6 * 1024 * 1024
+        np_tok = _round_up(n, 8)
+        head_chunk = max(1, min(h, budget // (np_tok * np_tok * 4)))
+    hc = head_chunk
+    while h % hc:
+        hc -= 1
+    nj = h // hc
+
+    qkv_view = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, n, hc * hd), lambda i, j, o=off: (i, 0, j + o), memory_space=pltpu.VMEM
+    )
+    in_specs = [qkv_view(0), qkv_view(nj), qkv_view(2 * nj)]
+    in_args = [qkv, qkv, qkv]
+    in_specs.append(
+        pl.BlockSpec((hc * hd, d_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    )
+    in_args.append(w_proj)
+    vec_spec = pl.BlockSpec((1, d_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    if b_proj is not None:
+        in_specs.append(vec_spec)
+        in_args.append(jnp.asarray(b_proj, jnp.float32).reshape(1, d_out))
+    if layerscale is not None:
+        in_specs.append(vec_spec)
+        in_args.append(jnp.asarray(layerscale, jnp.float32).reshape(1, d_out))
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((1, n, d_out), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        in_args.append(residual)
+
+    esz = 2 if qkv.dtype == jnp.bfloat16 else 4
+    np_pad = _round_up(n, 16)
+    vmem = (
+        3 * 2 * hc * hd * np_pad * esz
+        + 2 * np_pad * np_pad * 4
+        + 2 * hc * hd * d_out * esz
+        + 2 * np_pad * d_out * (esz + 4)
+        + np_pad * d_out * 4
+    )
+    kernel = functools.partial(
+        _attn_qkv_proj_kernel,
+        scale=scale, hd=hd, skew=skew,
+        has_bias=b_proj is not None,
+        has_gamma=layerscale is not None,
+        has_res=residual is not None,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, n, d_out), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, d_out), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((n, d_out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem * 1.5) + (2 << 20), 110 << 20)
+        ),
+        interpret=interpret,
+    )(*in_args)
+
+
 def attention_proj(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -1,0 +1,292 @@
+"""Fused int8 MLP Pallas kernel (SwiGLU and GELU variants).
+
+Why: XLA runs the clean int8 matmul stack 1.24-1.33x faster than bf16, but
+in the real ViT block it loses the entire win to fusion boundaries around
+the quantize/dequantize chains (docs/PERFORMANCE.md, corrected cost model).
+This kernel owns the whole MLP dataflow so nothing leaks to HBM:
+
+    quantize(x) -> [x_q @ W1 | x_q @ W2] (int8 MXU) -> SwiGLU ->
+    requantize -> g_q @ W3 (int8 MXU) -> + bias
+
+Grid: (M-tiles, hidden-chunks), hidden innermost. Per-chunk dataflow keeps
+only a [Mt, HC] slice of the hidden activations alive; the quantized input
+x_q and the f32 output accumulator persist in VMEM scratch across the
+hidden chunks of one M-tile. Weights stream through VMEM once per M-tile
+(HBM cost: M_tiles x |W|, ~0.1 ms/layer at the flagship shape).
+
+Quantization semantics match ops/quant.py: dynamic symmetric per-row int8
+activations, static per-column int8 weights. The hidden requantization is
+per-(row, chunk) — finer than the XLA path's per-row scale, so accuracy is
+the same or slightly better.
+
+LayerNorm / LayerScale / residual stay outside: XLA fuses them with the
+neighbouring ops, and keeping them out makes the kernel a drop-in for the
+``Mlp`` module body (reference MLP semantics: DINOv2 SwiGLUFFNFused /
+timm Mlp, vendored at reference models_mae.py:24-255).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _quant_rows_f32(xf, clip=127.0):
+    """xf f32 [M, K] -> (int8 [M, K], f32 [M, 1] scale)."""
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / clip
+    q = jnp.clip(jnp.round(xf / scale), -clip, clip).astype(jnp.int8)
+    return q, scale
+
+
+def _dot_i8(a, b):
+    """int8 x int8 -> f32 via the MXU's int32 path."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+
+
+def _ln_rows(xf, scale, bias, eps):
+    """LayerNorm over the last dim, f32 (matches flax's f32 internal math)."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _prologue(x_ref, ln_ref, xq_ref, xs_ref, acc_ref, *, eps):
+    """c==0 work: (optional LN) -> quantize -> reset accumulator."""
+    xf = x_ref[:].astype(jnp.float32)
+    if ln_ref is not None:
+        xf = _ln_rows(xf, ln_ref[0:1], ln_ref[1:2], eps)
+    xq, xs = _quant_rows_f32(xf)
+    xq_ref[:] = xq
+    xs_ref[:] = xs
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+
+def _epilogue(x_ref, b3_ref, gamma_ref, out_ref, acc_ref, *, residual):
+    """c==last work: bias (+ LayerScale) (+ residual) -> write out."""
+    out = acc_ref[:] + b3_ref[:]
+    if gamma_ref is not None:
+        out = out * gamma_ref[:]
+    if residual:
+        out = out + x_ref[:].astype(jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _mlp_kernel_swiglu(
+    x_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
+    w3_ref, s3_ref, b3_ref, *rest,
+    eps: float = 1e-6, ln: bool = False, gamma: bool = False,
+    residual: bool = False,
+):
+    refs = list(rest)
+    ln_ref = refs.pop(0) if ln else None
+    gamma_ref = refs.pop(0) if gamma else None
+    out_ref, xq_ref, xs_ref, acc_ref = refs
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        _prologue(x_ref, ln_ref, xq_ref, xs_ref, acc_ref, eps=eps)
+
+    xq = xq_ref[:]
+    xs = xs_ref[:]
+    g1 = _dot_i8(xq, w1_ref[:]) * xs * s1_ref[:] + b1_ref[:]
+    g2 = _dot_i8(xq, w2_ref[:]) * xs * s2_ref[:] + b2_ref[:]
+    g = jax.nn.silu(g1) * g2                       # [Mt, HC] f32
+    gq, gs = _quant_rows_f32(g)
+    acc_ref[:] += _dot_i8(gq, w3_ref[:]) * gs * s3_ref[:]
+
+    @pl.when(c == nc - 1)
+    def _():
+        _epilogue(x_ref, b3_ref, gamma_ref, out_ref, acc_ref, residual=residual)
+
+
+def _mlp_kernel_gelu(
+    x_ref, w1_ref, s1_ref, b1_ref, w3_ref, s3_ref, b3_ref, *rest,
+    eps: float = 1e-6, ln: bool = False, gamma: bool = False,
+    residual: bool = False,
+):
+    refs = list(rest)
+    ln_ref = refs.pop(0) if ln else None
+    gamma_ref = refs.pop(0) if gamma else None
+    out_ref, xq_ref, xs_ref, acc_ref = refs
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        _prologue(x_ref, ln_ref, xq_ref, xs_ref, acc_ref, eps=eps)
+
+    g = _dot_i8(xq_ref[:], w1_ref[:]) * xs_ref[:] * s1_ref[:] + b1_ref[:]
+    g = jax.nn.gelu(g, approximate=False)
+    gq, gs = _quant_rows_f32(g)
+    acc_ref[:] += _dot_i8(gq, w3_ref[:]) * gs * s3_ref[:]
+
+    @pl.when(c == nc - 1)
+    def _():
+        _epilogue(x_ref, b3_ref, gamma_ref, out_ref, acc_ref, residual=residual)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def fused_mlp_int8(
+    x: jnp.ndarray,
+    w12_q: jnp.ndarray,
+    w12_scale: jnp.ndarray,
+    b12: Optional[jnp.ndarray],
+    w3_q: jnp.ndarray,
+    w3_scale: jnp.ndarray,
+    b3: Optional[jnp.ndarray],
+    *,
+    mlp_type: str = "swiglu_fused",
+    hidden_chunk: int = 512,
+    m_tile: int = 1088,
+    ln_params: Optional[tuple] = None,
+    ln_eps: float = 1e-6,
+    layerscale: Optional[jnp.ndarray] = None,
+    residual: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [..., D] -> MLP(x) [..., D] with int8 W8A8 matmuls, fully fused.
+
+    ``swiglu_fused``: w12_q [D, 2*HID] (w1 | w2 column blocks), w3_q
+    [HID, D] — DINOv2-giant layout.  ``mlp``: w12_q is fc1 [D, HID], w3_q
+    is fc2 [HID, D], GELU activation.
+
+    Block-half fusion knobs (all optional, used by the ViT Block so the
+    entire MLP half is ONE kernel — no LN round-trip or residual pass):
+    ``ln_params=(scale, bias)`` applies LayerNorm to x inside the kernel;
+    ``layerscale`` multiplies the MLP output by gamma; ``residual`` adds x.
+    """
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    hid = w3_q.shape[0]
+    x2 = x.reshape(-1, d)
+    m = x2.shape[0]
+
+    hc = min(hidden_chunk, hid)
+    while hid % hc:
+        hc -= 1
+    # Prefer an m-tile that divides m exactly — padding costs a full
+    # pad+slice round-trip of the activations in HBM. Search near the
+    # requested tile for a divisor (any 8-multiple tile works; Mosaic pads
+    # the int8 scratch sublanes internally).
+    mt = min(m_tile, _round_up(m, 32))
+    if m % mt:
+        cands = [
+            t for t in range(32, min(2 * mt, m) + 1, 8)
+            if m % t == 0 and t >= mt // 3
+        ]
+        if cands:
+            mt = min(cands, key=lambda t: abs(t - mt))
+    mp = _round_up(m, mt)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    n_chunks = hid // hc
+
+    out_dtype = x.dtype
+    zeros = lambda n: jnp.zeros((1, n), jnp.float32)  # noqa: E731
+    s3 = w3_scale.reshape(1, d).astype(jnp.float32)
+    b3v = zeros(d) if b3 is None else b3.reshape(1, d).astype(jnp.float32)
+
+    x_spec = pl.BlockSpec((mt, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((mt, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
+    w3_spec = pl.BlockSpec((hc, d), lambda i, c: (c, 0), memory_space=pltpu.VMEM)
+    s3_spec = pl.BlockSpec((1, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM)
+
+    # Optional block-half fusion operands (appended after the MLP operands,
+    # mirrored by the kernels' *rest unpacking order: [ln], [gamma]).
+    extra_args, extra_specs = [], []
+    if ln_params is not None:
+        ln_pack = jnp.stack(
+            [jnp.asarray(p, jnp.float32).reshape(d) for p in ln_params]
+        )  # [2, D]: row 0 scale, row 1 bias
+        extra_args.append(ln_pack)
+        extra_specs.append(
+            pl.BlockSpec((2, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM)
+        )
+    if layerscale is not None:
+        extra_args.append(jnp.asarray(layerscale, jnp.float32).reshape(1, d))
+        extra_specs.append(s3_spec)
+    kern_kw = dict(
+        eps=ln_eps, ln=ln_params is not None,
+        gamma=layerscale is not None, residual=residual,
+    )
+
+    # VMEM: x + xq + acc + out blocks, double-buffered weight chunks.
+    esz = 2 if out_dtype == jnp.bfloat16 else 4
+    vmem = (
+        mt * d * (esz + 1 + 4 + esz)
+        + 2 * (3 if mlp_type == "swiglu_fused" else 2) * hc * d
+        + 6 * mt * hc * 4
+    )
+    params = pltpu.CompilerParams(vmem_limit_bytes=min(int(vmem * 1.4), 110 << 20))
+
+    if mlp_type == "swiglu_fused":
+        assert w12_q.shape == (d, 2 * hid), (w12_q.shape, d, hid)
+        s12 = w12_scale.reshape(1, 2 * hid).astype(jnp.float32)
+        b12v = zeros(2 * hid) if b12 is None else b12.reshape(1, 2 * hid).astype(jnp.float32)
+        w1_spec = pl.BlockSpec((d, hc), lambda i, c: (0, c), memory_space=pltpu.VMEM)
+        w2_spec = pl.BlockSpec(
+            (d, hc), lambda i, c: (0, c + n_chunks), memory_space=pltpu.VMEM
+        )
+        v1_spec = pl.BlockSpec((1, hc), lambda i, c: (0, c), memory_space=pltpu.VMEM)
+        v2_spec = pl.BlockSpec(
+            (1, hc), lambda i, c: (0, c + n_chunks), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            functools.partial(_mlp_kernel_swiglu, **kern_kw),
+            grid=(mp // mt, n_chunks),
+            in_specs=[
+                x_spec,
+                w1_spec, w2_spec, v1_spec, v2_spec, v1_spec, v2_spec,
+                w3_spec, s3_spec, s3_spec,
+                *extra_specs,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, d), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((mt, d), jnp.int8),
+                pltpu.VMEM((mt, 1), jnp.float32),
+                pltpu.VMEM((mt, d), jnp.float32),
+            ],
+            compiler_params=params,
+            interpret=interpret,
+        )(x2, w12_q, w12_q, s12, s12, b12v, b12v, w3_q, s3, b3v, *extra_args)
+    else:
+        assert w12_q.shape == (d, hid), (w12_q.shape, d, hid)
+        s1 = w12_scale.reshape(1, hid).astype(jnp.float32)
+        b1v = zeros(hid) if b12 is None else b12.reshape(1, hid).astype(jnp.float32)
+        w1_spec = pl.BlockSpec((d, hc), lambda i, c: (0, c), memory_space=pltpu.VMEM)
+        v1_spec = pl.BlockSpec((1, hc), lambda i, c: (0, c), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_mlp_kernel_gelu, **kern_kw),
+            grid=(mp // mt, n_chunks),
+            in_specs=[
+                x_spec, w1_spec, v1_spec, v1_spec, w3_spec, s3_spec, s3_spec,
+                *extra_specs,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, d), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((mt, d), jnp.int8),
+                pltpu.VMEM((mt, 1), jnp.float32),
+                pltpu.VMEM((mt, d), jnp.float32),
+            ],
+            compiler_params=params,
+            interpret=interpret,
+        )(x2, w12_q, s1, b1v, w3_q, s3, b3v, *extra_args)
+
+    if mp != m:
+        out = out[:m]
+    return out.reshape(orig_shape)

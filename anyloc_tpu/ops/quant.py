@@ -106,7 +106,9 @@ def qdense(
 
 
 # ------------------------------------------------------------------ params
-def quantize_tree(params: Any, *, min_size: int = 1 << 16) -> Any:
+def quantize_tree(
+    params: Any, *, min_size: int = 1 << 16, only_modules: Optional[tuple] = None
+) -> Any:
     """Walk a Flax param tree and replace every 2-D Dense ``kernel`` larger
     than ``min_size`` elements with ``{kernel_q, kernel_scale}`` (int8 +
     per-column f32). Small kernels (LayerScale gammas, LN params, biases,
@@ -117,7 +119,7 @@ def quantize_tree(params: Any, *, min_size: int = 1 << 16) -> Any:
     modules declare exactly these param names).
     """
 
-    def walk(node):
+    def walk(node, parent=""):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
@@ -126,12 +128,13 @@ def quantize_tree(params: Any, *, min_size: int = 1 << 16) -> Any:
                     and hasattr(v, "ndim")
                     and v.ndim == 2
                     and v.size >= min_size
+                    and (only_modules is None or parent in only_modules)
                 ):
                     q, s = quantize_weight_cols(v)
                     out["kernel_q"] = q
                     out["kernel_scale"] = s
                 else:
-                    out[k] = walk(v)
+                    out[k] = walk(v, k)
             return out
         return node
 
@@ -144,12 +147,21 @@ def quantize_tree(params: Any, *, min_size: int = 1 << 16) -> Any:
     return walk(plain)
 
 
-def quantize_vit_params(params: Any) -> Any:
-    """Convert a ``ViT`` param tree (random init or checkpoint-converted) to
-    the int8 layout consumed by ``ViTConfig(quant='int8')``.
+MLP_MODULE_NAMES = ("fc1", "fc2", "w12", "w3")
 
-    Quantizes the four block matmuls (qkv/proj and fc1/fc2 or w12/w3) —
-    exactly the kernels large enough to clear ``min_size``; patch-embed conv,
+
+def quantize_vit_params(params: Any, mode: str = "int8") -> Any:
+    """Convert a ``ViT`` param tree (random init or checkpoint-converted) to
+    the int8 layout consumed by ``ViTConfig(quant=mode)``.
+
+    mode 'int8' / 'int8_mlp' is consumed by QDense on all four block
+    matmuls; 'int8_fused' quantizes only the MLP kernels (qkv/proj stay
+    bf16 nn.Dense — the fused-MLP trunk layout). Patch-embed conv,
     LayerNorms, LayerScales and biases stay in the original dtype.
     """
+    if mode == "int8_fused":
+        return quantize_tree(params, only_modules=MLP_MODULE_NAMES)
+    if mode == "int8_mlp":
+        # QDense on MLP only; attention Dense params keep 'kernel'.
+        return quantize_tree(params, only_modules=MLP_MODULE_NAMES)
     return quantize_tree(params)

@@ -30,8 +30,12 @@ def main():
     model_name = "dinov2_vitg14"
     img_size = 224  # 16x16 grid = 257 tokens
     layer, n_clusters = 31, 32
-    args = [a for a in sys.argv[1:] if a != "--quant"]
-    quant = "int8" if "--quant" in sys.argv[1:] else None
+    args = list(sys.argv[1:])
+    quant = None
+    for a in sys.argv[1:]:
+        if a.startswith("--quant"):
+            quant = a.split("=", 1)[1] if "=" in a else "int8_fused"
+    args = [a for a in args if not a.startswith("--quant")]
     batch = int(args[0]) if args else 32
 
     cfg = dinov2_config(model_name, dtype=jnp.bfloat16)

@@ -1,0 +1,155 @@
+"""Fused int8 MLP kernel vs the full-precision MLP (int8-noise tolerance)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anyloc_tpu.ops.pallas.fused_mlp import fused_mlp_int8
+from anyloc_tpu.ops.quant import quantize_weight_cols
+
+
+def _rms_rel(got, want):
+    got, want = np.asarray(got, np.float64), np.asarray(want, np.float64)
+    return np.sqrt(np.mean((got - want) ** 2)) / (
+        np.sqrt(np.mean(want ** 2)) + 1e-12
+    )
+
+
+class TestFusedSwiGLU:
+    @pytest.fixture(scope="class")
+    def problem(self):
+        rng = np.random.default_rng(0)
+        b, n, d, hid = 2, 13, 128, 192
+        x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+        w12 = jnp.asarray(rng.standard_normal((d, 2 * hid)) * 0.05, jnp.float32)
+        b12 = jnp.asarray(rng.standard_normal((2 * hid,)) * 0.01, jnp.float32)
+        w3 = jnp.asarray(rng.standard_normal((hid, d)) * 0.05, jnp.float32)
+        b3 = jnp.asarray(rng.standard_normal((d,)) * 0.01, jnp.float32)
+        return x, w12, b12, w3, b3, hid
+
+    def _exact(self, x, w12, b12, w3, b3, hid):
+        h = x @ w12 + b12
+        g = jnp.asarray(
+            np.asarray(h[..., :hid]) * (1 / (1 + np.exp(-np.asarray(h[..., :hid]))))
+        ) * h[..., hid:]
+        return g @ w3 + b3
+
+    @pytest.mark.parametrize("hidden_chunk", [64, 192])
+    def test_matches_full_precision(self, problem, hidden_chunk):
+        x, w12, b12, w3, b3, hid = problem
+        w12q, s12 = quantize_weight_cols(w12)
+        w3q, s3 = quantize_weight_cols(w3)
+        got = fused_mlp_int8(
+            x, w12q, s12, b12, w3q, s3, b3,
+            mlp_type="swiglu_fused", hidden_chunk=hidden_chunk, m_tile=32,
+            interpret=True,
+        )
+        want = self._exact(x, w12, b12, w3, b3, hid)
+        assert got.shape == want.shape
+        assert _rms_rel(got, want) < 0.03
+
+    def test_m_padding(self, problem):
+        """m not a multiple of m_tile: padded rows must not leak."""
+        x, w12, b12, w3, b3, hid = problem
+        w12q, s12 = quantize_weight_cols(w12)
+        w3q, s3 = quantize_weight_cols(w3)
+        full = fused_mlp_int8(
+            x, w12q, s12, b12, w3q, s3, b3, m_tile=32, interpret=True
+        )
+        # same rows through a different tiling -> identical quantization math
+        assert _rms_rel(full, self._exact(x, w12, b12, w3, b3, hid)) < 0.03
+
+
+class TestFusedGelu:
+    def test_matches_full_precision(self):
+        rng = np.random.default_rng(1)
+        b, n, d, hid = 2, 9, 96, 256
+        x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+        fc1 = jnp.asarray(rng.standard_normal((d, hid)) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((hid,)) * 0.01, jnp.float32)
+        fc2 = jnp.asarray(rng.standard_normal((hid, d)) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((d,)) * 0.01, jnp.float32)
+        q1, s1 = quantize_weight_cols(fc1)
+        q2, s2 = quantize_weight_cols(fc2)
+        got = fused_mlp_int8(
+            x, q1, s1, b1, q2, s2, b2,
+            mlp_type="mlp", hidden_chunk=128, m_tile=16, interpret=True,
+        )
+        import scipy.special as sp
+
+        h = np.asarray(x @ fc1 + b1, np.float64)
+        g = h * 0.5 * (1 + sp.erf(h / np.sqrt(2)))
+        want = g @ np.asarray(fc2, np.float64) + np.asarray(b2, np.float64)
+        assert _rms_rel(got, want) < 0.03
+
+
+class TestFusedTrunkIntegration:
+    def _cfgs(self):
+        from anyloc_tpu.models.vit import ViTConfig
+
+        kw = dict(
+            img_size=56, patch_size=14, embed_dim=128, depth=3, num_heads=4,
+            mlp_type="swiglu_fused", layerscale_init=1e-5, attn_impl="xla",
+        )
+        return kw
+
+    def test_int8_fused_tree_layout(self):
+        import jax
+
+        from anyloc_tpu.models.extractor import init_params
+        from anyloc_tpu.models.vit import ViTConfig
+        from anyloc_tpu.ops.quant import quantize_vit_params
+
+        kw = self._cfgs()
+        cfg = ViTConfig(**kw)
+        qcfg = ViTConfig(**kw, quant="int8_fused")
+        qp = init_params(qcfg, seed=0)
+        blk = qp["params"]["blocks_0"]
+        assert "kernel_q" in blk["mlp"]["w12"]          # MLP quantized
+        assert "kernel" in blk["attn"]["qkv"]           # attention stays bf16
+        # converted-checkpoint transform produces the same tree
+        conv = quantize_vit_params(init_params(cfg, seed=0), mode="int8_fused")
+        # min_size filter: this tiny model's kernels are small -> re-run with
+        # min_size=1 semantics via quantize_tree directly
+        from anyloc_tpu.ops.quant import MLP_MODULE_NAMES, quantize_tree
+
+        conv = quantize_tree(
+            init_params(cfg, seed=0), min_size=1, only_modules=MLP_MODULE_NAMES
+        )
+        assert jax.tree_util.tree_structure(conv) == jax.tree_util.tree_structure(qp)
+
+    @pytest.mark.parametrize("mlp_type", ["swiglu_fused", "mlp"])
+    def test_int8_fused_kernel_matches_xla_path(self, mlp_type):
+        """interpret-mode kernel vs the CPU XLA-int8 fallback on the trunk."""
+        import jax
+
+        import anyloc_tpu.models.vit as vit_mod
+        from anyloc_tpu.models.extractor import init_params
+        from anyloc_tpu.models.vit import ViT, ViTConfig
+        from anyloc_tpu.ops.quant import MLP_MODULE_NAMES, quantize_tree
+
+        kw = self._cfgs()
+        kw["mlp_type"] = mlp_type
+        cfg = ViTConfig(**kw)
+        qcfg = ViTConfig(**kw, quant="int8_fused")
+        params = init_params(cfg, seed=0)
+        qp = quantize_tree(params, min_size=1, only_modules=MLP_MODULE_NAMES)
+        imgs = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 56, 56, 3)), jnp.float32
+        )
+        ref = ViT(cfg).apply(params, imgs, capture_layer=2, capture_facet="value")
+        fallback = ViT(qcfg).apply(qp, imgs, capture_layer=2, capture_facet="value")
+        vit_mod._FUSED_MLP_INTERPRET = True
+        try:
+            kernel = ViT(qcfg).apply(qp, imgs, capture_layer=2, capture_facet="value")
+        finally:
+            vit_mod._FUSED_MLP_INTERPRET = False
+        # kernel vs fallback: same int8 math up to per-chunk requant detail
+        assert _rms_rel(kernel, fallback) < 0.02
+        # quantized trunk tracks the bf16 trunk
+        a = np.asarray(ref, np.float64).reshape(-1, ref.shape[-1])
+        b = np.asarray(kernel, np.float64).reshape(-1, ref.shape[-1])
+        cos = np.sum(a * b, -1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+        )
+        assert cos.min() > 0.99, cos.min()

@@ -46,12 +46,12 @@ if which in ("all", "xla"):
     run_variant("block bf16 xla-attn", dataclasses.replace(base, attn_impl="xla"))
 if which in ("all", "stub"):
     run_variant("block bf16 attn-stub", dataclasses.replace(base, attn_impl="stub"))
-if which in ("all", "int8", "int8_mlp"):
-    cfg = dataclasses.replace(base, quant="int8" if which == "int8" else "int8_mlp")
+if which in ("all", "int8", "int8_mlp", "int8_fused"):
+    cfg = dataclasses.replace(base, quant=which)
     block = Block(cfg)
     from anyloc_tpu.ops.quant import quantize_tree as qt
     full = Block(base).init(jax.random.PRNGKey(0), jnp.zeros((1, 8, base.embed_dim), jnp.bfloat16))
-    if which == "int8_mlp":
+    if which in ("int8_mlp", "int8_fused"):
         import flax
         plain = flax.core.unfreeze(full)
         plain["params"]["mlp"] = qt({"p": plain["params"]["mlp"]})["p"]
