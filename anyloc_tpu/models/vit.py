@@ -80,6 +80,8 @@ class ViTConfig:
 # Test hook: run the fused-MLP Pallas kernel in interpret mode (CPU tests
 # exercise the real kernel; production CPU falls back to the XLA int8 path).
 _FUSED_MLP_INTERPRET = False
+# Same hook for the fused int8 attention-half kernel (quant='int8_full').
+_FUSED_ATTN_INTERPRET = False
 
 
 def quick_gelu(x):
@@ -272,7 +274,7 @@ def _dense(cfg: ViTConfig, features: int, *, use_bias: bool = True, name: str):
     cfg.quant == 'int8' (all four block matmuls) / 'int8_mlp' (MLP only —
     the attention-adjacent qkv/proj quantization interacts badly with the
     attention custom-call's layout constraints)."""
-    if cfg.quant == "int8" or (
+    if cfg.quant in ("int8", "int8_full") or (
         cfg.quant == "int8_mlp" and name in _MLP_DENSE_NAMES
     ):
         return QDense(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
@@ -292,9 +294,51 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False,
-                 return_attn_probs: bool = False, fused_tail=None):
+                 return_attn_probs: bool = False, fused_tail=None,
+                 fused_int8_tail=None):
         c = self.cfg
         b, n, d = x.shape
+        if fused_int8_tail is not None:
+            # quant='int8_full': the ENTIRE attention half — norm1 + int8
+            # qkv + attention + int8 proj + LayerScale + residual — as one
+            # Pallas kernel. ``x`` here is the PRE-norm block input (it is
+            # also the residual). fused_int8_tail = (ln_scale, ln_bias,
+            # gamma | None).
+            from anyloc_tpu.ops.pallas.attn_proj import fused_attn_half_int8
+
+            ln_scale, ln_bias, gamma = fused_int8_tail
+            kq, ks, bq = QDense(3 * d, dtype=c.dtype, name="qkv")(
+                x, return_params=True
+            )
+            kpq, kps, bp = QDense(d, dtype=c.dtype, name="proj")(
+                jnp.zeros((1, d), c.dtype), return_params=True
+            )
+            if jax.default_backend() == "cpu" and not _FUSED_ATTN_INTERPRET:
+                # XLA fallback with identical math (CPU tests / non-TPU).
+                from anyloc_tpu.ops.quant import qdense
+
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=-1, keepdims=True)
+                var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+                xn = (xf - mean) * jax.lax.rsqrt(var + c.ln_eps)
+                xn = xn * ln_scale + ln_bias
+                qkv = qdense(xn, kq, ks, bq, out_dtype=jnp.float32)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                hs = lambda t: t.reshape(b, n, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)  # noqa: E731
+                from anyloc_tpu.ops.pallas.flash_attention import xla_attention
+
+                o = xla_attention(hs(q), hs(k), hs(v))
+                o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+                o = qdense(o, kpq, kps, bp, out_dtype=jnp.float32)
+                if gamma is not None:
+                    o = o * gamma
+                return (x.astype(jnp.float32) + o).astype(c.dtype)
+            return fused_attn_half_int8(
+                x, kq, ks, bq, kpq, kps, bp,
+                num_heads=c.num_heads,
+                ln_params=(ln_scale, ln_bias), ln_eps=c.ln_eps,
+                layerscale=gamma, interpret=_FUSED_ATTN_INTERPRET,
+            )
         qkv = _dense(
             c, 3 * d, use_bias=c.qkv_bias, name="qkv"
         )(x)  # [B, N, 3D] fused — facet source
@@ -415,7 +459,7 @@ class Mlp(nn.Module):
 
     def _supports_fused(self) -> bool:
         c = self.cfg
-        return c.quant == "int8_fused" and (
+        return c.quant in ("int8_fused", "int8_full") and (
             c.mlp_type == "swiglu_fused" or c.act == "gelu"
         )
 
@@ -478,20 +522,43 @@ class Block(nn.Module):
                  return_attn_probs: bool = False):
         c = self.cfg
         d = x.shape[-1]
+        from anyloc_tpu.ops.pallas.attn_proj import MAX_FUSED_TOKENS
+
+        impl = c.attn_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        use_fused_attn_int8 = (
+            c.quant == "int8_full"
+            and x.shape[1] <= MAX_FUSED_TOKENS
+            and not (qkv_only or return_attn_probs or return_qkv)
+            and (impl == "pallas" or jax.default_backend() == "cpu")
+        )
+        if use_fused_attn_int8:
+            # Whole attention half (norm1 + int8 qkv + attention + int8
+            # proj + ls1 + residual) in one kernel; declare-only param
+            # modules keep the tree identical to the unfused int8 path.
+            ln_scale, ln_bias = _LNParams(d, name="norm1")()
+            gamma1 = (
+                LayerScale(d, c.layerscale_init, name="ls1")(
+                    None, return_params=True
+                )
+                if c.layerscale_init is not None
+                else None
+            )
+            x = Attention(c, name="attn")(
+                x, fused_int8_tail=(ln_scale, ln_bias, gamma1)
+            )
+            return self._mlp_half(x, return_qkv=False, qkv=None)
         h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm1")(x)
         if qkv_only:
             return Attention(c, name="attn")(h, qkv_only=True)
         if return_attn_probs:
             return Attention(c, name="attn")(h, return_attn_probs=True)
-        impl = c.attn_impl
-        if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        from anyloc_tpu.ops.pallas.attn_proj import MAX_FUSED_TOKENS
-
         use_fused_attn = (
             impl == "pallas"
             and x.shape[1] <= MAX_FUSED_TOKENS
-            and c.quant != "int8"  # int8 quantizes proj -> different params
+            # int8 modes quantize proj -> different params / fused routes
+            and c.quant not in ("int8", "int8_full")
         )
         if use_fused_attn:
             gamma1 = (
@@ -515,6 +582,13 @@ class Block(nn.Module):
             if c.layerscale_init is not None:
                 attn_out = LayerScale(d, c.layerscale_init, name="ls1")(attn_out)
             x = x + attn_out
+        return self._mlp_half(x, return_qkv=return_qkv,
+                              qkv=qkv if return_qkv else None)
+
+    def _mlp_half(self, x, *, return_qkv: bool, qkv):
+        """Second residual branch: x + ls2(mlp(norm2 x)) — fused when int8."""
+        c = self.cfg
+        d = x.shape[-1]
         mlp = Mlp(c, name="mlp")
         if mlp._supports_fused():
             # Whole MLP half (norm2 + mlp + ls2 + residual) as ONE Pallas

@@ -269,6 +269,218 @@ def flash_attention_qkv_proj(
     )(*in_args)
 
 
+def _attn_half_int8_kernel(
+    x_ref, wq_ref, wk_ref, wv_ref, sbq_ref, sbk_ref, sbv_ref,
+    wp_ref, sbp_ref, ln_ref, *rest,
+    scale: float, hd: int, skew: bool, eps: float, has_gamma: bool,
+):
+    """One (batch, head-chunk) cell of the int8 attention half.
+
+    The entire pre-norm attention half runs in-kernel: LayerNorm ->
+    per-token int8 quantize -> int8 qkv matmul (this chunk's head columns,
+    three int8 views of the same [D, 3D] weight) -> dequant -> per-head
+    attention -> requantize -> int8 out-projection rows -> accumulate; the
+    last chunk adds bias, LayerScale and the residual. The quantized input
+    and the f32 output accumulator persist in VMEM scratch across chunks.
+    """
+    refs = list(rest)
+    g_ref = refs.pop(0) if has_gamma else None
+    o_ref, xq_ref, xs_ref, acc_ref = refs
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+        xn = xn * ln_ref[0:1] + ln_ref[1:2]
+        amax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
+        s = jnp.maximum(amax, 1e-6) / 127.0
+        xq_ref[:] = jnp.clip(jnp.round(xn / s), -127.0, 127.0).astype(jnp.int8)
+        xs_ref[:] = s
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xq = xq_ref[:]
+    xs = xs_ref[:]
+
+    def dot_i8(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+
+    def dequant(w_ref, sb_ref):
+        # [N, hc*hd] f32 = (xq @ wq) * row_scale * col_scale + bias
+        return dot_i8(xq, w_ref[:]) * xs * sb_ref[0:1] + sb_ref[1:2]
+
+    q = dequant(wq_ref, sbq_ref) * scale
+    k = dequant(wk_ref, sbk_ref)
+    v = dequant(wv_ref, sbv_ref).astype(jnp.bfloat16)
+    hc = q.shape[1] // hd
+
+    def head_scores(h):
+        return jax.lax.dot_general(
+            q[:, h * hd : (h + 1) * hd], k[:, h * hd : (h + 1) * hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )                                                   # [N, N]
+
+    def head_pv(h, s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        return jnp.dot(
+            p.astype(jnp.bfloat16), v[:, h * hd : (h + 1) * hd],
+            preferred_element_type=jnp.float32,
+        )                                                   # [N, hd] f32
+
+    if skew:
+        outs = []
+        prev = head_scores(0)
+        for h in range(1, hc):
+            cur = head_scores(h)
+            outs.append(head_pv(h - 1, prev))
+            prev = cur
+        outs.append(head_pv(hc - 1, prev))
+    else:
+        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
+    o_cat = jnp.concatenate(outs, axis=1)                   # [N, hc*hd] f32
+    amax = jnp.max(jnp.abs(o_cat), axis=-1, keepdims=True)
+    osc = jnp.maximum(amax, 1e-6) / 127.0
+    oq = jnp.clip(jnp.round(o_cat / osc), -127.0, 127.0).astype(jnp.int8)
+    acc_ref[:] += dot_i8(oq, wp_ref[:]) * osc * sbp_ref[0:1]
+
+    @pl.when(j == nj - 1)
+    def _():
+        out = acc_ref[:] + sbp_ref[1:2]
+        if g_ref is not None:
+            out = out * g_ref[:]
+        out = out + x_ref[0].astype(jnp.float32)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_attn_half_int8(
+    x: jnp.ndarray,
+    wqkv_q: jnp.ndarray,
+    wqkv_scale: jnp.ndarray,
+    b_qkv: Optional[jnp.ndarray],
+    wp_q: jnp.ndarray,
+    wp_scale: jnp.ndarray,
+    b_proj: Optional[jnp.ndarray],
+    *,
+    num_heads: int,
+    ln_params: tuple,
+    ln_eps: float = 1e-6,
+    layerscale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    head_chunk: Optional[int] = None,
+    skew: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The whole pre-norm attention half with int8 W8A8 matmuls, one kernel.
+
+    out = x + ls1 * (proj(attn(qkv(LN1(x)))) + b_proj)   — i.e. the first
+    residual branch of a ViT block (reference trunk internals hooked at
+    utilities.py:219-288), with the qkv [D, 3D] and proj [D, D] matmuls on
+    the int8 MXU path (2x bf16 rate on v5e). Weights are static per-column
+    int8 (ops/quant.py layout: ``kernel_q`` + ``kernel_scale``); activations
+    quantize per-token in-kernel, so no quantize/dequantize chain ever
+    touches HBM — the XLA-level int8 path loses its entire gain to exactly
+    those fusion boundaries (docs/PERFORMANCE.md).
+
+    x [B, N, D]; wqkv_q int8 [D, 3D] (q|k|v column thirds, head-minor —
+    the reference's fused-qkv layout); wp_q int8 [D, D];
+    ln_params = (ln_scale, ln_bias) of norm1.
+    """
+    b, n, d = x.shape
+    h = num_heads
+    hd = d // h
+    assert wqkv_q.shape == (d, 3 * d), wqkv_q.shape
+    assert wp_q.shape == (d, d), wp_q.shape
+    scale = hd ** -0.5 if scale is None else scale
+    if head_chunk is None:
+        budget = 6 * 1024 * 1024
+        np_tok = _round_up(n, 8)
+        head_chunk = max(1, min(h, budget // (np_tok * np_tok * 4)))
+    hc = head_chunk
+    while h % hc:
+        hc -= 1
+    nj = h // hc
+    hcw = hc * hd
+
+    def pack2(scale_vec, bias_vec, width):
+        s = jnp.asarray(scale_vec, jnp.float32).reshape(1, width)
+        bz = (
+            jnp.zeros((1, width), jnp.float32)
+            if bias_vec is None
+            else jnp.asarray(bias_vec, jnp.float32).reshape(1, width)
+        )
+        return jnp.concatenate([s, bz], axis=0)             # [2, width]
+
+    sb_qkv = pack2(wqkv_scale, b_qkv, 3 * d)
+    sb_p = pack2(wp_scale, b_proj, d)
+    ln_pack = jnp.stack(
+        [jnp.asarray(p, jnp.float32).reshape(d) for p in ln_params]
+    )
+
+    w_view = lambda off: pl.BlockSpec(  # noqa: E731
+        (d, hcw), lambda i, j, o=off: (0, j + o), memory_space=pltpu.VMEM
+    )
+    sb_view = lambda off: pl.BlockSpec(  # noqa: E731
+        (2, hcw), lambda i, j, o=off: (0, j + o), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        x_spec,
+        w_view(0), w_view(nj), w_view(2 * nj),
+        sb_view(0), sb_view(nj), sb_view(2 * nj),
+        pl.BlockSpec((hcw, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    in_args = [x, wqkv_q, wqkv_q, wqkv_q, sb_qkv, sb_qkv, sb_qkv, wp_q, sb_p, ln_pack]
+    if layerscale is not None:
+        in_specs.append(
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+        in_args.append(jnp.asarray(layerscale, jnp.float32).reshape(1, d))
+
+    esz = 2 if x.dtype == jnp.bfloat16 else 4
+    np_pad = _round_up(n, 16)
+    vmem = (
+        2 * np_pad * d * esz                 # x block (double-buffered)
+        + 2 * 3 * d * hcw                    # qkv weight chunks int8
+        + 2 * hcw * d                        # proj weight chunk int8
+        + np_pad * d * (1 + 4)               # xq + acc scratch
+        + 2 * np_pad * d * esz               # out block
+        + hc * np_pad * np_pad * 4           # staged f32 scores
+        + 4 * np_pad * hcw * 4               # q/k/v/o_cat f32 live
+    )
+    kernel = functools.partial(
+        _attn_half_int8_kernel,
+        scale=scale, hd=hd, skew=skew, eps=ln_eps,
+        has_gamma=layerscale is not None,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, d), jnp.int8),
+            pltpu.VMEM((n, 1), jnp.float32),
+            pltpu.VMEM((n, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem * 1.4) + (2 << 20), 110 << 20)
+        ),
+        interpret=interpret,
+    )(*in_args)
+
+
 def attention_proj(
     q: jnp.ndarray,
     k: jnp.ndarray,

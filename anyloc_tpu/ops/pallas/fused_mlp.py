@@ -51,6 +51,28 @@ def _dot_i8(a, b):
     ).astype(jnp.float32)
 
 
+def _erf_poly(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7).
+
+    Mosaic has no erf/erfc lowering; this polynomial keeps the exact-GELU
+    semantics (torch nn.GELU default) to well below int8 quantization noise
+    — and below bf16 resolution — inside the kernel.
+    """
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+
+
 def _ln_rows(xf, scale, bias, eps):
     """LayerNorm over the last dim, f32 (matches flax's f32 internal math)."""
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -126,7 +148,7 @@ def _mlp_kernel_gelu(
         _prologue(x_ref, ln_ref, xq_ref, xs_ref, acc_ref, eps=eps)
 
     g = _dot_i8(xq_ref[:], w1_ref[:]) * xs_ref[:] * s1_ref[:] + b1_ref[:]
-    g = jax.nn.gelu(g, approximate=False)
+    g = _gelu_exact(g)
     gq, gs = _quant_rows_f32(g)
     acc_ref[:] += _dot_i8(gq, w3_ref[:]) * gs * s3_ref[:]
 

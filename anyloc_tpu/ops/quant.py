@@ -150,18 +150,26 @@ def quantize_tree(
 MLP_MODULE_NAMES = ("fc1", "fc2", "w12", "w3")
 
 
-def quantize_vit_params(params: Any, mode: str = "int8") -> Any:
+def quantize_vit_params(
+    params: Any, mode: str = "int8", *, min_size: int = 1 << 16
+) -> Any:
     """Convert a ``ViT`` param tree (random init or checkpoint-converted) to
     the int8 layout consumed by ``ViTConfig(quant=mode)``.
 
-    mode 'int8' / 'int8_mlp' is consumed by QDense on all four block
-    matmuls; 'int8_fused' quantizes only the MLP kernels (qkv/proj stay
-    bf16 nn.Dense — the fused-MLP trunk layout). Patch-embed conv,
+    mode 'int8' quantizes all four block matmuls (XLA QDense);
+    'int8_full' is the same layout, consumed by the fused Pallas
+    attention-half + MLP-half kernels (the fastest trunk mode);
+    'int8_fused' quantizes only the MLP kernels (qkv/proj stay bf16
+    nn.Dense — fused-MLP trunk with bf16 attention). Patch-embed conv,
     LayerNorms, LayerScales and biases stay in the original dtype.
     """
     if mode == "int8_fused":
-        return quantize_tree(params, only_modules=MLP_MODULE_NAMES)
+        return quantize_tree(
+            params, min_size=min_size, only_modules=MLP_MODULE_NAMES
+        )
     if mode == "int8_mlp":
         # QDense on MLP only; attention Dense params keep 'kernel'.
-        return quantize_tree(params, only_modules=MLP_MODULE_NAMES)
-    return quantize_tree(params)
+        return quantize_tree(
+            params, min_size=min_size, only_modules=MLP_MODULE_NAMES
+        )
+    return quantize_tree(params, min_size=min_size)
