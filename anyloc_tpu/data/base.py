@@ -44,6 +44,11 @@ class VPRDataset:
     ``db_paths`` + ``query_paths`` absolute path lists."""
 
     _imgs_level = 2
+    # Batch loading goes through the native C++ decode+resize+normalize
+    # pipeline (native/imagepipe.cpp, float-exact vs transforms.load_image)
+    # when it is available and the subclass keeps the standard __getitem__;
+    # set False to force the per-image PIL path.
+    use_native_loader = True
 
     def __init__(
         self,
@@ -107,7 +112,31 @@ class VPRDataset:
         if drop_remainder:
             idx = idx[: len(idx) - len(idx) % batch_size]
 
+        native_ok = (
+            self.use_native_loader
+            and self.img_size is not None
+            and type(self).__getitem__ is VPRDataset.__getitem__
+        )
+        if native_ok:
+            from anyloc_tpu import native
+
+            native_ok = native.imagepipe_available()
+
         def load_batch(batch_idx):
+            if native_ok:
+                from anyloc_tpu import native
+                from anyloc_tpu.data.transforms import (
+                    IMAGENET_MEAN, IMAGENET_STD,
+                )
+
+                paths = [self.images_paths[i] for i in batch_idx]
+                imgs, ok = native.decode_batch(
+                    paths, tuple(self.img_size), IMAGENET_MEAN, IMAGENET_STD
+                )
+                if not ok.all():
+                    bad = paths[int(np.flatnonzero(~ok)[0])]
+                    raise FileNotFoundError(f"failed to decode {bad}")
+                return imgs, batch_idx
             imgs = np.stack([self[i][0] for i in batch_idx])
             return imgs, batch_idx
 

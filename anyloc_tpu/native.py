@@ -58,6 +58,77 @@ def available() -> bool:
     return get_lib() is not None
 
 
+# ------------------------------------------------------- image pipeline
+_IP_SRC = os.path.join(os.path.dirname(_SRC), "imagepipe.cpp")
+_IP_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libimagepipe.so")
+_ip_lib: Optional[ctypes.CDLL] = None
+
+
+def get_imagepipe() -> Optional[ctypes.CDLL]:
+    """The native decode+resize+normalize pipeline (native/imagepipe.cpp) —
+    the DataLoader-worker equivalent. Needs libjpeg/libpng dev headers to
+    build; callers fall back to PIL when unavailable."""
+    global _ip_lib
+    if _ip_lib is not None:
+        return _ip_lib
+    try:
+        if not os.path.exists(_IP_LIB_PATH) or (
+            os.path.getmtime(_IP_LIB_PATH) < os.path.getmtime(_IP_SRC)
+        ):
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", _IP_SRC, "-o", _IP_LIB_PATH,
+                   "-ljpeg", "-lpng"]
+            subprocess.run(cmd, check=True, capture_output=True)
+        lib = ctypes.CDLL(_IP_LIB_PATH)
+    except Exception:
+        return None
+    i64 = ctypes.c_int64
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), i64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, f32p, f32p, f32p, i64p, ctypes.c_int,
+    ]
+    lib.decode_batch.restype = i64
+    _ip_lib = lib
+    return _ip_lib
+
+
+def imagepipe_available() -> bool:
+    return get_imagepipe() is not None
+
+
+def decode_batch(
+    paths: Sequence[str],
+    out_hw: Tuple[int, int],
+    mean: Sequence[float],
+    std: Sequence[float],
+    n_threads: int = 0,
+    antialias: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode JPEG/PNG files -> normalized channels-last f32 [N, H, W, 3]
+    on a native thread pool. Returns (batch, ok_mask); failed files decode
+    to zeros with ok=0. antialias=False is tensor-mode torchvision bilinear
+    (the reference pipelines' semantics, matching
+    transforms.resize_tensor_bilinear); True is the PIL/antialiased
+    convention (demo-style PIL resizes)."""
+    lib = get_imagepipe()
+    if lib is None:
+        raise RuntimeError("native imagepipe unavailable (no g++/libjpeg?)")
+    h, w = out_hw
+    n = len(paths)
+    out = np.empty((n, h, w, 3), np.float32)
+    ok = np.zeros(n, np.int64)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.decode_batch(
+        arr, n, h, w, int(antialias),
+        np.ascontiguousarray(mean, np.float32),
+        np.ascontiguousarray(std, np.float32),
+        out, ok, n_threads,
+    )
+    return out, ok.astype(bool)
+
+
 def nn_search(
     db: np.ndarray, qu: np.ndarray, k: int, method: str = "cosine"
 ) -> Tuple[np.ndarray, np.ndarray]:

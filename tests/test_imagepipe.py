@@ -1,0 +1,96 @@
+"""Native image-loading pipeline (native/imagepipe.cpp) vs the PIL path.
+
+The reference feeds every pipeline through PIL decode + torchvision Resize +
+Normalize inside DataLoader workers (dvgl_benchmark/parser.py:60); here one
+native call handles a whole batch. Tensor-mode resize must be float-exact
+against transforms.load_image (the parity-critical path); the antialiased
+mode tracks PIL within its uint8 between-pass rounding.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from anyloc_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.imagepipe_available(), reason="native imagepipe not built"
+)
+
+MEAN = [0.485, 0.456, 0.406]
+STD = [0.229, 0.224, 0.225]
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    paths = {}
+    img = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(d / "rgb.png")
+    Image.fromarray(img).save(d / "rgb.jpg", quality=95)
+    Image.fromarray(img[:, :, 0]).save(d / "gray.png")
+    Image.fromarray(img).convert("P").save(d / "palette.png")
+    paths["rgb_png"] = str(d / "rgb.png")
+    paths["rgb_jpg"] = str(d / "rgb.jpg")
+    paths["gray_png"] = str(d / "gray.png")
+    paths["palette_png"] = str(d / "palette.png")
+    paths["missing"] = str(d / "nope.jpg")
+    return paths
+
+
+def test_tensor_mode_matches_load_image(image_dir):
+    """antialias=False must be float-exact vs the Python loader path."""
+    from anyloc_tpu.data.transforms import load_image
+
+    for key in ("rgb_png", "rgb_jpg", "gray_png", "palette_png"):
+        out, ok = native.decode_batch(
+            [image_dir[key]], (64, 80), MEAN, STD, antialias=False
+        )
+        assert ok.all()
+        ref = load_image(image_dir[key], (64, 80))
+        np.testing.assert_allclose(out[0], ref, atol=2e-5), key
+
+
+def test_antialias_mode_tracks_pil(image_dir):
+    """antialias=True reproduces PIL bilinear within its uint8 rounding."""
+    out, ok = native.decode_batch(
+        [image_dir["rgb_png"]], (64, 80), MEAN, STD, antialias=True
+    )
+    pil = Image.open(image_dir["rgb_png"]).resize((80, 64), Image.BILINEAR)
+    ref = (np.asarray(pil, np.float32) / 255.0 - MEAN) / STD
+    # PIL rounds to uint8 between the two resize passes; ours is full f32
+    assert np.abs(out[0] - ref).max() < 1.5 / 255.0 / min(STD)
+
+
+def test_failed_files_flagged_not_raised(image_dir):
+    paths = [image_dir["rgb_png"], image_dir["missing"], image_dir["rgb_jpg"]]
+    out, ok = native.decode_batch(paths, (32, 32), MEAN, STD)
+    assert ok.tolist() == [True, False, True]
+    assert np.all(out[1] == 0)
+
+
+def test_dataset_batches_native_equals_pil(image_dir):
+    """VPRDataset.batches through the native loader == per-image PIL path."""
+    from anyloc_tpu.data.base import VPRDataset
+
+    paths = [image_dir["rgb_png"], image_dir["rgb_jpg"], image_dir["gray_png"]]
+    ds_native = VPRDataset(paths, paths[:1], img_size=(48, 56))
+    ds_pil = VPRDataset(paths, paths[:1], img_size=(48, 56))
+    ds_pil.use_native_loader = False
+    got = [b for b, _ in ds_native.batches(2, which="all")]
+    want = [b for b, _ in ds_pil.batches(2, which="all")]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=2e-5)
+
+
+def test_dataset_batches_native_missing_file_raises(image_dir):
+    from anyloc_tpu.data.base import VPRDataset
+
+    ds = VPRDataset([image_dir["rgb_png"], image_dir["missing"]], [],
+                    img_size=(32, 32))
+    with pytest.raises(Exception):
+        list(ds.batches(2, which="all"))
