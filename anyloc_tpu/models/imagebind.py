@@ -65,57 +65,67 @@ def _block_cfg(embed_dim, depth, heads, dtype) -> ViTConfig:
     )
 
 
-class _TrunkStack(nn.Module):
-    """Pre-norm block stack + final LN shared by the non-vision trunks."""
+class _SimpleTrunk(nn.Module):
+    """Reference ``SimpleTransformer`` block stack (imagebind_extractor.py:
+    1005-1123): pre-norm blocks of torch ``nn.MultiheadAttention`` semantics
+    with optional learned ``bias_k``/``bias_v`` appended as one extra
+    attention position (``add_bias_kv=True`` — the audio/depth/thermal/imu
+    trunks, :1420-1447), optional causal masking (text), and fc1/fc2 MLP.
+    There is NO trunk-final LayerNorm — the final LN lives in each modality
+    head (:1466-1502). Flat param names (``blocks_{i}_qkv``...) keep the
+    checkpoint converters one level deep."""
 
     cfg: ViTConfig
     causal: bool = False
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = self.cfg
-        if self.causal:
-            # causal attention via additive mask is not plumbed through
-            # Block; emulate with explicit loop using Attention? Simpler:
-            # reuse Block but pre-mask is needed — implement inline blocks.
-            raise RuntimeError("use _CausalTrunk for text")
-        for i in range(c.depth):
-            x = Block(c, name=f"blocks_{i}")(x)
-        return nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm")(x)
-
-
-class _CausalTrunk(nn.Module):
-    cfg: ViTConfig
+    bias_kv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         b, t, d = x.shape
-        mask = jnp.tril(jnp.ones((t, t), bool))
         nh, hd = c.num_heads, c.embed_dim // c.num_heads
+        mask = jnp.tril(jnp.ones((t, t), bool)) if self.causal else None
+        if mask is not None and self.bias_kv:
+            # the appended bias position is attendable from every query
+            mask = jnp.concatenate([mask, jnp.ones((t, 1), bool)], axis=1)
+
+        def heads(z):
+            return z.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+
         for i in range(c.depth):
             h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype,
                              name=f"blocks_{i}_norm1")(x)
             qkv = nn.Dense(3 * d, dtype=c.dtype, name=f"blocks_{i}_qkv")(h)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-
-            def heads(z):
-                return z.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-
-            q, k, v = heads(q), heads(k), heads(v)
+            q, k, v = (heads(z) for z in jnp.split(qkv, 3, axis=-1))
+            if self.bias_kv:
+                # torch MultiheadAttention add_bias_kv: raw k/v-space vectors
+                # appended after projection, shared across the batch
+                bk = self.param(f"blocks_{i}_bias_k",
+                                nn.initializers.normal(0.02), (d,))
+                bv = self.param(f"blocks_{i}_bias_v",
+                                nn.initializers.normal(0.02), (d,))
+                k = jnp.concatenate(
+                    [k, jnp.broadcast_to(
+                        bk.astype(c.dtype).reshape(1, nh, 1, hd),
+                        (b, nh, 1, hd))], axis=2)
+                v = jnp.concatenate(
+                    [v, jnp.broadcast_to(
+                        bv.astype(c.dtype).reshape(1, nh, 1, hd),
+                        (b, nh, 1, hd))], axis=2)
             s = jnp.einsum("bhqd,bhkd->bhqk", q * hd ** -0.5, k,
                            preferred_element_type=jnp.float32)
-            s = jnp.where(mask[None, None], s, -jnp.inf)
+            if mask is not None:
+                s = jnp.where(mask[None, None], s, -jnp.inf)
             a = jax.nn.softmax(s, axis=-1).astype(c.dtype)
             o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
             o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
             x = x + nn.Dense(d, dtype=c.dtype, name=f"blocks_{i}_proj")(o)
             h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype,
                              name=f"blocks_{i}_norm2")(x)
-            h = nn.Dense(4 * d, dtype=c.dtype, name=f"blocks_{i}_fc1")(h)
+            h = nn.Dense(int(4 * d), dtype=c.dtype, name=f"blocks_{i}_fc1")(h)
             h = nn.gelu(h, approximate=False)
             x = x + nn.Dense(d, dtype=c.dtype, name=f"blocks_{i}_fc2")(h)
-        return nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm")(x)
+        return x
 
 
 class _PatchTrunk(nn.Module):
@@ -145,19 +155,21 @@ class _PatchTrunk(nn.Module):
                         dtype=self.dtype, name="stem")(x.astype(self.dtype))
             x = x.reshape(b, -1, self.embed_dim)
             # reference audio/depth/thermal stems LayerNorm the projected
-            # tokens (PatchEmbedGeneric norm_layer, imagebind :1273/1292/1313)
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+            # tokens (PatchEmbedGeneric norm_layer, imagebind :1273/1292/1313;
+            # torch-default eps 1e-5)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name="stem_norm")(x)
         else:  # imu: x [B, C=6, T]; linear over kernel-sized chunks
             k = self.kernel
             bt = x.shape[-1] // k
             x = x[:, :, : bt * k].reshape(b, x.shape[1], bt, k)
             x = x.transpose(0, 2, 1, 3).reshape(b, bt, -1)  # [B, T/k, 6k]
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(
-                x.astype(self.dtype)
-            )
+            # reference order: Linear stem THEN norm_layer over embed_dim
+            # (PatchEmbedGeneric.forward + IMUPreprocessor, :362-373,:535-547)
             x = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,
-                         name="stem")(x)
+                         name="stem")(x.astype(self.dtype))
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="stem_norm")(x)
         t = x.shape[1]
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (1, 1, self.embed_dim))
@@ -167,7 +179,9 @@ class _PatchTrunk(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, t + 1, self.embed_dim))
         x = x + pos.astype(self.dtype)
-        x = _TrunkStack(c, name="trunk")(x)
+        # add_bias_kv=True trunk, no trunk-final LN — the head LN below IS
+        # the only final normalization (reference :1480-1502)
+        x = _SimpleTrunk(c, bias_kv=True, name="trunk")(x)
         out = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                        name="head")(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="head_norm")(
@@ -193,12 +207,16 @@ class ImageBindText(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.01),
                          (1, self.context, self.embed_dim))
         x = (x + pos[:, :t]).astype(self.dtype)
-        x = _CausalTrunk(
+        x = _SimpleTrunk(
             _block_cfg(self.embed_dim, self.depth, self.heads, self.dtype),
-            name="trunk",
+            causal=True, name="trunk",
         )(x)
+        # SelectEOSAndProject (reference :116-130,:1473-1478): take the EOT
+        # token (highest BPE id) then LN + Linear
         eos = jnp.argmax(tokens, axis=-1)
         pooled = x[jnp.arange(b), eos]
+        pooled = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                              name="head_norm")(pooled)
         out = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                        name="head")(pooled)
         return l2_normalize(out.astype(jnp.float32))
@@ -255,8 +273,9 @@ def log_mel_spectrogram(
 
 class ImageBindModel:
     """Unified multimodal embedder: ``model({modality: batch})`` returns
-    L2-normalized 1024-d joint embeddings per modality (the reference's
-    forward contract, imagebind_extractor.py:1125+)."""
+    1024-d joint embeddings per modality — L2-normalized then multiplied by
+    the modality's logit scale, the reference's exact forward contract
+    (imagebind_extractor.py:1125+, postprocessors :1506-1530)."""
 
     def __init__(self, checkpoint: Optional[str] = None, dtype=jnp.float32,
                  seed: int = 42, bpe_path: Optional[str] = None):
@@ -279,6 +298,18 @@ class ImageBindModel:
         self._params: Dict[str, Dict] = {}
         self._fns: Dict[str, object] = {}
         self._vision_head = None  # (ln_params, w) once known
+        # Postprocessor logit scales (reference _create_modality_postprocessors,
+        # imagebind_extractor.py:1506-1530): outputs are L2-normalized then
+        # multiplied by exp(log_logit_scale) clipped at 100 — learnable for
+        # text (init 1/0.07), fixed elsewhere.
+        self.logit_scales: Dict[str, float] = {
+            ModalityType.VISION: 1.0,
+            ModalityType.TEXT: min(1.0 / 0.07, 100.0),
+            ModalityType.AUDIO: 20.0,
+            ModalityType.DEPTH: 5.0,
+            ModalityType.THERMAL: 10.0,
+            ModalityType.IMU: 5.0,
+        }
         if checkpoint is not None:
             from anyloc_tpu.models.convert import load_torch_checkpoint
 
@@ -287,8 +318,17 @@ class ImageBindModel:
                 sd, self.vision_cfg
             )
             self._vision_head = convert_imagebind_vision_head(sd)
-            # Other modalities' converters follow the same uniform naming;
-            # add as checkpoints become available in-environment.
+            self._params[ModalityType.TEXT] = convert_imagebind_text(
+                sd, depth=self.text.depth
+            )
+            for m in (ModalityType.AUDIO, ModalityType.DEPTH,
+                      ModalityType.THERMAL, ModalityType.IMU):
+                self._params[m] = convert_imagebind_patch(sd, m)
+            ts = sd.get("modality_postprocessors.text.1.log_logit_scale")
+            if ts is not None:
+                self.logit_scales[ModalityType.TEXT] = min(
+                    float(np.exp(np.asarray(ts))), 100.0
+                )
 
     def _get(self, modality: str, example):
         if modality not in self._fns:
@@ -346,7 +386,9 @@ class ImageBindModel:
                 batch = self.tokenizer.tokenize(batch, self.text.context)
             batch = jnp.asarray(batch)
             fn = self._get(modality, batch)
-            out[modality] = fn(self._params[modality], batch)
+            emb = fn(self._params[modality], batch)
+            # reference postprocessors: Normalize (inside fn) then logit scale
+            out[modality] = emb * self.logit_scales.get(modality, 1.0)
         return out
 
 
@@ -450,6 +492,94 @@ def convert_imagebind_vision_head(sd: Dict):
         ln_params(sd, "modality_heads.vision.0"),
         t2np(sd["modality_heads.vision.2.weight"]).T,  # [1280, 1024]
     )
+
+
+def _convert_simple_trunk(sd: Dict, prefix: str, depth: int,
+                          bias_kv: bool) -> Dict:
+    """``modality_trunks.{m}.blocks.{i}`` (torch nn.MultiheadAttention
+    in_proj/out_proj + norm_1/norm_2 + mlp.fc1/fc2 naming) -> the flat
+    ``_SimpleTrunk`` param dict."""
+    p: Dict = {}
+    for i in range(depth):
+        b = f"{prefix}.blocks.{i}"
+        p[f"blocks_{i}_norm1"] = ln_params(sd, f"{b}.norm_1")
+        p[f"blocks_{i}_qkv"] = {
+            # in_proj packs q|k|v rows [3D, D] -> transpose to [D, 3D] cols
+            "kernel": t2np(sd[f"{b}.attn.in_proj_weight"]).T,
+            "bias": t2np(sd[f"{b}.attn.in_proj_bias"]),
+        }
+        p[f"blocks_{i}_proj"] = dense_params(sd, f"{b}.attn.out_proj")
+        if bias_kv:
+            p[f"blocks_{i}_bias_k"] = t2np(sd[f"{b}.attn.bias_k"]).reshape(-1)
+            p[f"blocks_{i}_bias_v"] = t2np(sd[f"{b}.attn.bias_v"]).reshape(-1)
+        p[f"blocks_{i}_norm2"] = ln_params(sd, f"{b}.norm_2")
+        p[f"blocks_{i}_fc1"] = dense_params(sd, f"{b}.mlp.fc1")
+        p[f"blocks_{i}_fc2"] = dense_params(sd, f"{b}.mlp.fc2")
+    return p
+
+
+def convert_imagebind_text(sd: Dict, depth: int = 24) -> Dict:
+    """Text tower: token embedding + learned pos embed
+    (modality_preprocessors.text, imagebind_extractor.py:647-726), causal
+    trunk, and the SelectEOSAndProject head (proj.0 LN + proj.1 Linear,
+    :1473-1478) -> ``ImageBindText`` params."""
+    pre = "modality_preprocessors.text."
+    p: Dict = {
+        "token_embedding": {
+            "embedding": t2np(sd[f"{pre}token_embedding.weight"])
+        },
+        "pos_embed": t2np(sd[f"{pre}pos_embed"]),
+        "trunk": _convert_simple_trunk(
+            sd, "modality_trunks.text", depth, bias_kv=False
+        ),
+        "head_norm": ln_params(sd, "modality_heads.text.proj.0"),
+        "head": {"kernel": t2np(sd["modality_heads.text.proj.1.weight"]).T},
+    }
+    return {"params": p}
+
+
+# (stem key, trunk depth, head Sequential index of the Linear — imu has a
+# Dropout at index 2, reference :1480-1502)
+_PATCH_MODALITY_SPECS = {
+    ModalityType.AUDIO: ("rgbt_stem", 12, 2),
+    ModalityType.DEPTH: ("depth_stem", 12, 2),
+    ModalityType.THERMAL: ("rgbt_stem", 12, 2),
+    ModalityType.IMU: ("imu_stem", 6, 3),
+}
+
+
+def convert_imagebind_patch(
+    sd: Dict, modality: str, depth: Optional[int] = None
+) -> Dict:
+    """Audio / depth / thermal / imu tower -> ``_PatchTrunk`` params.
+
+    Stems: Conv2d [D, 1, k, k] -> flax [k, k, 1, D] (audio/thermal live
+    under ``rgbt_stem`` because their preprocessors subclass
+    RGBDTPreprocessor, reference :483-490,:727-735; imu is a Linear [D, 48]
+    -> [48, D]); plus the stem norm_layer, cls_token, learned pos embed,
+    add_bias_kv trunk, and the LN -> CLS -> Linear head."""
+    stem, default_depth, head_idx = _PATCH_MODALITY_SPECS[modality]
+    depth = default_depth if depth is None else depth
+    pre = f"modality_preprocessors.{modality}."
+    p: Dict = {"cls_token": t2np(sd[f"{pre}cls_token"])}
+    if modality == ModalityType.IMU:
+        p["stem"] = {"kernel": t2np(sd[f"{pre}{stem}.proj.weight"]).T}
+        p["pos_embed"] = t2np(sd[f"{pre}pos_embed"])
+    else:
+        k = t2np(sd[f"{pre}{stem}.proj.weight"])        # [D, 1, k, k]
+        p["stem"] = {"kernel": k.transpose(2, 3, 1, 0)}  # [k, k, 1, D]
+        p["pos_embed"] = t2np(sd[f"{pre}pos_embedding_helper.pos_embed"])
+    p["stem_norm"] = ln_params(sd, f"{pre}{stem}.norm_layer")
+    p["trunk"] = _convert_simple_trunk(
+        sd, f"modality_trunks.{modality}", depth, bias_kv=True
+    )
+    p["head_norm"] = ln_params(sd, f"modality_heads.{modality}.0")
+    p["head"] = {
+        "kernel": t2np(
+            sd[f"modality_heads.{modality}.{head_idx}.weight"]
+        ).T
+    }
+    return {"params": p}
 
 
 def imagebind_huge(checkpoint: Optional[str] = None, full: bool = False, **kw):
