@@ -481,6 +481,198 @@ def fused_attn_half_int8(
     )(*in_args)
 
 
+def _attn_half_bf16_kernel(
+    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    wp_ref, bp_ref, ln_ref, *rest,
+    scale: float, hd: int, skew: bool, eps: float, has_gamma: bool,
+):
+    """bf16 twin of ``_attn_half_int8_kernel``: the whole pre-norm attention
+    half in one kernel with bf16 weights — removes the [B, N, 3D] qkv HBM
+    round-trip (~150 MB/block at the flagship shape) and the LN boundary
+    that the split XLA-qkv + attn-kernel path pays."""
+    refs = list(rest)
+    g_ref = refs.pop(0) if has_gamma else None
+    o_ref, xn_ref, acc_ref = refs
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+        xn_ref[:] = (xn * ln_ref[0:1] + ln_ref[1:2]).astype(xn_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[:]
+
+    def project(w_ref, b_ref):
+        return (
+            jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[:]
+        )                                                   # [N, hc*hd] f32
+
+    q = project(wq_ref, bq_ref) * scale
+    k = project(wk_ref, bk_ref)
+    v = project(wv_ref, bv_ref).astype(jnp.bfloat16)
+    hc = q.shape[1] // hd
+
+    def head_scores(h):
+        return jax.lax.dot_general(
+            q[:, h * hd : (h + 1) * hd], k[:, h * hd : (h + 1) * hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    def head_pv(h, s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        return jnp.dot(
+            p.astype(jnp.bfloat16), v[:, h * hd : (h + 1) * hd],
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+
+    if skew:
+        outs = []
+        prev = head_scores(0)
+        for h in range(1, hc):
+            cur = head_scores(h)
+            outs.append(head_pv(h - 1, prev))
+            prev = cur
+        outs.append(head_pv(hc - 1, prev))
+    else:
+        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
+    o_cat = jnp.concatenate(outs, axis=1)                   # [N, hc*hd] bf16
+    acc_ref[:] += jnp.dot(o_cat, wp_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out = acc_ref[:] + bp_ref[:]
+        if g_ref is not None:
+            out = out * g_ref[:]
+        out = out + x_ref[0].astype(jnp.float32)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_attn_half_bf16(
+    x: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    b_qkv: Optional[jnp.ndarray],
+    wp: jnp.ndarray,
+    b_proj: Optional[jnp.ndarray],
+    *,
+    num_heads: int,
+    ln_params: tuple,
+    ln_eps: float = 1e-6,
+    layerscale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    head_chunk: Optional[int] = None,
+    skew: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out = x + ls1 * (proj(attn(qkv(LN1(x)))) + b_proj), bf16 weights.
+
+    Same dataflow as ``fused_attn_half_int8`` without quantization: the
+    normalized activations persist in VMEM scratch across head chunks; the
+    qkv tensor never exists in HBM. wqkv [D, 3D] (q|k|v column thirds),
+    wp [D, D].
+
+    MEASURED NEGATIVE at the flagship shape (B32 N257 D1536): 2.12 vs 1.59
+    ms/layer for the split XLA-qkv + ``flash_attention_qkv_proj`` path —
+    the per-image in-kernel qkv matmul (M=257) loses to XLA's batched
+    M=8224 one, and bf16 weights double the per-cell streaming
+    (tools/bench_attn_half_bf16.py, docs/PERFORMANCE.md). NOT wired into
+    the trunk; retained for re-evaluation at other shapes. The int8 twin
+    wins because it additionally removes XLA quantize-chain boundaries.
+    """
+    b, n, d = x.shape
+    h = num_heads
+    hd = d // h
+    assert wqkv.shape == (d, 3 * d), wqkv.shape
+    assert wp.shape == (d, d), wp.shape
+    scale = hd ** -0.5 if scale is None else scale
+    if head_chunk is None:
+        budget = 6 * 1024 * 1024
+        np_tok = _round_up(n, 8)
+        head_chunk = max(1, min(h, budget // (np_tok * np_tok * 4)))
+    hc = head_chunk
+    while h % hc:
+        hc -= 1
+    nj = h // hc
+    hcw = hc * hd
+
+    def vec(v_, width):
+        return (
+            jnp.zeros((1, width), jnp.float32)
+            if v_ is None
+            else jnp.asarray(v_, jnp.float32).reshape(1, width)
+        )
+
+    b_qkv_v = vec(b_qkv, 3 * d)
+    b_p_v = vec(b_proj, d)
+    ln_pack = jnp.stack(
+        [jnp.asarray(p_, jnp.float32).reshape(d) for p_ in ln_params]
+    )
+
+    w_view = lambda off: pl.BlockSpec(  # noqa: E731
+        (d, hcw), lambda i, j, o=off: (0, j + o), memory_space=pltpu.VMEM
+    )
+    bvec_view = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, hcw), lambda i, j, o=off: (0, j + o), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        x_spec,
+        w_view(0), w_view(nj), w_view(2 * nj),
+        bvec_view(0), bvec_view(nj), bvec_view(2 * nj),
+        pl.BlockSpec((hcw, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    in_args = [x, wqkv, wqkv, wqkv, b_qkv_v, b_qkv_v, b_qkv_v, wp, b_p_v, ln_pack]
+    if layerscale is not None:
+        in_specs.append(
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+        in_args.append(jnp.asarray(layerscale, jnp.float32).reshape(1, d))
+
+    esz = 2 if x.dtype == jnp.bfloat16 else 4
+    wsz = 2 if wqkv.dtype == jnp.bfloat16 else 4
+    np_pad = _round_up(n, 16)
+    vmem = (
+        2 * np_pad * d * esz                 # x block
+        + 2 * 3 * d * hcw * wsz              # qkv weight chunks
+        + 2 * hcw * d * wsz                  # proj weight chunk
+        + np_pad * d * (esz + 4)             # xn + acc scratch
+        + 2 * np_pad * d * esz               # out block
+        + hc * np_pad * np_pad * 4           # staged f32 scores
+        + 4 * np_pad * hcw * 4               # q/k/v/o_cat live
+    )
+    kernel = functools.partial(
+        _attn_half_bf16_kernel,
+        scale=scale, hd=hd, skew=skew, eps=ln_eps,
+        has_gamma=layerscale is not None,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, d), x.dtype),
+            pltpu.VMEM((n, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem * 1.4) + (2 << 20), 110 << 20)
+        ),
+        interpret=interpret,
+    )(*in_args)
+
+
 def attention_proj(
     q: jnp.ndarray,
     k: jnp.ndarray,

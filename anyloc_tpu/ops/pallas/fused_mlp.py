@@ -157,6 +157,70 @@ def _mlp_kernel_gelu(
         _epilogue(x_ref, b3_ref, gamma_ref, out_ref, acc_ref, residual=residual)
 
 
+def _mlp_kernel_swiglu_bf16(
+    x_ref, w1_ref, w2_ref, b1_ref, b2_ref, w3_ref, b3_ref, *rest,
+    eps: float = 1e-6, ln: bool = False, gamma: bool = False,
+    residual: bool = False,
+):
+    """bf16 twin of ``_mlp_kernel_swiglu``: whole MLP half in one kernel
+    (LN + w12 + SwiGLU + w3 + LayerScale + residual), no quantization. The
+    normalized activations persist in VMEM scratch across hidden chunks."""
+    refs = list(rest)
+    ln_ref = refs.pop(0) if ln else None
+    gamma_ref = refs.pop(0) if gamma else None
+    out_ref, xn_ref, acc_ref = refs
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if ln_ref is not None:
+            xf = _ln_rows(xf, ln_ref[0:1], ln_ref[1:2], eps)
+        xn_ref[:] = xf.astype(xn_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[:]
+    g1 = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    g2 = jnp.dot(xn, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    g = (jax.nn.silu(g1) * g2).astype(xn.dtype)
+    acc_ref[:] += jnp.dot(g, w3_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(c == nc - 1)
+    def _():
+        _epilogue(x_ref, b3_ref, gamma_ref, out_ref, acc_ref, residual=residual)
+
+
+def _mlp_kernel_gelu_bf16(
+    x_ref, w1_ref, b1_ref, w3_ref, b3_ref, *rest,
+    eps: float = 1e-6, ln: bool = False, gamma: bool = False,
+    residual: bool = False,
+):
+    refs = list(rest)
+    ln_ref = refs.pop(0) if ln else None
+    gamma_ref = refs.pop(0) if gamma else None
+    out_ref, xn_ref, acc_ref = refs
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if ln_ref is not None:
+            xf = _ln_rows(xf, ln_ref[0:1], ln_ref[1:2], eps)
+        xn_ref[:] = xf.astype(xn_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[:]
+    g = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    g = _gelu_exact(g).astype(xn.dtype)
+    acc_ref[:] += jnp.dot(g, w3_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(c == nc - 1)
+    def _():
+        _epilogue(x_ref, b3_ref, gamma_ref, out_ref, acc_ref, residual=residual)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
@@ -308,6 +372,140 @@ def fused_mlp_int8(
             compiler_params=params,
             interpret=interpret,
         )(x2, w12_q, s1, b1v, w3_q, s3, b3v, *extra_args)
+
+    if mp != m:
+        out = out[:m]
+    return out.reshape(orig_shape)
+
+
+def fused_mlp_bf16(
+    x: jnp.ndarray,
+    w12: jnp.ndarray,
+    b12: Optional[jnp.ndarray],
+    w3: jnp.ndarray,
+    b3: Optional[jnp.ndarray],
+    *,
+    mlp_type: str = "swiglu_fused",
+    hidden_chunk: int = 512,
+    m_tile: int = 1088,
+    ln_params: Optional[tuple] = None,
+    ln_eps: float = 1e-6,
+    layerscale: Optional[jnp.ndarray] = None,
+    residual: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole MLP half in one kernel with bf16 weights (no quantization):
+    optional LN prologue + w12 + SwiGLU/GELU + w3 + bias + LayerScale +
+    residual. Same grid/dataflow as ``fused_mlp_int8``.
+
+    MEASURED NEGATIVE at the flagship shape: 2.56 (best tile sweep) vs
+    1.98 ms/layer for the XLA MLP half — XLA's bf16 matmuls already run at
+    ~85% peak with nothing to fuse away, and the in-kernel f32
+    intermediates spill registers (docs/PERFORMANCE.md). NOT wired into
+    the trunk; the int8 twin wins because it removes XLA quantize-chain
+    boundaries, which bf16 does not have."""
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    hid = w3.shape[0]
+    x2 = x.reshape(-1, d)
+    m = x2.shape[0]
+
+    hc = min(hidden_chunk, hid)
+    while hid % hc:
+        hc -= 1
+    mt = min(m_tile, _round_up(m, 32))
+    if m % mt:
+        cands = [
+            t for t in range(32, min(2 * mt, m) + 1, 8)
+            if m % t == 0 and t >= mt // 3
+        ]
+        if cands:
+            mt = min(cands, key=lambda t: abs(t - mt))
+    mp = _round_up(m, mt)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    n_chunks = hid // hc
+
+    out_dtype = x.dtype
+    zeros = lambda n: jnp.zeros((1, n), jnp.float32)  # noqa: E731
+    b3v = zeros(d) if b3 is None else b3.reshape(1, d).astype(jnp.float32)
+
+    x_spec = pl.BlockSpec((mt, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((mt, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM)
+    w3_spec = pl.BlockSpec((hc, d), lambda i, c: (c, 0), memory_space=pltpu.VMEM)
+    s3_spec = pl.BlockSpec((1, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM)
+
+    extra_args, extra_specs = [], []
+    if ln_params is not None:
+        ln_pack = jnp.stack(
+            [jnp.asarray(p, jnp.float32).reshape(d) for p in ln_params]
+        )
+        extra_args.append(ln_pack)
+        extra_specs.append(
+            pl.BlockSpec((2, d), lambda i, c: (0, 0), memory_space=pltpu.VMEM)
+        )
+    if layerscale is not None:
+        extra_args.append(jnp.asarray(layerscale, jnp.float32).reshape(1, d))
+        extra_specs.append(s3_spec)
+    kern_kw = dict(
+        eps=ln_eps, ln=ln_params is not None,
+        gamma=layerscale is not None, residual=residual,
+    )
+
+    esz = 2 if out_dtype == jnp.bfloat16 else 4
+    wsz = 2 if w12.dtype == jnp.bfloat16 else 4
+    vmem = (
+        mt * d * (esz + esz + 4 + esz)
+        + 2 * (3 if mlp_type == "swiglu_fused" else 2) * hc * d * wsz
+        + 6 * mt * hc * 4
+    )
+    params = pltpu.CompilerParams(vmem_limit_bytes=min(int(vmem * 1.4), 110 << 20))
+
+    if mlp_type == "swiglu_fused":
+        assert w12.shape == (d, 2 * hid), (w12.shape, d, hid)
+        b12v = zeros(2 * hid) if b12 is None else b12.reshape(1, 2 * hid).astype(jnp.float32)
+        w1_spec = pl.BlockSpec((d, hc), lambda i, c: (0, c), memory_space=pltpu.VMEM)
+        w2_spec = pl.BlockSpec(
+            (d, hc), lambda i, c: (0, c + n_chunks), memory_space=pltpu.VMEM
+        )
+        v1_spec = pl.BlockSpec((1, hc), lambda i, c: (0, c), memory_space=pltpu.VMEM)
+        v2_spec = pl.BlockSpec(
+            (1, hc), lambda i, c: (0, c + n_chunks), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            functools.partial(_mlp_kernel_swiglu_bf16, **kern_kw),
+            grid=(mp // mt, n_chunks),
+            in_specs=[
+                x_spec, w1_spec, w2_spec, v1_spec, v2_spec,
+                w3_spec, s3_spec, *extra_specs,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, d), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((mt, d), out_dtype),
+                pltpu.VMEM((mt, d), jnp.float32),
+            ],
+            compiler_params=params,
+            interpret=interpret,
+        )(x2, w12, w12, b12v, b12v, w3, b3v, *extra_args)
+    else:
+        assert w12.shape == (d, hid), (w12.shape, d, hid)
+        b1v = zeros(hid) if b12 is None else b12.reshape(1, hid).astype(jnp.float32)
+        w1_spec = pl.BlockSpec((d, hc), lambda i, c: (0, c), memory_space=pltpu.VMEM)
+        v1_spec = pl.BlockSpec((1, hc), lambda i, c: (0, c), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_mlp_kernel_gelu_bf16, **kern_kw),
+            grid=(mp // mt, n_chunks),
+            in_specs=[x_spec, w1_spec, v1_spec, w3_spec, s3_spec, *extra_specs],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, d), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((mt, d), out_dtype),
+                pltpu.VMEM((mt, d), jnp.float32),
+            ],
+            compiler_params=params,
+            interpret=interpret,
+        )(x2, w12, b1v, w3, b3v, *extra_args)
 
     if mp != m:
         out = out[:m]

@@ -229,3 +229,32 @@ class TestFusedAttnHalfInt8:
             np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
         )
         assert cos.min() > 0.99, cos.min()
+
+
+class TestFusedAttnHalfBf16:
+    """Unwired bf16 twin (measured slower than the split path at the
+    flagship shape — kept for other-shape re-evaluation): correctness only."""
+
+    def test_matches_f32_reference(self, rng):
+        from anyloc_tpu.ops.pallas.attn_proj import fused_attn_half_bf16
+
+        b, n, h, hd = 2, 13, 4, 16
+        d = h * hd
+        x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+        wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.1, jnp.float32)
+        bqkv = jnp.asarray(rng.standard_normal((3 * d,)) * 0.02, jnp.float32)
+        wp = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+        bp = jnp.asarray(rng.standard_normal((d,)) * 0.02, jnp.float32)
+        ln_s = jnp.asarray(1 + 0.1 * rng.standard_normal((d,)), jnp.float32)
+        ln_b = jnp.asarray(0.05 * rng.standard_normal((d,)), jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal((d,)) * 0.5, jnp.float32)
+        got = fused_attn_half_bf16(
+            x, wqkv, bqkv, wp, bp, num_heads=h, ln_params=(ln_s, ln_b),
+            layerscale=gamma, head_chunk=2, interpret=True,
+        )
+        want = TestFusedAttnHalfInt8._reference_f32(
+            None, x, wqkv, bqkv, wp, bp, ln_s, ln_b, gamma, h
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+        )

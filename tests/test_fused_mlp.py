@@ -153,3 +153,38 @@ class TestFusedTrunkIntegration:
             np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
         )
         assert cos.min() > 0.99, cos.min()
+
+
+class TestFusedMlpBf16:
+    """Unwired bf16 twin (measured slower than the XLA MLP half at the
+    flagship shape — docs/PERFORMANCE.md): correctness only."""
+
+    def test_matches_reference(self):
+        import jax
+
+        from anyloc_tpu.ops.pallas.fused_mlp import fused_mlp_bf16
+
+        rng = np.random.default_rng(0)
+        b, n, d, hid = 2, 13, 128, 192
+        x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+        w12 = jnp.asarray(rng.standard_normal((d, 2 * hid)) * 0.05, jnp.float32)
+        b12 = jnp.asarray(rng.standard_normal((2 * hid,)) * 0.01, jnp.float32)
+        w3 = jnp.asarray(rng.standard_normal((hid, d)) * 0.05, jnp.float32)
+        b3 = jnp.asarray(rng.standard_normal((d,)) * 0.01, jnp.float32)
+        ln_s = jnp.asarray(1 + 0.1 * rng.standard_normal((d,)), jnp.float32)
+        ln_b = jnp.asarray(0.05 * rng.standard_normal((d,)), jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal((d,)) * 0.5, jnp.float32)
+        got = fused_mlp_bf16(
+            x, w12, b12, w3, b3, ln_params=(ln_s, ln_b), layerscale=gamma,
+            residual=True, hidden_chunk=64, m_tile=32, interpret=True,
+        )
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+        h12 = h @ w12 + b12
+        g = jax.nn.silu(h12[..., :hid]) * h12[..., hid:]
+        want = x + (g @ w3 + b3) * gamma
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3
+        )
