@@ -91,13 +91,28 @@ class DescriptorEngine:
         return self._extract_dataset(dataset, which, sub_sample, verbose)
 
     def _extract_dataset(self, dataset, which, sub_sample, verbose):
+        """Depth-1 software pipeline: batch i+1's host decode (prefetch
+        thread) and H2D transfer + compute dispatch happen while batch i's
+        result is still being fetched — JAX dispatch is async, so the only
+        blocking point per step is the D2H of the *previous* batch. The
+        reference serializes decode -> H2D -> compute -> D2H per image
+        (extract_patch_descriptors hot loop)."""
         idx = dataset.indices(which, sub_sample)
         out = None
         done = 0
-        for imgs, bidx in dataset.batches(
-            self.batch_size, which=which, sub_sample=sub_sample
-        ):
-            descs = self.extract_batch(imgs)
+
+        def dispatch(imgs):
+            imgs = np.stack(
+                [center_crop_multiple(im, self.patch) for im in imgs]
+            )
+            if self._sharded is not None:
+                return self._sharded(self.extractor.params, imgs)
+            return self.extractor(jnp.asarray(imgs))  # async device value
+
+        def drain(pending):
+            nonlocal out, done
+            descs, bidx = pending
+            descs = np.asarray(descs)                 # blocks on this batch
             if out is None:
                 out = np.empty((len(idx),) + descs.shape[1:], np.float32)
             valid = bidx >= 0
@@ -105,6 +120,17 @@ class DescriptorEngine:
             done += int(valid.sum())
             if verbose:
                 print(f"\rExtracting [{which}]: {done}/{len(idx)}", end="")
+
+        pending = None
+        for imgs, bidx in dataset.batches(
+            self.batch_size, which=which, sub_sample=sub_sample
+        ):
+            cur = (dispatch(imgs), bidx)
+            if pending is not None:
+                drain(pending)
+            pending = cur
+        if pending is not None:
+            drain(pending)
         if verbose:
             print()
         return out

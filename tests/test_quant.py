@@ -135,3 +135,52 @@ class TestQuantTrunk:
         want = jax.tree_util.tree_structure(init_params(qcfg, seed=0))
         got = jax.tree_util.tree_structure(qparams)
         assert got == want
+
+
+def test_int8_full_preserves_retrieval_ranking():
+    """End-to-end quality evidence for the int8_full trunk: VLAD descriptors
+    from the quantized trunk must produce the same retrieval ranking as the
+    f32 trunk on a synthetic VPR problem (the R@1-within-0.3% budget,
+    BASELINE.md; real-checkpoint validation via tools/parity_check.py)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from anyloc_tpu.models.extractor import init_params
+    from anyloc_tpu.models.vit import ViT, ViTConfig
+    from anyloc_tpu.ops.quant import quantize_vit_params
+    from anyloc_tpu.ops.retrieval import get_top_k_recall
+    from anyloc_tpu.ops.vlad import VLAD
+
+    cfg = ViTConfig(img_size=56, patch_size=14, embed_dim=128, depth=3,
+                    num_heads=4, mlp_type="swiglu_fused",
+                    layerscale_init=1e-5, attn_impl="xla",
+                    dtype=jnp.float32)
+    params = init_params(cfg, seed=0)
+    qcfg = dataclasses.replace(cfg, quant="int8_full")
+    qp = quantize_vit_params(params, mode="int8_full", min_size=1)
+
+    rng = np.random.default_rng(0)
+    db_imgs = rng.standard_normal((10, 56, 56, 3)).astype(np.float32) * 0.5
+    qu_imgs = db_imgs[:4] + 0.02 * rng.standard_normal(
+        (4, 56, 56, 3)
+    ).astype(np.float32)
+
+    def descs(model, p, imgs):
+        f = model.apply(p, jnp.asarray(imgs), capture_layer=2,
+                        capture_facet="value")
+        return np.asarray(f, np.float32)[:, 1:]
+
+    gt = [np.array([i]) for i in range(4)]
+    recalls = {}
+    for name, (m, p) in {
+        "f32": (ViT(cfg), params), "int8": (ViT(qcfg), qp)
+    }.items():
+        v = VLAD(num_clusters=4)
+        dv = v.fit_and_generate(descs(m, p, db_imgs))
+        qv = v.generate_multi(descs(m, p, qu_imgs))
+        _, idx, rec = get_top_k_recall([1, 5], dv, qv, gt)
+        recalls[name] = (idx[:, 0].tolist(), rec)
+    assert recalls["f32"][0] == recalls["int8"][0], recalls
+    assert recalls["f32"][1] == recalls["int8"][1], recalls
