@@ -134,8 +134,11 @@ class VPRDataset:
                     paths, tuple(self.img_size), IMAGENET_MEAN, IMAGENET_STD
                 )
                 if not ok.all():
-                    bad = paths[int(np.flatnonzero(~ok)[0])]
-                    raise FileNotFoundError(f"failed to decode {bad}")
+                    # formats the native pipe doesn't know (bmp/webp/...) or
+                    # odd encodings: fall back to the per-image PIL path,
+                    # which raises its own error for genuinely broken files
+                    for pos in np.flatnonzero(~ok):
+                        imgs[pos] = self[int(batch_idx[pos])][0]
                 return imgs, batch_idx
             imgs = np.stack([self[i][0] for i in batch_idx])
             return imgs, batch_idx

@@ -14,9 +14,13 @@ imagebind_huge geometry (reference :1567-1580 + trunk defaults):
 | imu     |  512 x  6 x  8              | 1D linear patches k=8 over [6, 2000] windows, CLS |
 
 Heads: LN -> CLS/EOS select -> Linear(trunk_dim, 1024, no bias);
-postprocessor L2-normalizes (and scales logits for audio/thermal/imu —
-inference-irrelevant constants kept for parity). All trunks share the
-pre-norm Block of the ViT trunk (no LayerScale, eps 1e-6).
+postprocessors L2-normalize and multiply by a per-modality logit scale
+(text learnable, init 1/0.07, clipped at 100; audio 20, depth 5, thermal
+10, imu 5; vision 1) — ``ImageBindModel.__call__`` applies BOTH, matching
+the reference forward contract, so returned embeddings are NOT unit-norm
+except for vision. The vision trunk is the shared ViT Block stack; the
+other trunks are ``_SimpleTrunk`` (torch MultiheadAttention semantics,
+add_bias_kv for audio/depth/thermal/imu, causal for text; eps 1e-6).
 """
 
 from __future__ import annotations

@@ -307,21 +307,20 @@ class Attention(nn.Module):
             from anyloc_tpu.ops.pallas.attn_proj import fused_attn_half_int8
 
             ln_scale, ln_bias, gamma = fused_int8_tail
-            kq, ks, bq = QDense(3 * d, dtype=c.dtype, name="qkv")(
-                x, return_params=True
-            )
+            kq, ks, bq = QDense(
+                3 * d, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv"
+            )(x, return_params=True)
             kpq, kps, bp = QDense(d, dtype=c.dtype, name="proj")(
                 jnp.zeros((1, d), c.dtype), return_params=True
             )
             if jax.default_backend() == "cpu" and not _FUSED_ATTN_INTERPRET:
                 # XLA fallback with identical math (CPU tests / non-TPU).
+                from anyloc_tpu.ops.pallas.fused_mlp import _ln_rows
                 from anyloc_tpu.ops.quant import qdense
 
-                xf = x.astype(jnp.float32)
-                mean = jnp.mean(xf, axis=-1, keepdims=True)
-                var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-                xn = (xf - mean) * jax.lax.rsqrt(var + c.ln_eps)
-                xn = xn * ln_scale + ln_bias
+                xn = _ln_rows(
+                    x.astype(jnp.float32), ln_scale, ln_bias, c.ln_eps
+                )
                 qkv = qdense(xn, kq, ks, bq, out_dtype=jnp.float32)
                 q, k, v = jnp.split(qkv, 3, axis=-1)
                 hs = lambda t: t.reshape(b, n, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)  # noqa: E731
@@ -606,11 +605,11 @@ class Block(nn.Module):
                 else None
             )
             if jax.default_backend() in ("cpu",) and not _FUSED_MLP_INTERPRET:
-                hf = x.astype(jnp.float32)
-                mean = jnp.mean(hf, axis=-1, keepdims=True)
-                var = jnp.mean(jnp.square(hf - mean), axis=-1, keepdims=True)
-                hn = (hf - mean) * jax.lax.rsqrt(var + c.ln_eps)
-                hn = (hn * ln_scale + ln_bias).astype(c.dtype)
+                from anyloc_tpu.ops.pallas.fused_mlp import _ln_rows
+
+                hn = _ln_rows(
+                    x.astype(jnp.float32), ln_scale, ln_bias, c.ln_eps
+                ).astype(c.dtype)
                 m = _mlp_int8_xla(c, hn, p1, p3).astype(jnp.float32)
                 if gamma is not None:
                     m = m * gamma

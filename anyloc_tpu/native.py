@@ -90,6 +90,11 @@ def get_imagepipe() -> Optional[ctypes.CDLL]:
         ctypes.c_int, f32p, f32p, f32p, i64p, ctypes.c_int,
     ]
     lib.decode_batch.restype = i64
+    lib.decode_probe.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
+    ]
+    lib.decode_probe.restype = ctypes.c_int
     _ip_lib = lib
     return _ip_lib
 
@@ -119,7 +124,9 @@ def decode_batch(
     n = len(paths)
     out = np.empty((n, h, w, 3), np.float32)
     ok = np.zeros(n, np.int64)
-    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    # fsencode, not str.encode: directory listings can contain
+    # surrogate-escaped non-UTF-8 names that open() accepts
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     lib.decode_batch(
         arr, n, h, w, int(antialias),
         np.ascontiguousarray(mean, np.float32),
@@ -127,6 +134,26 @@ def decode_batch(
         out, ok, n_threads,
     )
     return out, ok.astype(bool)
+
+
+def decode_image(path: str) -> np.ndarray:
+    """Raw decode of one JPEG/PNG file to uint8 RGB [H, W, 3] (no resize /
+    normalization) — the native counterpart of ``PIL.Image.open().convert(
+    'RGB')``, bit-identical for JPEG (same libjpeg IDCT). Two-call probe
+    protocol of ``decode_probe``: dims first, then pixels."""
+    lib = get_imagepipe()
+    if lib is None:
+        raise RuntimeError("native imagepipe unavailable (no g++/libjpeg?)")
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = os.fsencode(path)
+    if not lib.decode_probe(p, ctypes.byref(w), ctypes.byref(h), None):
+        raise ValueError(f"failed to decode {path}")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if not lib.decode_probe(
+        p, ctypes.byref(w), ctypes.byref(h), out.ctypes.data_as(ctypes.c_void_p)
+    ):
+        raise ValueError(f"failed to decode {path}")
+    return out
 
 
 def nn_search(

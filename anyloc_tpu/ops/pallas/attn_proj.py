@@ -51,6 +51,59 @@ def _softmax_masked(s: jnp.ndarray, n_valid: int) -> jnp.ndarray:
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _heads_attention(q, k, v, hd: int, skew: bool):
+    """Per-head scores -> softmax -> PV over column-concatenated heads.
+
+    q [N, hc*hd] f32 (already scaled), k [N, hc*hd] f32, v [N, hc*hd]
+    (bf16 or f32) -> o_cat [N, hc*hd] in v.dtype. ``skew=True`` software-
+    pipelines the loop: scores(h) [MXU] issues before head h-1's
+    softmax [VPU] / PV [MXU], giving the scheduler independent work to
+    dual-issue. Shared by the int8 / bf16 / qkv-view kernels.
+    """
+    hc = q.shape[-1] // hd
+
+    def head_scores(h):
+        return jax.lax.dot_general(
+            q[:, h * hd : (h + 1) * hd], k[:, h * hd : (h + 1) * hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )                                                   # [N, N]
+
+    def head_pv(h, s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        return jnp.dot(
+            p.astype(v.dtype), v[:, h * hd : (h + 1) * hd],
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)                                   # [N, hd]
+
+    if skew:
+        outs = []
+        prev = head_scores(0)
+        for h in range(1, hc):
+            cur = head_scores(h)
+            outs.append(head_pv(h - 1, prev))
+            prev = cur
+        outs.append(head_pv(hc - 1, prev))
+    else:
+        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
+    return jnp.concatenate(outs, axis=1)                    # [N, hc*hd]
+
+
+def _pick_head_chunk(n: int, h: int, requested) -> int:
+    """Heads per grid cell under a ~6 MB f32 score-block VMEM budget,
+    rounded down to a divisor of ``h`` (shared by the fused-half and
+    qkv-view wrappers)."""
+    if requested is None:
+        budget = 6 * 1024 * 1024
+        np_tok = _round_up(n, 8)
+        requested = max(1, min(h, budget // (np_tok * np_tok * 4)))
+    hc = requested
+    while h % hc:
+        hc -= 1
+    return hc
+
+
 def _attn_proj_kernel(
     q_ref, k_ref, v_ref, wp_ref, o_ref, acc_ref,
     *, scale: float, n_valid: int, skew: bool,
@@ -134,35 +187,11 @@ def _attn_qkv_proj_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    hc = q_ref.shape[2] // hd
-
-    def head_scores(h):
-        q = q_ref[0, :, h * hd : (h + 1) * hd].astype(jnp.float32) * scale
-        k = k_ref[0, :, h * hd : (h + 1) * hd].astype(jnp.float32)
-        return jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                   # [N, N]
-
-    def head_pv(h, s):
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        v = v_ref[0, :, h * hd : (h + 1) * hd]
-        return jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(v.dtype)                                   # [N, hd]
-
-    if skew:
-        outs = []
-        prev = head_scores(0)
-        for h in range(1, hc):
-            cur = head_scores(h)
-            outs.append(head_pv(h - 1, prev))
-            prev = cur
-        outs.append(head_pv(hc - 1, prev))
-    else:
-        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
-    o_cat = jnp.concatenate(outs, axis=1)                   # [N, hc*hd]
+    o_cat = _heads_attention(
+        q_ref[0].astype(jnp.float32) * scale,
+        k_ref[0].astype(jnp.float32),
+        v_ref[0], hd, skew,
+    )                                                       # [N, hc*hd]
     acc_ref[:] += jnp.dot(
         o_cat, wp_ref[:], preferred_element_type=jnp.float32
     )
@@ -206,13 +235,7 @@ def flash_attention_qkv_proj(
     hd = d // h
     d_out = w_proj.shape[1]
     scale = hd ** -0.5 if scale is None else scale
-    if head_chunk is None:
-        budget = 6 * 1024 * 1024
-        np_tok = _round_up(n, 8)
-        head_chunk = max(1, min(h, budget // (np_tok * np_tok * 4)))
-    hc = head_chunk
-    while h % hc:
-        hc -= 1
+    hc = _pick_head_chunk(n, h, head_chunk)
     nj = h // hc
 
     qkv_view = lambda off: pl.BlockSpec(  # noqa: E731
@@ -317,34 +340,7 @@ def _attn_half_int8_kernel(
     q = dequant(wq_ref, sbq_ref) * scale
     k = dequant(wk_ref, sbk_ref)
     v = dequant(wv_ref, sbv_ref).astype(jnp.bfloat16)
-    hc = q.shape[1] // hd
-
-    def head_scores(h):
-        return jax.lax.dot_general(
-            q[:, h * hd : (h + 1) * hd], k[:, h * hd : (h + 1) * hd],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )                                                   # [N, N]
-
-    def head_pv(h, s):
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        return jnp.dot(
-            p.astype(jnp.bfloat16), v[:, h * hd : (h + 1) * hd],
-            preferred_element_type=jnp.float32,
-        )                                                   # [N, hd] f32
-
-    if skew:
-        outs = []
-        prev = head_scores(0)
-        for h in range(1, hc):
-            cur = head_scores(h)
-            outs.append(head_pv(h - 1, prev))
-            prev = cur
-        outs.append(head_pv(hc - 1, prev))
-    else:
-        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
-    o_cat = jnp.concatenate(outs, axis=1)                   # [N, hc*hd] f32
+    o_cat = _heads_attention(q, k, v, hd, skew).astype(jnp.float32)
     amax = jnp.max(jnp.abs(o_cat), axis=-1, keepdims=True)
     osc = jnp.maximum(amax, 1e-6) / 127.0
     oq = jnp.clip(jnp.round(o_cat / osc), -127.0, 127.0).astype(jnp.int8)
@@ -398,13 +394,7 @@ def fused_attn_half_int8(
     assert wqkv_q.shape == (d, 3 * d), wqkv_q.shape
     assert wp_q.shape == (d, d), wp_q.shape
     scale = hd ** -0.5 if scale is None else scale
-    if head_chunk is None:
-        budget = 6 * 1024 * 1024
-        np_tok = _round_up(n, 8)
-        head_chunk = max(1, min(h, budget // (np_tok * np_tok * 4)))
-    hc = head_chunk
-    while h % hc:
-        hc -= 1
+    hc = _pick_head_chunk(n, h, head_chunk)
     nj = h // hc
     hcw = hc * hd
 
@@ -516,34 +506,7 @@ def _attn_half_bf16_kernel(
     q = project(wq_ref, bq_ref) * scale
     k = project(wk_ref, bk_ref)
     v = project(wv_ref, bv_ref).astype(jnp.bfloat16)
-    hc = q.shape[1] // hd
-
-    def head_scores(h):
-        return jax.lax.dot_general(
-            q[:, h * hd : (h + 1) * hd], k[:, h * hd : (h + 1) * hd],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-
-    def head_pv(h, s):
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        return jnp.dot(
-            p.astype(jnp.bfloat16), v[:, h * hd : (h + 1) * hd],
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
-
-    if skew:
-        outs = []
-        prev = head_scores(0)
-        for h in range(1, hc):
-            cur = head_scores(h)
-            outs.append(head_pv(h - 1, prev))
-            prev = cur
-        outs.append(head_pv(hc - 1, prev))
-    else:
-        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
-    o_cat = jnp.concatenate(outs, axis=1)                   # [N, hc*hd] bf16
+    o_cat = _heads_attention(q, k, v, hd, skew)             # [N, hc*hd] bf16
     acc_ref[:] += jnp.dot(o_cat, wp_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
@@ -592,13 +555,7 @@ def fused_attn_half_bf16(
     assert wqkv.shape == (d, 3 * d), wqkv.shape
     assert wp.shape == (d, d), wp.shape
     scale = hd ** -0.5 if scale is None else scale
-    if head_chunk is None:
-        budget = 6 * 1024 * 1024
-        np_tok = _round_up(n, 8)
-        head_chunk = max(1, min(h, budget // (np_tok * np_tok * 4)))
-    hc = head_chunk
-    while h % hc:
-        hc -= 1
+    hc = _pick_head_chunk(n, h, head_chunk)
     nj = h // hc
     hcw = hc * hd
 

@@ -207,6 +207,10 @@ class TestFusedAttnHalfInt8:
         assert jax.tree_util.tree_structure(qp) == jax.tree_util.tree_structure(
             qinit
         )
+        # precondition for this test to exercise the fused-attention route:
+        # Block takes it when impl=='pallas' OR backend=='cpu' (conftest
+        # pins tests to the virtual CPU mesh)
+        assert jax.default_backend() == "cpu"
         imgs = jnp.asarray(
             np.random.default_rng(0).standard_normal((2, 56, 56, 3)), jnp.float32
         )
@@ -258,3 +262,29 @@ class TestFusedAttnHalfBf16:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
         )
+
+
+    def test_int8_full_respects_qkv_bias_flag(self):
+        """qkv_bias=False must work through the fused int8 route (the
+        fused branch once declared a bias unconditionally)."""
+        import dataclasses
+
+        from anyloc_tpu.models.extractor import init_params
+        from anyloc_tpu.models.vit import ViT, ViTConfig
+        from anyloc_tpu.ops.quant import quantize_vit_params
+
+        kw = dict(
+            img_size=56, patch_size=14, embed_dim=128, depth=2, num_heads=4,
+            mlp_type="swiglu_fused", layerscale_init=1e-5, attn_impl="xla",
+            qkv_bias=False,
+        )
+        cfg = ViTConfig(**kw)
+        qcfg = dataclasses.replace(cfg, quant="int8_full")
+        qp = quantize_vit_params(init_params(cfg, seed=0), mode="int8_full",
+                                 min_size=1)
+        imgs = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 56, 56, 3)),
+            jnp.float32,
+        )
+        out = ViT(qcfg).apply(qp, imgs, capture_layer=1, capture_facet="value")
+        assert out.shape[-1] == 128

@@ -94,3 +94,30 @@ def test_dataset_batches_native_missing_file_raises(image_dir):
                     img_size=(32, 32))
     with pytest.raises(Exception):
         list(ds.batches(2, which="all"))
+
+
+def test_dataset_batches_falls_back_to_pil_for_unknown_formats(image_dir, tmp_path):
+    """Formats the native pipe can't decode (e.g. BMP) must load through
+    the per-image PIL path instead of failing the whole batch."""
+    from anyloc_tpu.data.base import VPRDataset
+
+    rng = np.random.default_rng(1)
+    img = (rng.random((40, 50, 3)) * 255).astype(np.uint8)
+    bmp = str(tmp_path / "img.bmp")
+    Image.fromarray(img).save(bmp)
+    paths = [image_dir["rgb_png"], bmp]
+    ds = VPRDataset(paths, [], img_size=(32, 32))
+    ds_pil = VPRDataset(paths, [], img_size=(32, 32))
+    ds_pil.use_native_loader = False
+    (got, gi), = list(ds.batches(2, which="all"))
+    (want, wi), = list(ds_pil.batches(2, which="all"))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_decode_image_matches_pil(image_dir):
+    raw = native.decode_image(image_dir["rgb_jpg"])
+    pil = np.asarray(Image.open(image_dir["rgb_jpg"]).convert("RGB"))
+    assert raw.shape == pil.shape
+    np.testing.assert_array_equal(raw, pil)   # same libjpeg IDCT -> bit-equal
+    with pytest.raises(ValueError):
+        native.decode_image(image_dir["missing"])
