@@ -51,16 +51,19 @@ def _softmax_masked(s: jnp.ndarray, n_valid: int) -> jnp.ndarray:
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _heads_attention(q, k, v, hd: int, skew: bool):
+def _heads_attention(q, k, v, hd: int, skew: bool, n_valid=None):
     """Per-head scores -> softmax -> PV over column-concatenated heads.
 
     q [N, hc*hd] f32 (already scaled), k [N, hc*hd] f32, v [N, hc*hd]
     (bf16 or f32) -> o_cat [N, hc*hd] in v.dtype. ``skew=True`` software-
     pipelines the loop: scores(h) [MXU] issues before head h-1's
     softmax [VPU] / PV [MXU], giving the scheduler independent work to
-    dual-issue. Shared by the int8 / bf16 / qkv-view kernels.
+    dual-issue. ``n_valid`` masks padded key columns (batch-tiled cells
+    pad each image's rows to a sublane multiple). Shared by the int8 /
+    bf16 / qkv-view kernels.
     """
     hc = q.shape[-1] // hd
+    nv = q.shape[0] if n_valid is None else n_valid
 
     def head_scores(h):
         return jax.lax.dot_general(
@@ -69,9 +72,7 @@ def _heads_attention(q, k, v, hd: int, skew: bool):
         )                                                   # [N, N]
 
     def head_pv(h, s):
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = _softmax_masked(s, nv)
         return jnp.dot(
             p.astype(v.dtype), v[:, h * hd : (h + 1) * hd],
             preferred_element_type=jnp.float32,
@@ -311,18 +312,27 @@ def _attn_half_int8_kernel(
     o_ref, xq_ref, xs_ref, acc_ref = refs
     j = pl.program_id(1)
     nj = pl.num_programs(1)
+    bt, n = x_ref.shape[0], x_ref.shape[1]
+    np_pad = xq_ref.shape[0] // bt   # per-image rows, sublane-aligned
 
     @pl.when(j == 0)
     def _():
-        xf = x_ref[0].astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-        xn = xn * ln_ref[0:1] + ln_ref[1:2]
-        amax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
-        s = jnp.maximum(amax, 1e-6) / 127.0
-        xq_ref[:] = jnp.clip(jnp.round(xn / s), -127.0, 127.0).astype(jnp.int8)
-        xs_ref[:] = s
+        # per image: LN -> per-token int8 quantize into its aligned row
+        # stripe of the [bt*np_pad, D] scratch (padded rows zeroed)
+        for i in range(bt):
+            xf = x_ref[i].astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+            xn = xn * ln_ref[0:1] + ln_ref[1:2]
+            if np_pad != n:
+                xn = jnp.pad(xn, ((0, np_pad - n), (0, 0)))
+            amax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
+            s = jnp.maximum(amax, 1e-6) / 127.0
+            xq_ref[i * np_pad : (i + 1) * np_pad] = jnp.clip(
+                jnp.round(xn / s), -127.0, 127.0
+            ).astype(jnp.int8)
+            xs_ref[i * np_pad : (i + 1) * np_pad] = s
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     xq = xq_ref[:]
@@ -334,13 +344,24 @@ def _attn_half_int8_kernel(
         ).astype(jnp.float32)
 
     def dequant(w_ref, sb_ref):
-        # [N, hc*hd] f32 = (xq @ wq) * row_scale * col_scale + bias
+        # [bt*np_pad, hc*hd] f32 = (xq @ wq) * row_scale * col_scale + bias
         return dot_i8(xq, w_ref[:]) * xs * sb_ref[0:1] + sb_ref[1:2]
 
     q = dequant(wq_ref, sbq_ref) * scale
     k = dequant(wk_ref, sbk_ref)
     v = dequant(wv_ref, sbv_ref).astype(jnp.bfloat16)
-    o_cat = _heads_attention(q, k, v, hd, skew).astype(jnp.float32)
+    # attention per image over its aligned row stripe; padded key columns
+    # masked (their dequant rows carry the bias vector, not zeros)
+    o_parts = [
+        _heads_attention(
+            q[i * np_pad : (i + 1) * np_pad],
+            k[i * np_pad : (i + 1) * np_pad],
+            v[i * np_pad : (i + 1) * np_pad],
+            hd, skew, n_valid=n,
+        ).astype(jnp.float32)
+        for i in range(bt)
+    ]
+    o_cat = o_parts[0] if bt == 1 else jnp.concatenate(o_parts, axis=0)
     amax = jnp.max(jnp.abs(o_cat), axis=-1, keepdims=True)
     osc = jnp.maximum(amax, 1e-6) / 127.0
     oq = jnp.clip(jnp.round(o_cat / osc), -127.0, 127.0).astype(jnp.int8)
@@ -348,11 +369,12 @@ def _attn_half_int8_kernel(
 
     @pl.when(j == nj - 1)
     def _():
-        out = acc_ref[:] + sbp_ref[1:2]
-        if g_ref is not None:
-            out = out * g_ref[:]
-        out = out + x_ref[0].astype(jnp.float32)
-        o_ref[0] = out.astype(o_ref.dtype)
+        for i in range(bt):
+            out = acc_ref[i * np_pad : i * np_pad + n] + sbp_ref[1:2]
+            if g_ref is not None:
+                out = out * g_ref[:]
+            out = out + x_ref[i].astype(jnp.float32)
+            o_ref[i] = out.astype(o_ref.dtype)
 
 
 def fused_attn_half_int8(
@@ -370,6 +392,7 @@ def fused_attn_half_int8(
     layerscale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     head_chunk: Optional[int] = None,
+    batch_tile: int = 1,
     skew: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -386,7 +409,10 @@ def fused_attn_half_int8(
 
     x [B, N, D]; wqkv_q int8 [D, 3D] (q|k|v column thirds, head-minor —
     the reference's fused-qkv layout); wp_q int8 [D, D];
-    ln_params = (ln_scale, ln_bias) of norm1.
+    ln_params = (ln_scale, ln_bias) of norm1. ``batch_tile`` processes that
+    many images per grid cell (amortizes per-cell weight streaming by bt
+    and raises the qkv/proj matmul M from N to bt*N; each image's rows pad
+    to a sublane multiple inside the scratch).
     """
     b, n, d = x.shape
     h = num_heads
@@ -394,6 +420,10 @@ def fused_attn_half_int8(
     assert wqkv_q.shape == (d, 3 * d), wqkv_q.shape
     assert wp_q.shape == (d, d), wp_q.shape
     scale = hd ** -0.5 if scale is None else scale
+    bt = batch_tile
+    while b % bt:
+        bt -= 1
+    np_pad = _round_up(n, 8)
     hc = _pick_head_chunk(n, h, head_chunk)
     nj = h // hc
     hcw = hc * hd
@@ -419,7 +449,7 @@ def fused_attn_half_int8(
     sb_view = lambda off: pl.BlockSpec(  # noqa: E731
         (2, hcw), lambda i, j, o=off: (0, j + o), memory_space=pltpu.VMEM
     )
-    x_spec = pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((bt, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         x_spec,
         w_view(0), w_view(nj), w_view(2 * nj),
@@ -436,15 +466,15 @@ def fused_attn_half_int8(
         in_args.append(jnp.asarray(layerscale, jnp.float32).reshape(1, d))
 
     esz = 2 if x.dtype == jnp.bfloat16 else 4
-    np_pad = _round_up(n, 16)
+    rows = bt * np_pad
     vmem = (
-        2 * np_pad * d * esz                 # x block (double-buffered)
+        2 * rows * d * esz                   # x block (double-buffered)
         + 2 * 3 * d * hcw                    # qkv weight chunks int8
         + 2 * hcw * d                        # proj weight chunk int8
-        + np_pad * d * (1 + 4)               # xq + acc scratch
-        + 2 * np_pad * d * esz               # out block
-        + hc * np_pad * np_pad * 4           # staged f32 scores
-        + 4 * np_pad * hcw * 4               # q/k/v/o_cat f32 live
+        + rows * d * (1 + 4)                 # xq + acc scratch
+        + 2 * rows * d * esz                 # out block
+        + hc * np_pad * np_pad * 4           # staged f32 scores (per image)
+        + 4 * rows * hcw * 4                 # q/k/v/o_cat f32 live
     )
     kernel = functools.partial(
         _attn_half_int8_kernel,
@@ -453,16 +483,16 @@ def fused_attn_half_int8(
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, nj),
+        grid=(b // bt, nj),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            (bt, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n, d), jnp.int8),
-            pltpu.VMEM((n, 1), jnp.float32),
-            pltpu.VMEM((n, d), jnp.float32),
+            pltpu.VMEM((bt * np_pad, d), jnp.int8),
+            pltpu.VMEM((bt * np_pad, 1), jnp.float32),
+            pltpu.VMEM((bt * np_pad, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(vmem * 1.4) + (2 << 20), 110 << 20)

@@ -288,3 +288,29 @@ class TestFusedAttnHalfBf16:
         )
         out = ViT(qcfg).apply(qp, imgs, capture_layer=1, capture_facet="value")
         assert out.shape[-1] == 128
+
+def test_int8_batch_tile_invariance(rng):
+    """batch_tile>1 packs images into one grid cell (padded row stripes) —
+    outputs must match the per-image path up to requantization noise.
+    (Measured break-even at the flagship shape; default stays 1 —
+    docs/PERFORMANCE.md.)"""
+    from anyloc_tpu.ops.pallas.attn_proj import fused_attn_half_int8
+    from anyloc_tpu.ops.quant import quantize_weight_cols
+
+    x, wqkv, bqkv, wp, bp, ln_s, ln_b, gamma = (
+        TestFusedAttnHalfInt8()._problem(rng, b=4, n=13)
+    )
+    wqkv_q, sqkv = quantize_weight_cols(wqkv)
+    wp_q, sp = quantize_weight_cols(wp)
+    outs = [
+        fused_attn_half_int8(
+            x, wqkv_q, sqkv, bqkv, wp_q, sp, bp,
+            num_heads=4, ln_params=(ln_s, ln_b), layerscale=gamma,
+            head_chunk=2, batch_tile=bt, interpret=True,
+        )
+        for bt in (1, 2, 4)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(outs[0]), rtol=1e-5, atol=1e-5
+        )
