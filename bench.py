@@ -6,7 +6,9 @@ VLAD 32 clusters -> 49152-dim descriptors. Prints ONE JSON line:
 (North star: >= 1000 imgs/sec/chip on TPU v5p; this rig is a single v5e.)
 
 Weights are random-initialized (no pretrained checkpoints reachable from this
-environment) — identical compute/shapes to the real model.
+environment) — identical compute/shapes to the real model. Default trunk
+mode is int8_full (frozen-trunk W8A8 serving mode, labeled in the unit
+string); ``--bf16`` benches the full-precision trunk.
 """
 
 import json
@@ -31,11 +33,21 @@ def main():
     img_size = 224  # 16x16 grid = 257 tokens
     layer, n_clusters = 31, 32
     args = list(sys.argv[1:])
-    quant = None
+    # Default trunk mode: int8_full — the production serving mode for this
+    # frozen-trunk workload (whole block = two fused int8 Pallas kernels;
+    # all four matmuls on the v5e's 2x int8 MXU path). Ranking parity vs
+    # the f32 trunk is test-enforced (tests/test_quant.py: identical
+    # retrieval rankings; facet cosine >= 0.9999); the strict
+    # R@1-within-0.3% budget awaits real checkpoints (BASELINE.md,
+    # tools/parity_check.py). `--bf16` benches the full-precision trunk
+    # (306.8 vs 506.2 imgs/sec on v5e); `--quant=MODE` selects any mode.
+    quant = "int8_full"
     for a in sys.argv[1:]:
         if a.startswith("--quant"):
             quant = a.split("=", 1)[1] if "=" in a else "int8_fused"
-    args = [a for a in args if not a.startswith("--quant")]
+        elif a == "--bf16":
+            quant = None
+    args = [a for a in args if not a.startswith(("--quant", "--bf16"))]
     batch = int(args[0]) if args else 32
 
     cfg = dinov2_config(model_name, dtype=jnp.bfloat16)
