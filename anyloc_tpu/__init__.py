@@ -16,6 +16,42 @@ Design stance (vs the PyTorch reference at AnyLoc/AnyLoc):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a per-user directory.
+
+    TPU cold starts are dominated by compilation (and, behind a remote-device
+    tunnel, by shipping each program to the backend); caching compiled
+    executables across processes turns minutes of warmup into seconds on every
+    run after the first. Opt out with ANYLOC_TPU_NO_COMPILE_CACHE=1 or
+    override the location with JAX_COMPILATION_CACHE_DIR (which JAX itself
+    honors, so we never clobber an explicit user setting).
+    """
+    if _os.environ.get("ANYLOC_TPU_NO_COMPILE_CACHE"):
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is not None:
+        return  # user already configured it programmatically
+    cache_home = _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache"))
+    path = _os.path.join(cache_home, "anyloc_tpu", "xla_cache")
+    try:
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache everything that takes noticeable time; default threshold (1s)
+        # skips the many small programs (kmeans steps, recalls) that still
+        # cost a round-trip each on remote backends.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from anyloc_tpu.ops.vlad import VLAD, vlad_aggregate
 from anyloc_tpu.ops.kmeans import KMeans, kmeans_fit
 from anyloc_tpu.ops.retrieval import get_top_k_recall, top_k_search
