@@ -33,10 +33,17 @@ def _enable_persistent_compile_cache() -> None:
         return
     if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
+    if _os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+        # CPU-first runs (unit tests, virtual meshes) compile fast anyway, and
+        # persisted XLA:CPU AOT executables are machine-feature-pinned —
+        # reloading them elsewhere risks SIGILL. Cache only device backends.
+        return
     import jax
 
     if jax.config.jax_compilation_cache_dir is not None:
         return  # user already configured it programmatically
+    if (jax.config.jax_platforms or "").split(",")[0] == "cpu":
+        return  # programmatically pinned to CPU (tests, virtual meshes)
     cache_home = _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache"))
     path = _os.path.join(cache_home, "anyloc_tpu", "xla_cache")
     try:
