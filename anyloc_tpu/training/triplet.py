@@ -46,11 +46,16 @@ def sare_ind_loss(q, p, n):
 
 
 def sare_joint_loss(q, p, n):
-    """SARE-joint (functional.py:19-27): softmax over the negative set."""
+    """SARE-joint (functional.py:19-27): softmax over the negative set.
+
+    Reduction matches the reference's training loop (dvgl train.py:150-165):
+    one joint term per query, but the batch sum is divided by B * NEG — so
+    the per-query mean is further scaled by 1/NEG.
+    """
     d_qp = jnp.sum((q - p) ** 2, axis=-1)  # [B]
     d_qn = jnp.sum((q[:, None] - n) ** 2, axis=-1)  # [B, NEG]
     logits = jnp.concatenate([-d_qp[:, None], -d_qn], axis=1)
-    return jnp.mean(-jax.nn.log_softmax(logits, axis=1)[:, 0])
+    return jnp.mean(-jax.nn.log_softmax(logits, axis=1)[:, 0]) / n.shape[1]
 
 
 _LOSSES = {

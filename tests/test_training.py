@@ -227,3 +227,68 @@ def test_mixvpr_model(rng):
     out = model.apply(v, imgs)
     assert out.shape == (1, 16)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out)), 1.0, atol=1e-5)
+
+
+class TestTripletLossOracles:
+    """Loss-function parity vs torch oracles that independently implement the
+    reference formulas (dvgl model/functional.py:6-27) and the training
+    loop's reduction (dvgl train.py:140-165: batch sum / (B * NEG))."""
+
+    def _tuples(self, rng, b=3, neg=4, d=16):
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        p = rng.standard_normal((b, d)).astype(np.float32)
+        n = rng.standard_normal((b, neg, d)).astype(np.float32)
+        return q, p, n
+
+    def test_triplet_margin_matches_torch(self, rng):
+        import torch
+
+        from anyloc_tpu.training.triplet import triplet_margin_loss
+
+        q, p, n = self._tuples(rng)
+        crit = torch.nn.TripletMarginLoss(margin=0.1, p=2, reduction="sum")
+        tq, tp, tn = map(torch.from_numpy, (q, p, n))
+        want = sum(
+            float(crit(tq[i : i + 1], tp[i : i + 1], tn[i, j : j + 1]))
+            for i in range(q.shape[0])
+            for j in range(n.shape[1])
+        ) / (q.shape[0] * n.shape[1])
+        got = float(triplet_margin_loss(jnp.asarray(q), jnp.asarray(p), jnp.asarray(n)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_sare_ind_matches_reference_formula(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        from anyloc_tpu.training.triplet import sare_ind_loss
+
+        q, p, n = self._tuples(rng)
+        tq, tp, tn = map(torch.from_numpy, (q, p, n))
+        total = 0.0
+        for i in range(q.shape[0]):
+            for j in range(n.shape[1]):
+                d_pos = ((tq[i] - tp[i]) ** 2).sum()[None]
+                d_neg = ((tq[i] - tn[i, j]) ** 2).sum()[None]
+                dist = F.log_softmax(-torch.cat([d_pos, d_neg]), 0)
+                total += float(-dist[0])
+        want = total / (q.shape[0] * n.shape[1])
+        got = float(sare_ind_loss(jnp.asarray(q), jnp.asarray(p), jnp.asarray(n)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_sare_joint_matches_reference_formula(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        from anyloc_tpu.training.triplet import sare_joint_loss
+
+        q, p, n = self._tuples(rng)
+        tq, tp, tn = map(torch.from_numpy, (q, p, n))
+        total = 0.0
+        for i in range(q.shape[0]):
+            d_pos = ((tq[i] - tp[i]) ** 2).sum()[None]
+            d_neg = ((tq[i][None] - tn[i]) ** 2).sum(1)
+            dist = F.log_softmax(-torch.cat([d_pos, d_neg]), 0)
+            total += float(-dist[0])
+        want = total / (q.shape[0] * n.shape[1])
+        got = float(sare_joint_loss(jnp.asarray(q), jnp.asarray(p), jnp.asarray(n)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
