@@ -23,8 +23,8 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> str:
-    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-shared", "-fPIC",
-           "-std=c++17", _SRC, "-o", _LIB_PATH]
+    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-pthread", "-shared",
+           "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH]
     subprocess.run(cmd, check=True, capture_output=True)
     return _LIB_PATH
 
@@ -47,6 +47,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.nn_search.argtypes = [f32p, i64, i64, f32p, i64, i64, ctypes.c_int,
                               f32p, i64p]
     lib.nn_search.restype = None
+    lib.nn_search_mt.argtypes = [f32p, i64, i64, f32p, i64, i64, ctypes.c_int,
+                                 f32p, i64p, ctypes.c_int]
+    lib.nn_search_mt.restype = None
     lib.recall_at_k.argtypes = [i64p, i64, i64, i64p, i64p, i64p, i64, i64,
                                 i64, i64p]
     lib.recall_at_k.restype = None
@@ -157,10 +160,13 @@ def decode_image(path: str) -> np.ndarray:
 
 
 def nn_search(
-    db: np.ndarray, qu: np.ndarray, k: int, method: str = "cosine"
+    db: np.ndarray, qu: np.ndarray, k: int, method: str = "cosine",
+    n_threads: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k on host. Conventions match ops.retrieval.top_k_search
-    (cosine -> IP descending; l2 -> squared distances ascending)."""
+    (cosine -> IP descending; l2 -> squared distances ascending).
+    ``n_threads`` 0 = hardware concurrency; queries split across threads,
+    results are thread-count-invariant."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native nnsearch unavailable (no g++?)")
@@ -169,8 +175,8 @@ def nn_search(
     k = min(k, db.shape[0])
     scores = np.empty((qu.shape[0], k), np.float32)
     idx = np.empty((qu.shape[0], k), np.int64)
-    lib.nn_search(db, db.shape[0], db.shape[1], qu, qu.shape[0], k,
-                  0 if method == "cosine" else 1, scores, idx)
+    lib.nn_search_mt(db, db.shape[0], db.shape[1], qu, qu.shape[0], k,
+                     0 if method == "cosine" else 1, scores, idx, n_threads)
     return scores, idx
 
 

@@ -47,6 +47,23 @@ def top_k_search(
     raise ValueError(f"Unknown method: {method}")
 
 
+def _prepare_shard(db: np.ndarray, d0: int, d1: int, stream_dtype: str):
+    """Host-side shard packing for the streaming engine. Returns the arrays
+    shipped to the device for shard [d0:d1)."""
+    blk = db[d0:d1]
+    if stream_dtype == "float32":
+        return (np.ascontiguousarray(blk, np.float32), None)
+    if stream_dtype == "bfloat16":
+        import ml_dtypes
+
+        return (np.ascontiguousarray(blk, ml_dtypes.bfloat16), None)
+    if stream_dtype == "int8":
+        scale = np.maximum(np.abs(blk).max(axis=1, keepdims=True), 1e-12) / 127.0
+        q = np.clip(np.rint(blk / scale), -127, 127).astype(np.int8)
+        return (q, scale.astype(np.float32))
+    raise ValueError(f"Unknown stream_dtype: {stream_dtype}")
+
+
 def top_k_search_blocked(
     db: np.ndarray,
     qu: np.ndarray,
@@ -54,37 +71,85 @@ def top_k_search_blocked(
     method: str = "cosine",
     query_block: int = 1024,
     db_block: int = 131072,
+    stream_dtype: str = "float32",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-streaming exact top-k for databases too large for one device
     buffer (the reference's RAM-efficient eval, dvgl_benchmark/test.py:12-119,
-    re-thought for TPU): queries stream in blocks, database streams in shards,
-    partial top-k's merge on device."""
+    re-thought for TPU).
+
+    Queries are device-resident for the whole search; the database streams
+    through the device ONCE, shard by shard, double-buffered so the H2D copy
+    of shard i+1 overlaps the matmul+merge of shard i. ``query_block`` only
+    bounds the transient [qb, db_block] score matrix. ``stream_dtype``
+    trades score precision for link bandwidth — the usual bottleneck of a
+    streaming search: "bfloat16" halves the bytes; "int8" (per-row absmax
+    quantization, dequantized on device after the matmul) is 4x.
+    """
     n_db = db.shape[0]
     n_qu = qu.shape[0]
-    out_scores = np.empty((n_qu, k), np.float32)
-    out_idx = np.empty((n_qu, k), np.int64)
+    k = min(k, n_db)
     sign = 1.0 if method == "cosine" else -1.0
 
-    for q0 in range(0, n_qu, query_block):
-        qb = jnp.asarray(qu[q0 : q0 + query_block])
-        best_s = jnp.full((qb.shape[0], k), -jnp.inf, jnp.float32)
-        best_i = jnp.zeros((qb.shape[0], k), jnp.int64)
-        for d0 in range(0, n_db, db_block):
-            dbb = jnp.asarray(db[d0 : d0 + db_block])
-            best_s, best_i = _blocked_merge(
-                best_s, best_i, dbb, qb, d0, k, method, sign
+    qu_dev = jax.device_put(np.ascontiguousarray(qu, np.float32))
+    q_starts = list(range(0, n_qu, query_block))
+    best_s = [jnp.full((min(query_block, n_qu - q0), k), -jnp.inf, jnp.float32)
+              for q0 in q_starts]
+    best_i = [jnp.zeros((min(query_block, n_qu - q0), k), jnp.int32)
+              for q0 in q_starts]
+
+    d_starts = list(range(0, n_db, db_block))
+    next_dev = jax.device_put(_prepare_shard(db, d_starts[0],
+                                             d_starts[0] + db_block, stream_dtype))
+    for si, d0 in enumerate(d_starts):
+        shard = next_dev
+        if si + 1 < len(d_starts):  # async prefetch overlaps the merge below
+            next_dev = jax.device_put(_prepare_shard(
+                db, d_starts[si + 1], d_starts[si + 1] + db_block, stream_dtype))
+        blk, scales = shard
+        for qi, q0 in enumerate(q_starts):
+            qb = jax.lax.dynamic_slice_in_dim(qu_dev, q0, best_s[qi].shape[0])
+            best_s[qi], best_i[qi] = _blocked_merge(
+                best_s[qi], best_i[qi], blk, scales, qb, d0, k, method, sign
             )
-        out_scores[q0 : q0 + query_block] = np.asarray(sign * best_s)
-        out_idx[q0 : q0 + query_block] = np.asarray(best_i)
+    out_scores = np.concatenate([np.asarray(sign * s) for s in best_s])
+    out_idx = np.concatenate([np.asarray(i) for i in best_i]).astype(np.int64)
     return out_scores, out_idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "method", "sign"))
-def _blocked_merge(best_s, best_i, db_blk, qu_blk, offset, k, method, sign):
+def _blocked_merge(best_s, best_i, db_blk, db_scales, qu_blk, offset, k, method, sign):
     """Merge one database shard into the running top-k (module-level jit so
-    repeated blocked searches reuse the compiled program)."""
-    s, i = top_k_search(db_blk, qu_blk, min(k, db_blk.shape[0]), method)
-    i = i + offset
+    repeated blocked searches reuse the compiled program).
+
+    ``db_blk`` may be f32, bf16, or int8 (with ``db_scales`` [Nb, 1] for the
+    int8 per-row dequantization). Narrow dtypes score via a bf16 matmul with
+    f32 accumulation — exactness is already bounded by the quantization, and
+    the streaming engine is link-bound, not MXU-bound.
+    """
+    kk = min(k, db_blk.shape[0])
+    if db_blk.dtype == jnp.float32 and db_scales is None:
+        s, i = top_k_search(db_blk, qu_blk, kk, method)
+    else:
+        if db_scales is None:  # bf16 stream
+            x = db_blk
+        else:  # int8 stream: dequantize into bf16 for the MXU
+            x = db_blk.astype(jnp.bfloat16) * db_scales.astype(jnp.bfloat16)
+        qx = jnp.dot(
+            qu_blk.astype(jnp.bfloat16), x.T, preferred_element_type=jnp.float32
+        )
+        if method == "cosine":
+            s, i = jax.lax.top_k(qx, kk)
+        elif method == "l2":
+            d2 = (
+                jnp.sum(qu_blk * qu_blk, axis=-1, keepdims=True)
+                - 2.0 * qx
+                + jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)[None, :]
+            )
+            top_neg, i = jax.lax.top_k(-d2, kk)
+            s = -top_neg
+        else:
+            raise ValueError(f"Unknown method: {method}")
+    i = i.astype(jnp.int32) + offset
     cat_s = jnp.concatenate([best_s, sign * s], axis=1)
     cat_i = jnp.concatenate([best_i, i], axis=1)
     top, pos = jax.lax.top_k(cat_s, k)

@@ -10,7 +10,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from anyloc_tpu.ops.retrieval import top_k_search
+from anyloc_tpu.ops.retrieval import top_k_search, top_k_search_blocked
 
 
 def extract_features(
@@ -78,7 +78,15 @@ def evaluate(
     pca=None,  # (mean, components, scale) triple from ops.pca.pca_fit
     distractor_dataset=None,
     majority_weight: float = 0.01,
+    efficient_ram: bool = False,
+    stream_dtype: str = "float32",
 ) -> Tuple[np.ndarray, str]:
+    """``efficient_ram`` is the dvgl ``test_efficient_ram_usage`` analogue
+    (test.py:12-119) re-thought for TPU: the database streams through the
+    device in shards instead of residing in one HBM buffer, so databases
+    beyond device memory evaluate on a single chip. ``stream_dtype``
+    ("float32" / "bfloat16" / "int8") trades score precision for stream
+    bandwidth (see ops.retrieval.top_k_search_blocked)."""
     db, qu = extract_features(descriptor_fn, dataset, test_method, batch_size)
     if pca is not None:
         from anyloc_tpu.ops.pca import pca_transform
@@ -96,7 +104,12 @@ def evaluate(
         db = np.concatenate([db, dis])
 
     max_k = min(max(recall_values), db.shape[0])
-    distances, predictions = top_k_search(db, qu, max_k, method="l2")
+    if efficient_ram:
+        distances, predictions = top_k_search_blocked(
+            db, qu, max_k, method="l2", stream_dtype=stream_dtype
+        )
+    else:
+        distances, predictions = top_k_search(db, qu, max_k, method="l2")
     # writable host copies (device buffers are read-only; voting mutates)
     distances, predictions = np.array(distances), np.array(predictions)
 

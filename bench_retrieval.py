@@ -29,6 +29,9 @@ def main():
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--engines", nargs="*",
                    default=["device", "blocked"])
+    p.add_argument("--stream-dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="blocked-engine streaming dtype (bandwidth knob)")
     args = p.parse_args()
 
     import jax
@@ -53,13 +56,15 @@ def main():
         dt = time.perf_counter() - t0
         results["device"] = args.n_qu / dt
     if "blocked" in args.engines:
-        top_k_search_blocked(db[:8192], qu[:16], args.k, query_block=256,
-                             db_block=65536)  # warm/compile the merge kernel
+        top_k_search_blocked(db[:65536], qu, args.k, query_block=256,
+                             db_block=65536,
+                             stream_dtype=args.stream_dtype)  # warm/compile
         t0 = time.perf_counter()
         s, i = top_k_search_blocked(db, qu, args.k, query_block=256,
-                                    db_block=65536)
+                                    db_block=65536,
+                                    stream_dtype=args.stream_dtype)
         dt = time.perf_counter() - t0
-        results["blocked"] = args.n_qu / dt
+        results[f"blocked_{args.stream_dtype}"] = args.n_qu / dt
     if "native" in args.engines:
         from anyloc_tpu import native
 

@@ -7,9 +7,11 @@
 // metric 1 = squared L2 (ascending distances).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -25,32 +27,18 @@ struct HeapEntryMax {  // min-heap on score => keeps top-k largest
 constexpr int kQBlock = 64;
 constexpr int kDbBlock = 256;
 
-}  // namespace
-
-extern "C" {
-
-// db: [n_db, d] row-major float32; qu: [n_qu, d]; out_scores/out_idx: [n_qu, k]
-// metric: 0 = IP (top-k largest), 1 = squared L2 (top-k smallest)
-void nn_search(const float* db, int64_t n_db, int64_t d, const float* qu,
-               int64_t n_qu, int64_t k, int metric, float* out_scores,
-               int64_t* out_idx) {
-    if (k > n_db) k = n_db;
-    std::vector<float> db_norms;
-    if (metric == 1) {
-        db_norms.resize(n_db);
-        for (int64_t i = 0; i < n_db; ++i) {
-            const float* row = db + i * d;
-            float s = 0.f;
-            for (int64_t j = 0; j < d; ++j) s += row[j] * row[j];
-            db_norms[i] = s;
-        }
-    }
-
+// One worker's share: query blocks [q0, q1). Each query is independent, so
+// the parallel split is over query blocks with all scratch thread-local and
+// results written to disjoint output rows — deterministic by construction.
+void nn_search_range(const float* db, int64_t n_db, int64_t d, const float* qu,
+                     int64_t k, int metric, const float* db_norms,
+                     int64_t q_begin, int64_t q_end, float* out_scores,
+                     int64_t* out_idx) {
     std::vector<std::vector<HeapEntryMax>> heaps(kQBlock);
     std::vector<float> block_scores(kQBlock * kDbBlock);
 
-    for (int64_t q0 = 0; q0 < n_qu; q0 += kQBlock) {
-        const int64_t qb = std::min<int64_t>(kQBlock, n_qu - q0);
+    for (int64_t q0 = q_begin; q0 < q_end; q0 += kQBlock) {
+        const int64_t qb = std::min<int64_t>(kQBlock, q_end - q0);
         for (int64_t qi = 0; qi < qb; ++qi) heaps[qi].clear();
 
         std::vector<float> qu_norms(qb, 0.f);
@@ -111,6 +99,59 @@ void nn_search(const float* db, int64_t n_db, int64_t d, const float* qu,
             }
         }
     }
+}
+
+}  // namespace
+
+extern "C" {
+
+// db: [n_db, d] row-major float32; qu: [n_qu, d]; out_scores/out_idx: [n_qu, k]
+// metric: 0 = IP (top-k largest), 1 = squared L2 (top-k smallest).
+// n_threads <= 0 selects hardware concurrency. Queries split across threads
+// in contiguous kQBlock-aligned ranges; output is thread-count-invariant.
+void nn_search_mt(const float* db, int64_t n_db, int64_t d, const float* qu,
+                  int64_t n_qu, int64_t k, int metric, float* out_scores,
+                  int64_t* out_idx, int n_threads) {
+    if (k > n_db) k = n_db;
+    std::vector<float> db_norms;
+    if (metric == 1) {
+        db_norms.resize(n_db);
+        for (int64_t i = 0; i < n_db; ++i) {
+            const float* row = db + i * d;
+            float s = 0.f;
+            for (int64_t j = 0; j < d; ++j) s += row[j] * row[j];
+            db_norms[i] = s;
+        }
+    }
+    if (n_threads <= 0) {
+        n_threads = (int)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 1;
+    }
+    const int64_t n_blocks = (n_qu + kQBlock - 1) / kQBlock;
+    if (n_threads > n_blocks) n_threads = (int)n_blocks;
+
+    if (n_threads <= 1) {
+        nn_search_range(db, n_db, d, qu, k, metric, db_norms.data(), 0, n_qu,
+                        out_scores, out_idx);
+        return;
+    }
+    std::vector<std::thread> workers;
+    const int64_t blocks_per = (n_blocks + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t q_begin = t * blocks_per * kQBlock;
+        const int64_t q_end = std::min<int64_t>(n_qu, q_begin + blocks_per * kQBlock);
+        if (q_begin >= q_end) break;
+        workers.emplace_back(nn_search_range, db, n_db, d, qu, k, metric,
+                             db_norms.data(), q_begin, q_end, out_scores,
+                             out_idx);
+    }
+    for (auto& w : workers) w.join();
+}
+
+void nn_search(const float* db, int64_t n_db, int64_t d, const float* qu,
+               int64_t n_qu, int64_t k, int metric, float* out_scores,
+               int64_t* out_idx) {
+    nn_search_mt(db, n_db, d, qu, n_qu, k, metric, out_scores, out_idx, 0);
 }
 
 // Recall@K accumulation over variable-length ground-truth positive lists

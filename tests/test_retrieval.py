@@ -88,3 +88,35 @@ def test_get_top_k_recall_1d_query(rng):
     qu = db[3].copy()
     _, idx, recalls = get_top_k_recall([1], db, qu, [np.array([3])])
     assert idx[0, 0] == 3 and recalls[1] == 1.0
+
+
+@pytest.mark.parametrize("stream_dtype", ["bfloat16", "int8"])
+@pytest.mark.parametrize("method", ["cosine", "l2"])
+def test_blocked_search_narrow_stream_dtypes(rng, method, stream_dtype):
+    """Narrow streaming dtypes must preserve the ranking on separated data
+    (bf16 keeps ~3 significant digits; int8 per-row quantization ~0.4% of the
+    row max — both far below the margins of distinct clusters)."""
+    centers = rng.standard_normal((50, 32)).astype(np.float32) * 10.0
+    db = centers + 0.01 * rng.standard_normal((50, 32)).astype(np.float32)
+    qu = centers[:12] + 0.01 * rng.standard_normal((12, 32)).astype(np.float32)
+    s0, i0 = top_k_search(db, qu, 5, method)
+    s1, i1 = top_k_search_blocked(
+        db, qu, 5, method, query_block=5, db_block=16, stream_dtype=stream_dtype
+    )
+    np.testing.assert_array_equal(np.asarray(i0)[:, 0], i1[:, 0])
+    # score error must stay far below the gap between the best hit and the
+    # other clusters (the quantity that decides rankings) — absolute errors
+    # can exceed the near-zero best-match l2 distances themselves.
+    s0 = np.asarray(s0)
+    spread = np.maximum(s0.max(axis=1) - s0.min(axis=1), 1e-6)[:, None]
+    assert (np.abs(s1 - s0) / spread).max() < 0.05
+
+
+def test_blocked_search_ragged_tail_blocks(rng):
+    """DB and query sizes that don't divide the block sizes."""
+    db = rng.standard_normal((333, 24)).astype(np.float32)
+    qu = rng.standard_normal((29, 24)).astype(np.float32)
+    s0, i0 = top_k_search(db, qu, 7, "cosine")
+    s1, i1 = top_k_search_blocked(db, qu, 7, "cosine", query_block=8, db_block=100)
+    np.testing.assert_array_equal(np.asarray(i0), i1)
+    np.testing.assert_allclose(np.asarray(s0), s1, atol=1e-3)

@@ -127,6 +127,19 @@ def test_evaluate_methods(vg_ds, method):
     assert "R@1" in s
 
 
+def test_evaluate_efficient_ram_matches_resident(vg_ds):
+    """dvgl test_efficient_ram_usage analogue: the streamed-database path
+    must reproduce the device-resident recalls exactly (f32 stream)."""
+    fn = _desc_fn()
+    r0, _ = evaluate(fn, vg_ds, recall_values=(1, 5), batch_size=4)
+    r1, _ = evaluate(fn, vg_ds, recall_values=(1, 5), batch_size=4,
+                     efficient_ram=True)
+    np.testing.assert_array_equal(r0, r1)
+    r2, _ = evaluate(fn, vg_ds, recall_values=(1, 5), batch_size=4,
+                     efficient_ram=True, stream_dtype="bfloat16")
+    assert r2.shape == (2,) and 0 <= r2[0] <= 100
+
+
 def test_top_n_voting_discounts_repeats():
     preds = np.array([[3, 1], [3, 2], [3, 4], [5, 6], [3, 7]])
     dists = np.ones((5, 2), np.float32)
