@@ -103,11 +103,17 @@ class VPRDataset:
         sub_sample: int = 1,
         prefetch: int = 2,
         drop_remainder: bool = False,
+        output: str = "float32",
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield (images [B, H, W, 3], indices [B]) with background prefetch.
         The final short batch is padded by repeating its last item so every
         batch has the same static shape (callers slice via the index array,
-        padded entries carry index -1)."""
+        padded entries carry index -1).
+
+        ``output``: "float32" = normalized f32 (default); "uint8" = resized
+        raw uint8 — 1/4 the host->device bytes, normalization runs on-device
+        (the extractors accept uint8 batches directly)."""
+        assert output in ("float32", "uint8"), output
         idx = self.indices(which, sub_sample)
         if drop_remainder:
             idx = idx[: len(idx) - len(idx) % batch_size]
@@ -122,6 +128,11 @@ class VPRDataset:
 
             native_ok = native.imagepipe_available()
 
+        def load_one_u8(i):
+            from anyloc_tpu.data.transforms import load_image_u8
+
+            return load_image_u8(self.images_paths[i], self.img_size)
+
         def load_batch(batch_idx):
             if native_ok:
                 from anyloc_tpu import native
@@ -130,17 +141,27 @@ class VPRDataset:
                 )
 
                 paths = [self.images_paths[i] for i in batch_idx]
-                imgs, ok = native.decode_batch(
-                    paths, tuple(self.img_size), IMAGENET_MEAN, IMAGENET_STD
-                )
+                if output == "uint8":
+                    imgs, ok = native.decode_batch_u8(
+                        paths, tuple(self.img_size)
+                    )
+                else:
+                    imgs, ok = native.decode_batch(
+                        paths, tuple(self.img_size), IMAGENET_MEAN, IMAGENET_STD
+                    )
                 if not ok.all():
                     # formats the native pipe doesn't know (bmp/webp/...) or
                     # odd encodings: fall back to the per-image PIL path,
                     # which raises its own error for genuinely broken files
                     for pos in np.flatnonzero(~ok):
-                        imgs[pos] = self[int(batch_idx[pos])][0]
+                        imgs[pos] = (load_one_u8(int(batch_idx[pos]))
+                                     if output == "uint8"
+                                     else self[int(batch_idx[pos])][0])
                 return imgs, batch_idx
-            imgs = np.stack([self[i][0] for i in batch_idx])
+            if output == "uint8":
+                imgs = np.stack([load_one_u8(int(i)) for i in batch_idx])
+            else:
+                imgs = np.stack([self[i][0] for i in batch_idx])
             return imgs, batch_idx
 
         def gen():

@@ -106,6 +106,29 @@ def load_image(path: str, size_hw: Optional[Tuple[int, int]] = (320, 320)) -> np
     return base_transform(load_pil(path), size_hw)
 
 
+def load_image_u8(
+    path: str, size_hw: Optional[Tuple[int, int]] = (320, 320)
+) -> np.ndarray:
+    """decode -> optional tensor-mode bilinear resize -> rounded uint8
+    [H, W, 3]. The low-bandwidth transfer format (PIL fallback of the native
+    ``decode_batch_u8``): normalization happens on-device, so the only
+    deviation from the f32 path is the 8-bit rounding of resized values
+    (<= 0.5/255 per channel before normalization)."""
+    arr = np.asarray(load_pil(path), np.float32)
+    if size_hw is not None and arr.shape[:2] != tuple(size_hw):
+        arr = resize_tensor_bilinear(arr, tuple(size_hw))
+    return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+
+
+def device_normalize(imgs, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """On-device counterpart of ``normalize`` for uint8 batches:
+    (x/255 - mean)/std in float32. Jit-traceable."""
+    import jax.numpy as jnp
+
+    x = imgs.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+
+
 def preprocess_image(
     img: Image.Image,
     size_hw: Optional[Tuple[int, int]] = None,

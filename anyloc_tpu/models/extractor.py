@@ -23,8 +23,11 @@ from anyloc_tpu.models.vit import ViT, ViTConfig
 class ViTFacetExtractor:
     """Jit-compiled batched facet extraction over any ``ViT`` config.
 
-    Call with channels-last float images [B, H, W, 3] (already normalized);
-    returns [B, n_patches(+1 if use_cls), D] facet descriptors.
+    Call with channels-last images [B, H, W, 3]: float32 inputs are assumed
+    already normalized; uint8 inputs (the low-bandwidth transfer format,
+    ``VPRDataset.batches(output="uint8")``) are normalized on-device with
+    ImageNet statistics inside the jitted forward. Returns
+    [B, n_patches(+1 if use_cls), D] facet descriptors.
     """
 
     def __init__(
@@ -48,6 +51,10 @@ class ViTFacetExtractor:
 
         @jax.jit
         def _forward(params, imgs):
+            if imgs.dtype == jnp.uint8:
+                from anyloc_tpu.data.transforms import device_normalize
+
+                imgs = device_normalize(imgs)
             out = self.model.apply(
                 params, imgs, capture_layer=layer, capture_facet=facet
             )

@@ -33,7 +33,15 @@ class DescriptorEngine:
         mesh=None,
         extractor=None,
         cache_dir: Optional[str] = None,
+        transfer_dtype: str = "float32",
     ) -> None:
+        """``transfer_dtype``: "float32" ships normalized f32 images to the
+        device; "uint8" ships raw resized bytes (1/4 the H2D traffic — the
+        ingest bottleneck on bandwidth-limited links) and normalizes
+        on-device inside the jitted forward. Descriptor deviation is bounded
+        by the 8-bit rounding of resized pixels (<= 0.5/255 pre-norm)."""
+        assert transfer_dtype in ("float32", "uint8"), transfer_dtype
+        self.transfer_dtype = transfer_dtype
         self.batch_size = batch_size
         self.mesh = mesh
         # optional sharded descriptor cache (resumable extraction): keyed by
@@ -45,7 +53,8 @@ class DescriptorEngine:
             self.desc_cache = DescriptorCache(
                 cache_dir,
                 {"model": model_type, "layer": desc_layer, "facet": desc_facet,
-                 "use_cls": use_cls, "norm": norm_descs, "dtype": dtype},
+                 "use_cls": use_cls, "norm": norm_descs, "dtype": dtype,
+                 "transfer": transfer_dtype},
             )
         if extractor is None:
             from anyloc_tpu.models.factory import make_extractor
@@ -123,7 +132,8 @@ class DescriptorEngine:
 
         pending = None
         for imgs, bidx in dataset.batches(
-            self.batch_size, which=which, sub_sample=sub_sample
+            self.batch_size, which=which, sub_sample=sub_sample,
+            output=self.transfer_dtype,
         ):
             cur = (dispatch(imgs), bidx)
             if pending is not None:

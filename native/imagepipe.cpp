@@ -297,6 +297,54 @@ int64_t decode_batch(const char** paths, int64_t n, int out_h, int out_w,
     return failures.load();
 }
 
+// Batch decode + resize to uint8 RGB [n, out_h, out_w, 3] (no normalization)
+// — the low-bandwidth transfer format: ship 1 byte/channel to the device and
+// normalize there. Same bilinear resize as decode_batch (f32 accumulation),
+// rounded to the nearest 8-bit value at the end.
+int64_t decode_batch_u8(const char** paths, int64_t n, int out_h, int out_w,
+                        int antialias, uint8_t* out, int64_t* ok,
+                        int n_threads) {
+    if (n_threads <= 0)
+        n_threads = std::max(1u, std::thread::hardware_concurrency());
+    n_threads = int(std::min<int64_t>(n_threads, n));
+    const size_t px_per_img = size_t(out_h) * out_w * 3;
+    const float zeros[3] = {0.f, 0.f, 0.f};
+    const float inv255[3] = {1.f / 255.f, 1.f / 255.f, 1.f / 255.f};
+    std::atomic<int64_t> next(0), failures(0);
+    auto worker = [&] {
+        std::vector<float> fimg(px_per_img);
+        for (;;) {
+            const int64_t i = next.fetch_add(1);
+            if (i >= n) return;
+            Image img;
+            std::vector<uint8_t> buf;
+            uint8_t* dst = out + size_t(i) * px_per_img;
+            if (read_file(paths[i], &buf) &&
+                decode_any(buf.data(), buf.size(), &img)) {
+                // mean 0 / std 1/255 makes the normalize epilogue the
+                // identity on the 0..255 scale
+                resize_normalize(img, out_h, out_w, antialias != 0, zeros,
+                                 inv255, fimg.data());
+                for (size_t p = 0; p < px_per_img; ++p) {
+                    float v = fimg[p];
+                    v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+                    dst[p] = (uint8_t)(v + 0.5f);
+                }
+                ok[i] = 1;
+            } else {
+                std::memset(dst, 0, px_per_img);
+                ok[i] = 0;
+                failures.fetch_add(1);
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return failures.load();
+}
+
 // Raw decode of one file to u8 RGB (no resize). Two-call protocol:
 // first call with rgb_out == nullptr fills w/h; second call writes pixels.
 // Returns 1 on success.

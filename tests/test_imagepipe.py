@@ -121,3 +121,38 @@ def test_decode_image_matches_pil(image_dir):
     np.testing.assert_array_equal(raw, pil)   # same libjpeg IDCT -> bit-equal
     with pytest.raises(ValueError):
         native.decode_image(image_dir["missing"])
+
+
+def test_decode_batch_u8_matches_python_u8(image_dir):
+    """uint8 transfer format: native batch decode must match the PIL-path
+    load_image_u8 exactly (same f32 resize, same rounding)."""
+    from anyloc_tpu.data.transforms import load_image_u8
+
+    for key in ("rgb_png", "rgb_jpg", "gray_png"):
+        out, ok = native.decode_batch_u8([image_dir[key]], (64, 80))
+        assert ok.all()
+        ref = load_image_u8(image_dir[key], (64, 80))
+        # resize accumulation order can differ by one ulp at exact-half
+        # rounding boundaries
+        assert np.abs(out[0].astype(int) - ref.astype(int)).max() <= 1, key
+
+
+def test_decode_batch_u8_failure_mask(image_dir):
+    out, ok = native.decode_batch_u8(
+        [image_dir["rgb_png"], image_dir["missing"]], (32, 32)
+    )
+    assert ok.tolist() == [True, False]
+    assert (out[1] == 0).all()
+
+
+def test_u8_roundtrip_close_to_f32_pipeline(image_dir):
+    """uint8 transfer + on-device normalize stays within the 8-bit rounding
+    budget of the normalized f32 pipeline."""
+    from anyloc_tpu.data.transforms import device_normalize, load_image
+
+    out, ok = native.decode_batch_u8([image_dir["rgb_jpg"]], (64, 80))
+    assert ok.all()
+    normed = np.asarray(device_normalize(out[0]))
+    ref = load_image(image_dir["rgb_jpg"], (64, 80))
+    # 0.5/255 pre-norm -> <= 0.5/255/min(std) ~ 0.0088 post-norm
+    assert np.abs(normed - ref).max() <= 0.009

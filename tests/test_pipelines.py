@@ -102,3 +102,22 @@ def test_parse_args_nested():
     assert largs.vlad.num_clusters == 16
     assert largs.db_samples == {"gardens": 1, "pitts30k": 4}
     assert largs.top_k_vals == [1, 5]
+
+
+def test_uint8_transfer_matches_f32(gardens_root, engine):
+    """uint8 H2D transfer mode (on-device normalization) must reproduce the
+    f32 pipeline's descriptors within the 8-bit rounding budget."""
+    from anyloc_tpu.data.registry import get_dataset
+
+    ds = get_dataset("gardens", gardens_root, img_size=(70, 70))
+    d32 = engine.extract_dataset(ds, which="db", verbose=False)
+    e8 = DescriptorEngine(
+        "dinov2_vits14", 5, "value", dtype="float32", batch_size=4,
+        transfer_dtype="uint8", extractor=engine.extractor,
+    )
+    d8 = e8.extract_dataset(ds, which="db", verbose=False)
+    assert d8.shape == d32.shape
+    cos = np.sum(d8 * d32, -1) / (
+        np.linalg.norm(d8, axis=-1) * np.linalg.norm(d32, axis=-1) + 1e-12
+    )
+    assert cos.min() > 0.999, cos.min()
