@@ -114,6 +114,18 @@ class VPRDataset:
         raw uint8 — 1/4 the host->device bytes, normalization runs on-device
         (the extractors accept uint8 batches directly)."""
         assert output in ("float32", "uint8"), output
+        if output == "uint8":
+            # the uint8 path rebuilds items from raw files, so a subclass's
+            # custom __getitem__ transform (e.g. BaseDataset query crop
+            # ensembles) would be silently skipped — refuse instead
+            if type(self).__getitem__ is not VPRDataset.__getitem__:
+                raise ValueError(
+                    "output='uint8' requires the standard loader; "
+                    f"{type(self).__name__} overrides __getitem__ — use the "
+                    "float32 output for custom item transforms"
+                )
+            if self.img_size is None:
+                raise ValueError("output='uint8' requires a fixed img_size")
         idx = self.indices(which, sub_sample)
         if drop_remainder:
             idx = idx[: len(idx) - len(idx) % batch_size]

@@ -30,6 +30,10 @@ class ViTFacetExtractor:
     [B, n_patches(+1 if use_cls), D] facet descriptors.
     """
 
+    # uint8 batches are normalized on-device in _forward; engines check this
+    # before selecting the uint8 transfer format
+    supports_uint8 = True
+
     def __init__(
         self,
         cfg: ViTConfig,

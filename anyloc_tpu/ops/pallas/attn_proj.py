@@ -420,9 +420,18 @@ def fused_attn_half_int8(
     assert wqkv_q.shape == (d, 3 * d), wqkv_q.shape
     assert wp_q.shape == (d, d), wp_q.shape
     scale = hd ** -0.5 if scale is None else scale
+    assert batch_tile >= 1, f"batch_tile must be >= 1, got {batch_tile}"
     bt = batch_tile
-    while b % bt:
+    while b % bt:  # largest divisor of b not exceeding the request
         bt -= 1
+    if bt != batch_tile:
+        import warnings
+
+        warnings.warn(
+            f"batch_tile={batch_tile} does not divide batch {b}; "
+            f"using batch_tile={bt}",
+            stacklevel=2,
+        )
     np_pad = _round_up(n, 8)
     hc = _pick_head_chunk(n, h, head_chunk)
     nj = h // hc

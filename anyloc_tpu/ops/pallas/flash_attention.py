@@ -243,6 +243,13 @@ def flash_attention_blocked(
     b, h, n, hd = q.shape
     scale = hd ** -0.5 if scale is None else scale
     sub = 16 if q.dtype == jnp.bfloat16 else 8
+    # When only one block size is overridden, mirror it rather than mixing it
+    # with the auto choice — an explicit/auto mix pads the sequence to their
+    # LCM, silently multiplying dead tiles.
+    if block_q is None and block_k is not None:
+        block_q = block_k
+    if block_k is None and block_q is not None:
+        block_k = block_q
     bq = min(block_q or _auto_block(n, sub), _round_up(n, sub))
     bk = min(block_k or _auto_block(n, sub), _round_up(n, sub))
     import math

@@ -47,10 +47,17 @@ def top_k_search(
     raise ValueError(f"Unknown method: {method}")
 
 
-def _prepare_shard(db: np.ndarray, d0: int, d1: int, stream_dtype: str):
+def _prepare_shard(db: np.ndarray, d0: int, d1: int, stream_dtype: str,
+                   normalize_rows: bool = False):
     """Host-side shard packing for the streaming engine. Returns the arrays
-    shipped to the device for shard [d0:d1)."""
+    shipped to the device for shard [d0:d1). ``normalize_rows`` L2-normalizes
+    the shard here — O(shard) extra memory, vs doubling host RAM by
+    normalizing the whole beyond-HBM database up-front."""
     blk = db[d0:d1]
+    if normalize_rows:
+        blk = blk / np.maximum(
+            np.linalg.norm(blk, axis=-1, keepdims=True), 1e-12
+        )
     if stream_dtype == "float32":
         return (np.ascontiguousarray(blk, np.float32), None)
     if stream_dtype == "bfloat16":
@@ -72,6 +79,7 @@ def top_k_search_blocked(
     query_block: int = 1024,
     db_block: int = 131072,
     stream_dtype: str = "float32",
+    normalize_rows: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-streaming exact top-k for databases too large for one device
     buffer (the reference's RAM-efficient eval, dvgl_benchmark/test.py:12-119,
@@ -88,6 +96,8 @@ def top_k_search_blocked(
     n_db = db.shape[0]
     n_qu = qu.shape[0]
     k = min(k, n_db)
+    if n_db == 0 or n_qu == 0:
+        return (np.empty((n_qu, k), np.float32), np.empty((n_qu, k), np.int64))
     sign = 1.0 if method == "cosine" else -1.0
 
     qu_dev = jax.device_put(np.ascontiguousarray(qu, np.float32))
@@ -98,13 +108,14 @@ def top_k_search_blocked(
               for q0 in q_starts]
 
     d_starts = list(range(0, n_db, db_block))
-    next_dev = jax.device_put(_prepare_shard(db, d_starts[0],
-                                             d_starts[0] + db_block, stream_dtype))
+    next_dev = jax.device_put(_prepare_shard(
+        db, d_starts[0], d_starts[0] + db_block, stream_dtype, normalize_rows))
     for si, d0 in enumerate(d_starts):
         shard = next_dev
         if si + 1 < len(d_starts):  # async prefetch overlaps the merge below
             next_dev = jax.device_put(_prepare_shard(
-                db, d_starts[si + 1], d_starts[si + 1] + db_block, stream_dtype))
+                db, d_starts[si + 1], d_starts[si + 1] + db_block,
+                stream_dtype, normalize_rows))
         blk, scales = shard
         for qi, q0 in enumerate(q_starts):
             qb = jax.lax.dynamic_slice_in_dim(qu_dev, q0, best_s[qi].shape[0])
@@ -203,9 +214,30 @@ def get_top_k_recall(
     (utilities.py:390-469): returns (distances [Q, max(top_k)],
     indices [Q, max(top_k)], {k: recall}).
 
-    ``engine``: "device" (TPU matmul + lax.top_k) or "native" (the C++
-    exact-NN library, anyloc_tpu.native — host-side FAISS stand-in)."""
+    ``engine``: "device" (TPU matmul + lax.top_k, database resident in HBM),
+    "blocked" (database streamed through the device shard-by-shard — for
+    databases beyond device memory), or "native" (the C++ exact-NN library,
+    anyloc_tpu.native — host-side FAISS stand-in)."""
     del use_gpu
+    if engine == "blocked":
+        # db stays un-copied on host (it may barely fit RAM); normalization
+        # happens per streamed shard inside the engine
+        db = np.asarray(db, dtype=np.float32)
+        qu = np.asarray(qu, dtype=np.float32)
+        if qu.ndim == 1:
+            qu = qu[None, :]
+        if norm_descs:
+            qu = qu / np.maximum(
+                np.linalg.norm(qu, axis=-1, keepdims=True), 1e-12
+            )
+        max_k = min(int(max(top_k)), db.shape[0])
+        dists, indices = top_k_search_blocked(
+            db, qu, max_k, method, normalize_rows=norm_descs
+        )
+        recalls = compute_recalls(
+            indices, gt_pos, top_k, use_percentage, sub_sample_db, sub_sample_qu
+        )
+        return dists, indices, recalls
     db = jnp.asarray(np.asarray(db), dtype=jnp.float32)
     qu = jnp.asarray(np.asarray(qu), dtype=jnp.float32)
     if qu.ndim == 1:

@@ -66,6 +66,16 @@ class DescriptorEngine:
                 use_cls=use_cls, norm_descs=norm_descs,
             )
         self.extractor = extractor
+        if transfer_dtype == "uint8" and not getattr(
+            extractor, "supports_uint8", False
+        ):
+            # other model families (MAE/CLIP/DINO-v1/SAM wrappers) have no
+            # on-device normalization branch — raw 0..255 inputs would run
+            # silently un-normalized
+            raise ValueError(
+                f"transfer_dtype='uint8' is not supported by "
+                f"{type(extractor).__name__}; use 'float32'"
+            )
         self.patch = getattr(extractor.cfg, "patch_size", 14)
         if mesh is not None and hasattr(extractor, "_forward"):
             from anyloc_tpu.parallel.distributed import sharded_extract_fn

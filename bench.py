@@ -47,7 +47,12 @@ def main():
             quant = a.split("=", 1)[1] if "=" in a else "int8_fused"
         elif a == "--bf16":
             quant = None
-    args = [a for a in args if not a.startswith(("--quant", "--bf16"))]
+        elif a.startswith("--img-size="):
+            # e.g. 308 = the reference pipelines' (320,320) resize after the
+            # center-crop to a patch-14 multiple (22x22 grid = 485 tokens)
+            img_size = int(a.split("=", 1)[1])
+    args = [a for a in args
+            if not a.startswith(("--quant", "--bf16", "--img-size"))]
     batch = int(args[0]) if args else 32
 
     cfg = dinov2_config(model_name, dtype=jnp.bfloat16)

@@ -121,3 +121,27 @@ def test_uint8_transfer_matches_f32(gardens_root, engine):
         np.linalg.norm(d8, axis=-1) * np.linalg.norm(d32, axis=-1) + 1e-12
     )
     assert cos.min() > 0.999, cos.min()
+
+
+def test_uint8_transfer_guards(gardens_root, engine):
+    """uint8 mode refuses configurations where it would be silently wrong:
+    extractors without on-device normalization, and datasets with custom
+    __getitem__ transforms."""
+    from anyloc_tpu.data.base import VPRDataset
+    from anyloc_tpu.data.registry import get_dataset
+
+    class Wrapper:  # no supports_uint8
+        cfg = engine.extractor.cfg
+
+    with pytest.raises(ValueError, match="uint8"):
+        DescriptorEngine(extractor=Wrapper(), transfer_dtype="uint8")
+
+    ds = get_dataset("gardens", gardens_root, img_size=(70, 70))
+
+    class Custom(type(ds)):
+        def __getitem__(self, i):
+            return super().__getitem__(i)
+
+    ds.__class__ = Custom
+    with pytest.raises(ValueError, match="__getitem__"):
+        next(iter(ds.batches(2, output="uint8")))

@@ -120,3 +120,28 @@ def test_blocked_search_ragged_tail_blocks(rng):
     s1, i1 = top_k_search_blocked(db, qu, 7, "cosine", query_block=8, db_block=100)
     np.testing.assert_array_equal(np.asarray(i0), i1)
     np.testing.assert_allclose(np.asarray(s0), s1, atol=1e-3)
+
+
+def test_get_top_k_recall_engines_agree(rng):
+    """device / blocked / native engines return identical recalls."""
+    from anyloc_tpu import native
+    from anyloc_tpu.ops.retrieval import get_top_k_recall
+
+    db = rng.standard_normal((60, 24)).astype(np.float32)
+    qu = db[:8] + 0.01 * rng.standard_normal((8, 24)).astype(np.float32)
+    gt = [np.array([i]) for i in range(8)]
+    engines = ["device", "blocked"] + (["native"] if native.available() else [])
+    results = {e: get_top_k_recall([1, 5], db, qu, gt, engine=e) for e in engines}
+    base = results["device"]
+    for e in engines:
+        d, i, rec = results[e]
+        assert rec == base[2], e
+        np.testing.assert_array_equal(i[:, 0], base[1][:, 0], err_msg=e)
+
+
+def test_blocked_search_empty_inputs(rng):
+    db = rng.standard_normal((10, 8)).astype(np.float32)
+    s, i = top_k_search_blocked(np.empty((0, 8), np.float32), db[:3], 5)
+    assert s.shape == (3, 0) and i.shape == (3, 0)
+    s, i = top_k_search_blocked(db, np.empty((0, 8), np.float32), 5)
+    assert s.shape == (0, 5) and i.shape == (0, 5)

@@ -5,13 +5,11 @@ measures candidate variants: bf16 exp, block-size sweep, no-mask interior.
 Methodology per docs/PERFORMANCE.md: long fori_loop inside one jit, consume
 with max, perturb input per iteration.
 """
-import functools, time, sys, pathlib
+import time, sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np, jax, jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 import anyloc_tpu  # compile cache
-from anyloc_tpu.ops.pallas.flash_attention import flash_attention_blocked, _round_up
+from anyloc_tpu.ops.pallas.flash_attention import flash_attention_blocked
 
 B, H, N, HD = 2, 24, 5330, 64
 ITERS = 30
