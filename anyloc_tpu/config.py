@@ -46,6 +46,11 @@ class ExtractorArgs:
     checkpoint: Optional[str] = None  # local torch .pth (no torch.hub egress)
     dtype: str = "bfloat16"
     batch_size: int = 32
+    # Serving fast path: quant='int8_full' (frozen-trunk W8A8 kernels,
+    # DINOv2 family) + transfer_dtype='uint8' (raw bytes over the H2D link,
+    # normalized on-device)
+    quant: Optional[str] = None
+    transfer_dtype: str = "float32"
 
 
 @dataclass

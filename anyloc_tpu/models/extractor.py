@@ -104,15 +104,28 @@ class DinoV2ExtractFeatures(ViTFacetExtractor):
         checkpoint: Optional[str] = None,
         dtype=jnp.bfloat16,
         seed: int = 42,
+        quant: Optional[str] = None,
     ) -> None:
+        """``quant``: None (full precision) or an int8 trunk mode
+        ('int8' / 'int8_fused' / 'int8_full' — see ViTConfig.quant);
+        'int8_full' is the fastest frozen-trunk serving mode. Checkpoint
+        weights are quantized after conversion (ops.quant.quantize_vit_params)."""
         del device
+        import dataclasses
+
         from anyloc_tpu.models.dinov2 import convert_dinov2, dinov2_config
 
         cfg = dinov2_config(dino_model, dtype=dtype)
+        if quant:
+            cfg = dataclasses.replace(cfg, quant=quant)
         if checkpoint is not None:
             from anyloc_tpu.models.convert import load_torch_checkpoint
 
             params = convert_dinov2(load_torch_checkpoint(checkpoint), cfg)
+            if quant:
+                from anyloc_tpu.ops.quant import quantize_vit_params
+
+                params = quantize_vit_params(params, quant)
         else:
             params = init_params(cfg, seed=seed)
         super().__init__(

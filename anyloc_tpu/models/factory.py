@@ -24,15 +24,22 @@ def make_extractor(
     norm_descs: bool = True,
     stride: Optional[int] = None,
     seed: int = 42,
+    quant: Optional[str] = None,
 ):
     """Returns an object with ``__call__(imgs) -> descs`` and attributes
-    ``cfg`` (with .patch_size) where applicable."""
+    ``cfg`` (with .patch_size) where applicable. ``quant`` selects an int8
+    trunk mode (DINOv2 family only — the frozen-trunk serving path)."""
+    if quant and not model_type.startswith("dinov2"):
+        raise ValueError(
+            f"quant={quant!r} is only supported for the dinov2 family "
+            f"(got {model_type!r})"
+        )
     if model_type.startswith("dinov2"):
         from anyloc_tpu.models.extractor import DinoV2ExtractFeatures
 
         return DinoV2ExtractFeatures(
             model_type, layer, facet, use_cls=use_cls, norm_descs=norm_descs,
-            checkpoint=checkpoint, dtype=dtype, seed=seed,
+            checkpoint=checkpoint, dtype=dtype, seed=seed, quant=quant,
         )
     if model_type.startswith("dino_"):
         from anyloc_tpu.models.dino_v1 import ViTExtractor

@@ -34,12 +34,17 @@ class DescriptorEngine:
         extractor=None,
         cache_dir: Optional[str] = None,
         transfer_dtype: str = "float32",
+        quant: Optional[str] = None,
     ) -> None:
         """``transfer_dtype``: "float32" ships normalized f32 images to the
         device; "uint8" ships raw resized bytes (1/4 the H2D traffic — the
         ingest bottleneck on bandwidth-limited links) and normalizes
         on-device inside the jitted forward. Descriptor deviation is bounded
-        by the 8-bit rounding of resized pixels (<= 0.5/255 pre-norm)."""
+        by the 8-bit rounding of resized pixels (<= 0.5/255 pre-norm).
+
+        ``quant``: int8 trunk mode ('int8_full' = fastest frozen-trunk
+        serving; DINOv2 family only). ``quant='int8_full'`` +
+        ``transfer_dtype='uint8'`` is the production serving configuration."""
         assert transfer_dtype in ("float32", "uint8"), transfer_dtype
         self.transfer_dtype = transfer_dtype
         self.batch_size = batch_size
@@ -54,7 +59,7 @@ class DescriptorEngine:
                 cache_dir,
                 {"model": model_type, "layer": desc_layer, "facet": desc_facet,
                  "use_cls": use_cls, "norm": norm_descs, "dtype": dtype,
-                 "transfer": transfer_dtype},
+                 "transfer": transfer_dtype, "quant": quant},
             )
         if extractor is None:
             from anyloc_tpu.models.factory import make_extractor
@@ -63,7 +68,7 @@ class DescriptorEngine:
                 model_type, desc_layer, desc_facet,
                 checkpoint=checkpoint,
                 dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
-                use_cls=use_cls, norm_descs=norm_descs,
+                use_cls=use_cls, norm_descs=norm_descs, quant=quant,
             )
         self.extractor = extractor
         if transfer_dtype == "uint8" and not getattr(

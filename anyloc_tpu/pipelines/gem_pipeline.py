@@ -31,6 +31,8 @@ def run_gem_pipeline(
             largs.extractor.model_type, largs.extractor.desc_layer,
             largs.extractor.desc_facet, largs.extractor.checkpoint,
             largs.extractor.dtype, largs.extractor.batch_size,
+            quant=largs.extractor.quant,
+            transfer_dtype=largs.extractor.transfer_dtype,
         )
     db_descs = engine.extract_dataset(dataset, "db", largs.sub_sample_db, verbose)
     db_g = np.asarray(gem_pool(db_descs, p=largs.gem_p, use_abs=largs.gem_use_abs))

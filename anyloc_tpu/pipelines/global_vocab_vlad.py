@@ -45,6 +45,8 @@ def run_global_vocab_vlad(
             largs.extractor.model_type, largs.extractor.desc_layer,
             largs.extractor.desc_facet, largs.extractor.checkpoint,
             largs.extractor.dtype, largs.extractor.batch_size,
+            quant=largs.extractor.quant,
+            transfer_dtype=largs.extractor.transfer_dtype,
         )
     vlad = VLAD(
         largs.vlad.num_clusters,

@@ -33,6 +33,8 @@ def run_gp_pipeline(
             largs.extractor.model_type, largs.extractor.desc_layer,
             largs.extractor.desc_facet, largs.extractor.checkpoint,
             largs.extractor.dtype, largs.extractor.batch_size,
+            quant=largs.extractor.quant,
+            transfer_dtype=largs.extractor.transfer_dtype,
         )
     db = np.asarray(pool(engine.extract_dataset(dataset, "db", largs.sub_sample_db, verbose)))
     qu = np.asarray(pool(engine.extract_dataset(dataset, "queries", largs.sub_sample_qu, verbose)))

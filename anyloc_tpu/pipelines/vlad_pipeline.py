@@ -56,6 +56,8 @@ def run_vlad_pipeline(
             largs.extractor.model_type, largs.extractor.desc_layer,
             largs.extractor.desc_facet, largs.extractor.checkpoint,
             largs.extractor.dtype, largs.extractor.batch_size,
+            quant=largs.extractor.quant,
+            transfer_dtype=largs.extractor.transfer_dtype,
         )
     vlad = VLAD(
         largs.vlad.num_clusters,

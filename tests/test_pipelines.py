@@ -145,3 +145,17 @@ def test_uint8_transfer_guards(gardens_root, engine):
     ds.__class__ = Custom
     with pytest.raises(ValueError, match="__getitem__"):
         next(iter(ds.batches(2, output="uint8")))
+
+
+def test_serving_config_quant_uint8_e2e(gardens_root):
+    """The production serving configuration (int8_full trunk + uint8
+    transfer) runs the full VLAD pipeline end-to-end from the CLI args."""
+    from anyloc_tpu.pipelines.vlad_pipeline import run_vlad_pipeline
+
+    largs = _args(gardens_root)
+    largs.extractor.quant = "int8_full"
+    largs.extractor.transfer_dtype = "uint8"
+    results = run_vlad_pipeline(largs, verbose=False)
+    assert results["Agg-Method"] == "VLAD"
+    # int8 trunk + 8-bit image rounding still retrieves the noised copies
+    assert results["R@1"] >= 0.6, results["R@1"]
