@@ -114,7 +114,39 @@ class DescriptorEngine:
             )
         return self._extract_dataset(dataset, which, sub_sample, verbose)
 
-    def _extract_dataset(self, dataset, which, sub_sample, verbose):
+    def extract_vlads_dataset(
+        self,
+        dataset,
+        vlad,
+        which: str = "all",
+        sub_sample: int = 1,
+        verbose: bool = True,
+    ) -> np.ndarray:
+        """Extraction + VLAD aggregation fused per device dispatch:
+        -> [N, C*D] float32 global descriptors.
+
+        The [B, P, D] patch tensor never leaves HBM — only the (8x smaller
+        at the SOTA shape) VLAD vectors cross the device->host link. This
+        removes the reference's extract-on-GPU / aggregate-on-CPU boundary
+        (utilities.py:359 ``ret.cpu()`` per image, SURVEY §3.1 hot loop 3).
+        ``vlad`` must already be fitted (``vlad.c_centers`` set).
+        """
+        if self.desc_cache is not None:
+            idx = dataset.indices(which, sub_sample)
+            key = (f"vlad{vlad.num_clusters}_{vlad.vlad_mode}_"
+                   f"{type(dataset).__name__}_{which}_ss{sub_sample}")
+            return self.desc_cache.get_or_compute(
+                key, len(idx),
+                lambda: self._extract_dataset(dataset, which, sub_sample,
+                                              verbose,
+                                              aggregate=vlad._aggregate),
+            )
+        return self._extract_dataset(
+            dataset, which, sub_sample, verbose, aggregate=vlad._aggregate
+        )
+
+    def _extract_dataset(self, dataset, which, sub_sample, verbose,
+                         aggregate=None):
         """Depth-1 software pipeline: batch i+1's host decode (prefetch
         thread) and H2D transfer + compute dispatch happen while batch i's
         result is still being fetched — JAX dispatch is async, so the only
@@ -130,8 +162,13 @@ class DescriptorEngine:
                 [center_crop_multiple(im, self.patch) for im in imgs]
             )
             if self._sharded is not None:
-                return self._sharded(self.extractor.params, imgs)
-            return self.extractor(jnp.asarray(imgs))  # async device value
+                out = self._sharded(self.extractor.params, imgs)
+            else:
+                out = self.extractor(jnp.asarray(imgs))  # async device value
+            if aggregate is not None:
+                out = aggregate(out)  # stays on device; patch tensor never
+                # crosses the link
+            return out
 
         def drain(pending):
             nonlocal out, done

@@ -62,12 +62,14 @@ def run_global_vocab_vlad(
         )
         vlad.fit(vocab_descs.reshape(-1, vocab_descs.shape[-1]))
 
-    db_descs = engine.extract_dataset(dataset, "db", largs.sub_sample_db, verbose)
-    db_vlads = np.asarray(vlad.generate_multi(db_descs))
-    qu_descs = engine.extract_dataset(
-        dataset, "queries", largs.sub_sample_qu, verbose
-    )
-    qu_vlads = np.asarray(vlad.generate_multi(qu_descs))
+    # fused extract+aggregate: patch descriptors stay in HBM (see
+    # DescriptorEngine.extract_vlads_dataset)
+    db_vlads = np.asarray(engine.extract_vlads_dataset(
+        dataset, vlad, "db", largs.sub_sample_db, verbose
+    ))
+    qu_vlads = np.asarray(engine.extract_vlads_dataset(
+        dataset, vlad, "queries", largs.sub_sample_qu, verbose
+    ))
 
     # VPAir: distractors extend the database only
     # (ref dino_v2_global_vocab_vlad.py:434-470)
@@ -76,8 +78,9 @@ def run_global_vocab_vlad(
             "VPAir_distractor", largs.prog.data_vg_dir, largs.data_split,
             img_size=tuple(largs.bd_args.resize),
         )
-        dis_descs = engine.extract_dataset(distractor, "db", 1, verbose)
-        dis_vlads = np.asarray(vlad.generate_multi(dis_descs))
+        dis_vlads = np.asarray(engine.extract_vlads_dataset(
+            distractor, vlad, "db", 1, verbose
+        ))
         db_vlads = np.concatenate([db_vlads, dis_vlads])
 
     dists, indices, recalls = get_top_k_recall(

@@ -74,12 +74,14 @@ def run_vlad_pipeline(
         )
         vlad.fit(vocab_descs.reshape(-1, vocab_descs.shape[-1]))
 
-    db_descs = engine.extract_dataset(dataset, "db", largs.sub_sample_db, verbose)
-    db_vlads = np.asarray(vlad.generate_multi(db_descs))
-    qu_descs = engine.extract_dataset(
-        dataset, "queries", largs.sub_sample_qu, verbose
-    )
-    qu_vlads = np.asarray(vlad.generate_multi(qu_descs))
+    # fused extract+aggregate: the patch tensor stays in HBM, only the VLAD
+    # vectors cross the device->host link (8x less traffic at the SOTA shape)
+    db_vlads = np.asarray(engine.extract_vlads_dataset(
+        dataset, vlad, "db", largs.sub_sample_db, verbose
+    ))
+    qu_vlads = np.asarray(engine.extract_vlads_dataset(
+        dataset, vlad, "queries", largs.sub_sample_qu, verbose
+    ))
 
     dists, indices, recalls = get_top_k_recall(
         largs.top_k_vals, db_vlads, qu_vlads, dataset.get_positives(),

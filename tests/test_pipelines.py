@@ -159,3 +159,17 @@ def test_serving_config_quant_uint8_e2e(gardens_root):
     assert results["Agg-Method"] == "VLAD"
     # int8 trunk + 8-bit image rounding still retrieves the noised copies
     assert results["R@1"] >= 0.6, results["R@1"]
+
+
+def test_extract_vlads_fused_matches_separate(gardens_root, engine):
+    """Fused extract+aggregate must equal extract -> generate_multi."""
+    from anyloc_tpu.data.registry import get_dataset
+    from anyloc_tpu.ops.vlad import VLAD
+
+    ds = get_dataset("gardens", gardens_root, img_size=(70, 70))
+    descs = engine.extract_dataset(ds, which="db", verbose=False)
+    v = VLAD(num_clusters=4)
+    v.fit(descs.reshape(-1, descs.shape[-1]))
+    sep = np.asarray(v.generate_multi(descs))
+    fused = np.asarray(engine.extract_vlads_dataset(ds, v, "db", verbose=False))
+    np.testing.assert_allclose(fused, sep, atol=1e-5)
