@@ -102,17 +102,47 @@ class DescriptorEngine:
         which: str = "all",
         sub_sample: int = 1,
         verbose: bool = True,
+        keep_on_device: bool = False,
     ) -> np.ndarray:
-        """-> [N, P, D] float32 patch descriptors for the selected items."""
+        """-> [N, P, D] float32 patch descriptors for the selected items.
+        ``keep_on_device`` returns a jax array with no D2H copy (bypasses
+        the on-disk descriptor cache) — for results that feed directly into
+        more device work, e.g. vocabulary k-means."""
         idx = dataset.indices(which, sub_sample)
-        if self.desc_cache is not None:
+        if self.desc_cache is not None and not keep_on_device:
             key = f"{type(dataset).__name__}_{which}_ss{sub_sample}"
             return self.desc_cache.get_or_compute(
                 key, len(idx),
                 lambda: self._extract_dataset(dataset, which, sub_sample,
                                               verbose),
             )
-        return self._extract_dataset(dataset, which, sub_sample, verbose)
+        return self._extract_dataset(dataset, which, sub_sample, verbose,
+                                     keep_on_device=keep_on_device)
+
+    def extract_aggregated_dataset(
+        self,
+        dataset,
+        aggregate,
+        agg_key: str,
+        which: str = "all",
+        sub_sample: int = 1,
+        verbose: bool = True,
+    ) -> np.ndarray:
+        """Extraction + an arbitrary device-side aggregation per dispatch:
+        ``aggregate`` maps the [B, P, D] facet tensor to whatever comes home
+        (GeM/GP pooled [B, D], VLAD [B, C*D], ...). The patch tensor stays
+        in HBM. ``agg_key`` names the aggregation in the descriptor cache."""
+        if self.desc_cache is not None:
+            idx = dataset.indices(which, sub_sample)
+            key = f"{agg_key}_{type(dataset).__name__}_{which}_ss{sub_sample}"
+            return self.desc_cache.get_or_compute(
+                key, len(idx),
+                lambda: self._extract_dataset(dataset, which, sub_sample,
+                                              verbose, aggregate=aggregate),
+            )
+        return self._extract_dataset(
+            dataset, which, sub_sample, verbose, aggregate=aggregate
+        )
 
     def extract_vlads_dataset(
         self,
@@ -131,31 +161,28 @@ class DescriptorEngine:
         (utilities.py:359 ``ret.cpu()`` per image, SURVEY §3.1 hot loop 3).
         ``vlad`` must already be fitted (``vlad.c_centers`` set).
         """
-        if self.desc_cache is not None:
-            idx = dataset.indices(which, sub_sample)
-            key = (f"vlad{vlad.num_clusters}_{vlad.vlad_mode}_"
-                   f"{type(dataset).__name__}_{which}_ss{sub_sample}")
-            return self.desc_cache.get_or_compute(
-                key, len(idx),
-                lambda: self._extract_dataset(dataset, which, sub_sample,
-                                              verbose,
-                                              aggregate=vlad._aggregate),
-            )
-        return self._extract_dataset(
-            dataset, which, sub_sample, verbose, aggregate=vlad._aggregate
+        return self.extract_aggregated_dataset(
+            dataset, vlad._aggregate,
+            f"vlad{vlad.num_clusters}_{vlad.vlad_mode}",
+            which, sub_sample, verbose,
         )
 
     def _extract_dataset(self, dataset, which, sub_sample, verbose,
-                         aggregate=None):
+                         aggregate=None, keep_on_device=False):
         """Depth-1 software pipeline: batch i+1's host decode (prefetch
         thread) and H2D transfer + compute dispatch happen while batch i's
         result is still being fetched — JAX dispatch is async, so the only
         blocking point per step is the D2H of the *previous* batch. The
         reference serializes decode -> H2D -> compute -> D2H per image
-        (extract_patch_descriptors hot loop)."""
+        (extract_patch_descriptors hot loop).
+
+        ``keep_on_device``: return a device (jax) array instead of numpy —
+        no D2H at all; use when the result feeds directly into more device
+        work (e.g. vocabulary k-means)."""
         idx = dataset.indices(which, sub_sample)
         out = None
         done = 0
+        parts = []  # keep_on_device accumulation
 
         def dispatch(imgs):
             imgs = np.stack(
@@ -173,12 +200,18 @@ class DescriptorEngine:
         def drain(pending):
             nonlocal out, done
             descs, bidx = pending
-            descs = np.asarray(descs)                 # blocks on this batch
-            if out is None:
-                out = np.empty((len(idx),) + descs.shape[1:], np.float32)
             valid = bidx >= 0
-            out[done : done + valid.sum()] = descs[valid]
-            done += int(valid.sum())
+            nv = int(valid.sum())
+            if keep_on_device:
+                # padded entries are a suffix (batches() pads by repeating
+                # the tail), so a static prefix slice keeps things lazy
+                parts.append(jnp.asarray(descs)[:nv])
+            else:
+                descs = np.asarray(descs)             # blocks on this batch
+                if out is None:
+                    out = np.empty((len(idx),) + descs.shape[1:], np.float32)
+                out[done : done + nv] = descs[valid]
+            done += nv
             if verbose:
                 print(f"\rExtracting [{which}]: {done}/{len(idx)}", end="")
 
@@ -195,4 +228,6 @@ class DescriptorEngine:
             drain(pending)
         if verbose:
             print()
+        if keep_on_device:
+            return jnp.concatenate(parts) if parts else None
         return out

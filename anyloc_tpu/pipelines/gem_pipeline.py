@@ -34,12 +34,16 @@ def run_gem_pipeline(
             quant=largs.extractor.quant,
             transfer_dtype=largs.extractor.transfer_dtype,
         )
-    db_descs = engine.extract_dataset(dataset, "db", largs.sub_sample_db, verbose)
-    db_g = np.asarray(gem_pool(db_descs, p=largs.gem_p, use_abs=largs.gem_use_abs))
-    qu_descs = engine.extract_dataset(
-        dataset, "queries", largs.sub_sample_qu, verbose
-    )
-    qu_g = np.asarray(gem_pool(qu_descs, p=largs.gem_p, use_abs=largs.gem_use_abs))
+    # pooled on-device inside the extraction dispatch (patch tensor stays
+    # in HBM; GeM output is N x smaller than the patch descriptors)
+    pool_fn = lambda d: gem_pool(d, p=largs.gem_p, use_abs=largs.gem_use_abs)
+    agg_key = f"gem{largs.gem_p}{'_abs' if largs.gem_use_abs else ''}"
+    db_g = np.asarray(engine.extract_aggregated_dataset(
+        dataset, pool_fn, agg_key, "db", largs.sub_sample_db, verbose
+    ))
+    qu_g = np.asarray(engine.extract_aggregated_dataset(
+        dataset, pool_fn, agg_key, "queries", largs.sub_sample_qu, verbose
+    ))
 
     dists, indices, recalls = get_top_k_recall(
         largs.top_k_vals, db_g, qu_g, dataset.get_positives(),

@@ -58,7 +58,8 @@ def run_global_vocab_vlad(
         vlad.fit(None)
     else:
         vocab_descs = engine.extract_dataset(
-            vocab_dataset, "db", largs.sub_sample_db_vlad, verbose
+            vocab_dataset, "db", largs.sub_sample_db_vlad, verbose,
+            keep_on_device=True,
         )
         vlad.fit(vocab_descs.reshape(-1, vocab_descs.shape[-1]))
 

@@ -36,8 +36,13 @@ def run_gp_pipeline(
             quant=largs.extractor.quant,
             transfer_dtype=largs.extractor.transfer_dtype,
         )
-    db = np.asarray(pool(engine.extract_dataset(dataset, "db", largs.sub_sample_db, verbose)))
-    qu = np.asarray(pool(engine.extract_dataset(dataset, "queries", largs.sub_sample_qu, verbose)))
+    # pooled on-device inside the extraction dispatch
+    db = np.asarray(engine.extract_aggregated_dataset(
+        dataset, pool, f"gp_{pooling}", "db", largs.sub_sample_db, verbose
+    ))
+    qu = np.asarray(engine.extract_aggregated_dataset(
+        dataset, pool, f"gp_{pooling}", "queries", largs.sub_sample_qu, verbose
+    ))
     dists, indices, recalls = get_top_k_recall(
         largs.top_k_vals, db, qu, dataset.get_positives(),
         sub_sample_db=largs.sub_sample_db, sub_sample_qu=largs.sub_sample_qu,

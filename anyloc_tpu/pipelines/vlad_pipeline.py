@@ -69,8 +69,11 @@ def run_vlad_pipeline(
     if vlad.can_use_cache_vlad():
         vlad.fit(None)
     else:
+        # keep_on_device: the vocab set feeds straight into device k-means —
+        # no reason to round-trip ~GBs of descriptors through the host
         vocab_descs = engine.extract_dataset(
-            dataset, "db", largs.sub_sample_db_vlad, verbose
+            dataset, "db", largs.sub_sample_db_vlad, verbose,
+            keep_on_device=True,
         )
         vlad.fit(vocab_descs.reshape(-1, vocab_descs.shape[-1]))
 

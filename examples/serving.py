@@ -8,7 +8,8 @@ Wires the framework's fast path end-to-end and reports per-stage timing:
      on-device ImageNet normalization inside the jitted forward;
   3. int8_full DINOv2 trunk (frozen-trunk W8A8; the whole transformer block
      is two fused Pallas kernels) -> layer-31 value facet;
-  4. fused-VLAD aggregation -> 49152-dim global descriptors;
+  4. fused-VLAD aggregation ON-DEVICE in the same dispatch (the [B, N, D]
+     patch tensor never leaves HBM; only the global descriptors come home);
   5. exact top-k retrieval on-device.
 
 Run:  python examples/serving.py [--n-images 256] [--model dinov2_vitg14]
@@ -73,22 +74,28 @@ def main():
               f"uint8 transfer, native decode="
               f"{'yes' if native.imagepipe_available() else 'PIL fallback'}")
 
-        # warm (compile) on one batch, then measure the steady-state pipeline
-        first = next(iter(ds.batches(args.batch, which="db", output="uint8")))
-        engine.extract_batch(first[0])
+        # vocabulary: extract with keep_on_device (no D2H — the descriptor
+        # set feeds straight into device k-means), fit the VLAD vocab
         t0 = time.perf_counter()
-        descs = engine.extract_dataset(ds, which="db", verbose=False)
-        dt = time.perf_counter() - t0
-        print(f"[extract] {len(descs)} images -> patch descriptors "
-              f"{descs.shape} in {dt:.2f}s  ({len(descs) / dt:.1f} img/s "
-              f"disk->descriptor, single chip)")
-
-        flat = descs.reshape(-1, descs.shape[-1])
+        vocab = engine.extract_dataset(
+            ds, which="db", sub_sample=4, verbose=False, keep_on_device=True
+        )
         vlad = VLAD(num_clusters=args.clusters)
+        vlad.fit(vocab.reshape(-1, vocab.shape[-1]))
+        print(f"[vocab] fit VLAD-{args.clusters} on {vocab.shape[0]} images' "
+              f"descriptors (device-resident) in {time.perf_counter() - t0:.2f}s")
+
+        # steady state: decode -> uint8 H2D -> int8 trunk -> fused VLAD,
+        # all in one dispatch per batch; only [B, C*D] vectors come home
+        np_ = np.asarray(engine.extract_vlads_dataset(
+            ds, vlad, "db", verbose=False))  # warm/compile
         t0 = time.perf_counter()
-        db_vlads = vlad.fit_and_generate(descs)
-        print(f"[vlad] vocabulary fit + {len(descs)} global descriptors "
-              f"(dim {db_vlads.shape[1]}) in {time.perf_counter() - t0:.2f}s")
+        db_vlads = np.asarray(engine.extract_vlads_dataset(
+            ds, vlad, "db", verbose=False))
+        dt = time.perf_counter() - t0
+        print(f"[serve] {len(db_vlads)} images disk->VLAD descriptors "
+              f"(dim {db_vlads.shape[1]}) in {dt:.2f}s  "
+              f"({len(db_vlads) / dt:.1f} img/s end-to-end, single chip)")
 
         qu_vlads = db_vlads[: min(16, len(db_vlads))]
         gt = [np.array([i]) for i in range(len(qu_vlads))]
