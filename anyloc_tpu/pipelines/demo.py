@@ -73,7 +73,10 @@ def main(argv=None) -> int:
         arr = preprocess_image(img, max_edge=args.max_img_size,
                                crop_multiple=14)
         descs = extractor(jnp.asarray(arr[None]))
-        gd = np.asarray(vlad.generate(np.asarray(descs[0])))
+        # aggregate on device — at demo resolution the patch tensor is
+        # ~33 MB/image (5.3k tokens x 1536 f32); only the 49152-dim global
+        # descriptor crosses the link
+        gd = np.asarray(vlad._aggregate(descs)[0])
         out = os.path.join(
             out_dir, os.path.splitext(os.path.basename(path))[0] + ".npy"
         )

@@ -173,3 +173,41 @@ def test_extract_vlads_fused_matches_separate(gardens_root, engine):
     sep = np.asarray(v.generate_multi(descs))
     fused = np.asarray(engine.extract_vlads_dataset(ds, v, "db", verbose=False))
     np.testing.assert_allclose(fused, sep, atol=1e-5)
+
+
+def test_demo_cli_e2e(tmp_path):
+    """The demo CLI (reference demo/anyloc_vlad_generate.py port): cached
+    vocabulary -> per-image .npy global descriptors, with the on-device
+    aggregation matching VLAD.generate."""
+    from PIL import Image
+
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines.demo import main as demo_main, vocab_dir
+
+    rng = np.random.default_rng(0)
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(
+            (rng.random((70, 84, 3)) * 255).astype(np.uint8)
+        ).save(in_dir / f"p{i}.jpg", quality=95)
+
+    # build + cache a vocabulary the demo can load
+    vdir = vocab_dir(str(tmp_path / "cache"), "dinov2_vits14", 5, "value", 4,
+                     "indoor")
+    descs = rng.standard_normal((200, 384)).astype(np.float32)
+    v = VLAD(4, cache_dir=vdir)
+    v.fit(descs)
+
+    rc = demo_main([
+        "--in-dir", str(in_dir), "--out-dir", str(tmp_path / "out"),
+        "--cache-dir", str(tmp_path / "cache"), "--model", "dinov2_vits14",
+        "--layer", "5", "--facet", "value", "--num-clusters", "4",
+        "--max-img-size", "84",
+    ])
+    assert rc == 0
+    outs = sorted((tmp_path / "out").glob("*.npy"))
+    assert len(outs) == 3
+    gd = np.load(outs[0])
+    assert gd.shape == (4 * 384,)
+    np.testing.assert_allclose(np.linalg.norm(gd), 1.0, atol=1e-5)
