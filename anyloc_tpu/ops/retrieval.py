@@ -23,24 +23,39 @@ import numpy as np
 from anyloc_tpu.ops.common import EXACT, l2_normalize
 
 
-@functools.partial(jax.jit, static_argnames=("k", "method"))
+@functools.partial(jax.jit, static_argnames=("k", "method", "score_dtype"))
 def top_k_search(
-    db: jnp.ndarray, qu: jnp.ndarray, k: int, method: str = "cosine"
+    db: jnp.ndarray, qu: jnp.ndarray, k: int, method: str = "cosine",
+    score_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k. db [Ndb, D], qu [Q, D] -> (scores [Q, k], indices [Q, k])."""
-    db = db.astype(jnp.float32)
-    qu = qu.astype(jnp.float32)
+    """Exact top-k. db [Ndb, D], qu [Q, D] -> (scores [Q, k], indices [Q, k]).
+
+    ``score_dtype``: "float32" scores with full-precision matmul passes
+    (ranking-exact — the default, matching FAISS); "bfloat16" scores on the
+    fast MXU path with f32 accumulation — measured 1.65x qps at 100k x
+    4096, but near-ties can flip (99.6% top-1 agreement on *random*
+    vectors, the worst case; real descriptors with margins agree more).
+    """
+    if score_dtype == "bfloat16":
+        def dot(a, b):
+            return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    else:
+        def dot(a, b):
+            return jnp.dot(a.astype(jnp.float32), b.astype(jnp.float32),
+                           preferred_element_type=jnp.float32,
+                           precision=EXACT)
     if method == "cosine":
-        scores = jnp.dot(qu, db.T, preferred_element_type=jnp.float32, precision=EXACT)
-        top, idx = jax.lax.top_k(scores, k)
+        top, idx = jax.lax.top_k(dot(qu, db.T), k)
         return top, idx
     elif method == "l2":
         # ||q - x||^2 = ||q||^2 - 2 q.x + ||x||^2
-        qx = jnp.dot(qu, db.T, preferred_element_type=jnp.float32, precision=EXACT)
+        qu = qu.astype(jnp.float32)
+        db32 = db.astype(jnp.float32)
         d2 = (
             jnp.sum(qu * qu, axis=-1, keepdims=True)
-            - 2.0 * qx
-            + jnp.sum(db * db, axis=-1)[None, :]
+            - 2.0 * dot(qu, db.T)
+            + jnp.sum(db32 * db32, axis=-1)[None, :]
         )
         top_neg, idx = jax.lax.top_k(-d2, k)
         return -top_neg, idx
@@ -209,6 +224,7 @@ def get_top_k_recall(
     sub_sample_db: int = 1,
     sub_sample_qu: int = 1,
     engine: str = "device",
+    score_dtype: str = "float32",
 ) -> Tuple[np.ndarray, np.ndarray, Dict[int, float]]:
     """Drop-in equivalent of the reference's ``get_top_k_recall``
     (utilities.py:390-469): returns (distances [Q, max(top_k)],
@@ -253,7 +269,8 @@ def get_top_k_recall(
             np.asarray(db), np.asarray(qu), max_k, method
         )
     else:
-        dists, indices = top_k_search(db, qu, max_k, method)
+        dists, indices = top_k_search(db, qu, max_k, method,
+                                      score_dtype=score_dtype)
         dists = np.asarray(dists)
         indices = np.asarray(indices)
     recalls = compute_recalls(

