@@ -46,15 +46,28 @@ def main():
 
     results = {}
     if "device" in args.engines:
+        # Measurement hygiene (docs/PERFORMANCE.md): a single dispatch
+        # through the device tunnel is noise-dominated; loop inside one jit
+        # with a per-iteration input perturbation and consume the outputs.
         dbj = jnp.asarray(db)
         quj = jnp.asarray(qu)
-        s, i = top_k_search(dbj, quj, args.k)  # compile + warm
-        ok = float(np.mean(np.asarray(i)[:, 0] >= 0))
-        t0 = time.perf_counter()
-        s, i = top_k_search(dbj, quj, args.k)
-        _ = float(jnp.sum(s))
-        dt = time.perf_counter() - t0
-        results["device"] = args.n_qu / dt
+        iters = 10
+
+        @jax.jit
+        def loop(dbj, quj):
+            def body(i, acc):
+                s, idx = top_k_search(dbj, quj + i * 1e-6, args.k)
+                return acc + jnp.sum(s[:, 0]) + jnp.sum(idx[:, 0]).astype(jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+        float(loop(dbj, quj))  # compile + warm
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(dbj, quj))
+            dt = time.perf_counter() - t0
+            best = max(best, args.n_qu * iters / dt)
+        results["device"] = best
     if "blocked" in args.engines:
         top_k_search_blocked(db[:65536], qu, args.k, query_block=256,
                              db_block=65536,
