@@ -36,6 +36,8 @@ def top_k_search(
     4096, but near-ties can flip (99.6% top-1 agreement on *random*
     vectors, the worst case; real descriptors with margins agree more).
     """
+    if score_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"Unknown score_dtype: {score_dtype}")
     if score_dtype == "bfloat16":
         def dot(a, b):
             return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
@@ -235,6 +237,13 @@ def get_top_k_recall(
     databases beyond device memory), or "native" (the C++ exact-NN library,
     anyloc_tpu.native — host-side FAISS stand-in)."""
     del use_gpu
+    if score_dtype != "float32" and engine != "device":
+        # blocked has its own stream_dtype knob; native is host f32 — a
+        # silently ignored score_dtype would misreport what ran
+        raise ValueError(
+            f"score_dtype={score_dtype!r} is only supported by the 'device' "
+            f"engine (got engine={engine!r})"
+        )
     if engine == "blocked":
         # db stays un-copied on host (it may barely fit RAM); normalization
         # happens per streamed shard inside the engine

@@ -294,7 +294,12 @@ class VLAD:
         return self.generate_multi(train_descs)
 
     # -- generation -------------------------------------------------------
-    def _aggregate(self, descs: jnp.ndarray, mask=None) -> jnp.ndarray:
+    def aggregate(self, descs: jnp.ndarray, mask=None) -> jnp.ndarray:
+        """Device-resident aggregation: [B, N, D] (device or host) ->
+        [B, C*D] *device* array — no host round-trip. This is the serving
+        path's public entry point (DescriptorEngine fuses it into the
+        extraction dispatch); ``generate``/``generate_multi`` wrap it with
+        host conversion and per-image caching."""
         assert self.c_centers is not None, "Call fit() before generate()"
         return vlad_aggregate(
             descs,
@@ -306,6 +311,24 @@ class VLAD:
             soft_temp=self.soft_temp,
             mask=mask,
         )
+
+    # backward-compat alias (pre-public name)
+    _aggregate = aggregate
+
+    def vocab_key(self) -> str:
+        """Short digest identifying the fitted vocabulary + aggregation
+        params — cache keys for derived artifacts must include this so a
+        refit (different vocab set / sub-sampling / settings) can never
+        silently serve stale descriptors."""
+        assert self.c_centers is not None, "Call fit() first"
+        import hashlib
+
+        h = hashlib.sha1(np.asarray(self.c_centers, np.float32).tobytes())
+        h.update(
+            f"{self.vlad_mode}_{self.mode}_{self.intra_norm}_"
+            f"{self.norm_descs}_{self.soft_temp}".encode()
+        )
+        return h.hexdigest()[:12]
 
     def generate(self, query_descs, cache_id: Optional[str] = None) -> jnp.ndarray:
         """[N, D] -> [C*D]. ``cache_id`` stores/loads the global descriptor

@@ -201,10 +201,15 @@ def get_top_k_recall_sharded(
 # Data-parallel extraction
 # ---------------------------------------------------------------------------
 
-def sharded_extract_fn(apply_fn, mesh: Mesh):
+def sharded_extract_fn(apply_fn, mesh: Mesh, as_numpy: bool = True):
     """Wrap a (params, images) -> descriptors function for data-parallel
     execution: images shard over 'data', params replicate, outputs shard.
-    No collectives — extraction is embarrassingly parallel across images."""
+    No collectives — extraction is embarrassingly parallel across images.
+
+    ``as_numpy=False`` returns the (sharded) device array with the padded
+    tail still attached, plus the valid count — for callers that feed the
+    result into more device work (fused aggregation) and must not pay a
+    host round-trip of the full patch tensor."""
     img_sharding = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
 
@@ -218,6 +223,8 @@ def sharded_extract_fn(apply_fn, mesh: Mesh):
         n_dev = mesh.shape["data"]
         padded, n_valid = pad_to_multiple(np.asarray(images), n_dev)
         out = jitted(params, padded)
-        return np.asarray(out)[:n_valid]
+        if as_numpy:
+            return np.asarray(out)[:n_valid]
+        return out, n_valid
 
     return run

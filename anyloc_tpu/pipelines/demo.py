@@ -76,7 +76,7 @@ def main(argv=None) -> int:
         # aggregate on device — at demo resolution the patch tensor is
         # ~33 MB/image (5.3k tokens x 1536 f32); only the 49152-dim global
         # descriptor crosses the link
-        gd = np.asarray(vlad._aggregate(descs)[0])
+        gd = np.asarray(vlad.aggregate(descs)[0])
         out = os.path.join(
             out_dir, os.path.splitext(os.path.basename(path))[0] + ".npy"
         )

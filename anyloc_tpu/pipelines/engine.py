@@ -86,8 +86,14 @@ class DescriptorEngine:
             from anyloc_tpu.parallel.distributed import sharded_extract_fn
 
             self._sharded = sharded_extract_fn(extractor._forward, mesh)
+            # device-returning variant for the fused-aggregation path (the
+            # patch tensor must not round-trip through the host)
+            self._sharded_dev = sharded_extract_fn(
+                extractor._forward, mesh, as_numpy=False
+            )
         else:
             self._sharded = None
+            self._sharded_dev = None
 
     def extract_batch(self, images: np.ndarray) -> np.ndarray:
         """[B, H, W, 3] -> [B, P, D] float32 (center-cropped to patch grid)."""
@@ -161,9 +167,12 @@ class DescriptorEngine:
         (utilities.py:359 ``ret.cpu()`` per image, SURVEY §3.1 hot loop 3).
         ``vlad`` must already be fitted (``vlad.c_centers`` set).
         """
+        # cache key includes the vocabulary digest: a refit (different vocab
+        # set, sub-sampling, or aggregation params) must never cache-hit on
+        # descriptors computed with other centers
         return self.extract_aggregated_dataset(
-            dataset, vlad._aggregate,
-            f"vlad{vlad.num_clusters}_{vlad.vlad_mode}",
+            dataset, vlad.aggregate,
+            f"vlad{vlad.num_clusters}_{vlad.vocab_key()}",
             which, sub_sample, verbose,
         )
 
@@ -189,7 +198,16 @@ class DescriptorEngine:
                 [center_crop_multiple(im, self.patch) for im in imgs]
             )
             if self._sharded is not None:
-                out = self._sharded(self.extractor.params, imgs)
+                if aggregate is not None or keep_on_device:
+                    # device-resident route: aggregate/accumulate before any
+                    # host copy (batches() pads with repeats, so the padded
+                    # tail is redundant and a prefix slice stays valid)
+                    out, n_valid = self._sharded_dev(
+                        self.extractor.params, imgs
+                    )
+                    out = out[:n_valid]
+                else:
+                    out = self._sharded(self.extractor.params, imgs)
             else:
                 out = self.extractor(jnp.asarray(imgs))  # async device value
             if aggregate is not None:

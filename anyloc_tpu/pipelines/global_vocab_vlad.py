@@ -59,7 +59,7 @@ def run_global_vocab_vlad(
     else:
         vocab_descs = engine.extract_dataset(
             vocab_dataset, "db", largs.sub_sample_db_vlad, verbose,
-            keep_on_device=True,
+            keep_on_device=engine.desc_cache is None,
         )
         vlad.fit(vocab_descs.reshape(-1, vocab_descs.shape[-1]))
 

@@ -73,7 +73,7 @@ def run_vlad_pipeline(
         # no reason to round-trip ~GBs of descriptors through the host
         vocab_descs = engine.extract_dataset(
             dataset, "db", largs.sub_sample_db_vlad, verbose,
-            keep_on_device=True,
+            keep_on_device=engine.desc_cache is None,
         )
         vlad.fit(vocab_descs.reshape(-1, vocab_descs.shape[-1]))
 

@@ -81,13 +81,16 @@ def run_sweep(
             tag = "_".join(f"{k}-{v}" for k, v in point.items())
             largs.vlad.cache_dir = os.path.join(largs.vlad.cache_dir, tag)
         ek = (largs.extractor.model_type, largs.extractor.desc_layer,
-              largs.extractor.desc_facet)
+              largs.extractor.desc_facet, largs.extractor.quant,
+              largs.extractor.transfer_dtype)
         try:
             if ek != engine_key:
                 engine = DescriptorEngine(
                     largs.extractor.model_type, largs.extractor.desc_layer,
                     largs.extractor.desc_facet, largs.extractor.checkpoint,
                     largs.extractor.dtype, largs.extractor.batch_size,
+                    quant=largs.extractor.quant,
+                    transfer_dtype=largs.extractor.transfer_dtype,
                 )
                 engine_key = ek
             results = fn(largs, engine=engine, verbose=False)

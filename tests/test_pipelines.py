@@ -211,3 +211,26 @@ def test_demo_cli_e2e(tmp_path):
     gd = np.load(outs[0])
     assert gd.shape == (4 * 384,)
     np.testing.assert_allclose(np.linalg.norm(gd), 1.0, atol=1e-5)
+
+
+def test_vlad_cache_key_tracks_vocabulary(gardens_root, tmp_path, engine):
+    """A refit vocabulary must never cache-hit on descriptors computed with
+    the previous centers (the cache key includes the vocab digest)."""
+    from anyloc_tpu.data.registry import get_dataset
+    from anyloc_tpu.ops.vlad import VLAD
+
+    ds = get_dataset("gardens", gardens_root, img_size=(70, 70))
+    e = DescriptorEngine(
+        "dinov2_vits14", 5, "value", batch_size=4,
+        extractor=engine.extractor, cache_dir=str(tmp_path / "cache"),
+    )
+    descs = e.extract_dataset(ds, which="db", verbose=False)
+    flat = descs.reshape(-1, descs.shape[-1])
+    v1 = VLAD(4, seed=1); v1.fit(flat)
+    v2 = VLAD(4, seed=2); v2.fit(flat[::2] + 0.5)
+    assert v1.vocab_key() != v2.vocab_key()
+    g1 = np.asarray(e.extract_vlads_dataset(ds, v1, "db", verbose=False))
+    g2 = np.asarray(e.extract_vlads_dataset(ds, v2, "db", verbose=False))
+    assert not np.allclose(g1, g2)  # second call must NOT serve v1's cache
+    g1_again = np.asarray(e.extract_vlads_dataset(ds, v1, "db", verbose=False))
+    np.testing.assert_allclose(g1_again, g1, atol=1e-6)  # cache hit correct
