@@ -85,3 +85,35 @@ def test_sharded_extract_matches_local(rng, mesh):
     expect = np.tanh(imgs @ np.asarray(w))
     assert out.shape == (21, 6)
     np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_mesh_engine_fused_vlad_matches_unsharded(mesh, rng, tmp_path):
+    """DescriptorEngine(mesh=...) fused extract+VLAD must equal the
+    unsharded engine (and never round-trip the patch tensor — the device
+    route returns jax arrays into the aggregate)."""
+    from PIL import Image
+
+    from anyloc_tpu.data.base import VPRDataset
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines.engine import DescriptorEngine
+
+    paths = []
+    for i in range(10):
+        p = tmp_path / f"i{i}.png"
+        Image.fromarray(
+            (rng.random((70, 70, 3)) * 255).astype(np.uint8)
+        ).save(p)
+        paths.append(str(p))
+    ds = VPRDataset(paths, [], img_size=(70, 70))
+
+    e0 = DescriptorEngine("dinov2_vits14", 3, "value", batch_size=4,
+                          dtype="float32")
+    em = DescriptorEngine("dinov2_vits14", 3, "value", batch_size=4,
+                          dtype="float32", mesh=mesh,
+                          extractor=e0.extractor)
+    descs = e0.extract_dataset(ds, which="db", verbose=False)
+    v = VLAD(4)
+    v.fit(descs.reshape(-1, descs.shape[-1]))
+    ref = np.asarray(e0.extract_vlads_dataset(ds, v, "db", verbose=False))
+    got = np.asarray(em.extract_vlads_dataset(ds, v, "db", verbose=False))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
