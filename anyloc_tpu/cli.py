@@ -11,6 +11,13 @@ LocalArgs + main()) with subcommands over the shared PipelineArgs config:
   clip-top-k          CLIP global-descriptor retrieval
   patch-clip          CLIP crops -> VLAD
   demo                demo/anyloc_vlad_generate.py equivalent
+  viz                 cluster-assignment overlays + GeM t-SNE domain projector
+  train               dvgl-style triplet training (trained baselines)
+  eval                checkpoint / off-the-shelf model evaluation
+  sweep               ablation grids (the *_ablations.sh equivalent)
+
+Serving fast path flags (any descriptor pipeline):
+  --extractor.quant int8_full --extractor.transfer-dtype uint8
 """
 
 from __future__ import annotations
@@ -47,6 +54,22 @@ def main(argv=None):
         from anyloc_tpu.pipelines.demo import main as demo_main
 
         return demo_main(rest)
+    if cmd == "viz":
+        from anyloc_tpu.pipelines.viz_cli import main as viz_main
+
+        return viz_main(rest)
+    if cmd == "train":
+        from anyloc_tpu.training.train_cli import main as train_main
+
+        return train_main(rest)
+    if cmd == "eval":
+        from anyloc_tpu.training.eval_cli import main as eval_main
+
+        return eval_main(rest)
+    if cmd == "sweep":
+        from anyloc_tpu.sweeps import main as sweep_main
+
+        return sweep_main(rest)
     largs = parse_args(PipelineArgs, rest)
     if cmd == "global-vocab-vlad":
         from anyloc_tpu.pipelines import run_global_vocab_vlad as fn
