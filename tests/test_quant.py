@@ -184,3 +184,32 @@ def test_int8_full_preserves_retrieval_ranking():
         recalls[name] = (idx[:, 0].tolist(), rec)
     assert recalls["f32"][0] == recalls["int8"][0], recalls
     assert recalls["f32"][1] == recalls["int8"][1], recalls
+
+
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    """int8 param trees (kernel_q int8 + kernel_scale f32) must survive an
+    orbax save/restore — the serving deployment path stores quantized
+    checkpoints directly."""
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.dinov2 import dinov2_config
+    from anyloc_tpu.models.extractor import init_params
+    from anyloc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    import dataclasses
+    import jax
+
+    cfg = dataclasses.replace(
+        dinov2_config("dinov2_vits14", dtype=jnp.float32), quant="int8_full"
+    )
+    params = init_params(cfg, seed=0)
+    save_checkpoint(str(tmp_path / "ck"), {"params": params}, is_best=False)
+    restored = load_checkpoint(str(tmp_path / "ck" / "last_checkpoint"))["params"]
+    flat0 = jax.tree_util.tree_leaves_with_path(params)
+    flat1 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(restored)}
+    assert any("kernel_q" in jax.tree_util.keystr(k) for k, _ in flat0)
+    for k, v in flat0:
+        ks = jax.tree_util.keystr(k)
+        assert ks in flat1, ks
+        assert flat1[ks].dtype == v.dtype, ks
+        np.testing.assert_array_equal(np.asarray(flat1[ks]), np.asarray(v))
