@@ -101,10 +101,11 @@ def kmeans_fit_sharded(
 _SHARDED_SEARCH_CACHE: dict = {}
 
 
-def _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev):
+def _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev,
+                       score_dtype="float32"):
     """Build (and cache) the jitted shard_map search — rebuilding the closure
     per call would force a full XLA recompile every invocation."""
-    key = (mesh, method, local_n, n_valid, k, k_local, n_dev)
+    key = (mesh, method, local_n, n_valid, k, k_local, n_dev, score_dtype)
     if key in _SHARDED_SEARCH_CACHE:
         return _SHARDED_SEARCH_CACHE[key]
 
@@ -118,16 +119,18 @@ def _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev):
     def _search(db_local, qu_all):
         shard = jax.lax.axis_index("data")
         offset = shard * local_n
-        if method == "cosine":
-            scores = jnp.dot(
-                qu_all, db_local.T, preferred_element_type=jnp.float32,
-                precision=EXACT,
-            )
+        if score_dtype == "bfloat16":
+            def dot(a, b):
+                return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
         else:
-            qx = jnp.dot(
-                qu_all, db_local.T, preferred_element_type=jnp.float32,
-                precision=EXACT,
-            )
+            def dot(a, b):
+                return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                               precision=EXACT)
+        if method == "cosine":
+            scores = dot(qu_all, db_local.T)
+        else:
+            qx = dot(qu_all, db_local.T)
             scores = -(
                 jnp.sum(qu_all * qu_all, axis=-1, keepdims=True)
                 - 2.0 * qx
@@ -156,10 +159,15 @@ def top_k_search_sharded(
     k: int,
     mesh: Mesh,
     method: str = "cosine",
+    score_dtype: str = "float32",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Database-sharded exact top-k. db [Ndb, D] shards over 'data'; queries
     replicate; per-shard top-k partials all-gather and merge. Exact equality
-    with the single-device search (ties broken by global index order)."""
+    with the single-device search (ties broken by global index order).
+    ``score_dtype='bfloat16'`` scores on the fast MXU path (see
+    ops.retrieval.top_k_search)."""
+    if score_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"Unknown score_dtype: {score_dtype}")
     n_dev = mesh.shape["data"]
     db_pad, n_valid = pad_to_multiple(np.asarray(db, np.float32), n_dev)
     local_n = db_pad.shape[0] // n_dev
@@ -170,7 +178,8 @@ def top_k_search_sharded(
         np.asarray(qu, np.float32), NamedSharding(mesh, P(None, None))
     )
     sign = 1.0 if method == "cosine" else -1.0
-    fn = _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev)
+    fn = _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev,
+                            score_dtype)
     s, i = fn(db_sharded, qu_rep)
     return np.asarray(sign * s), np.asarray(i)
 

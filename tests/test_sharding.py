@@ -117,3 +117,13 @@ def test_mesh_engine_fused_vlad_matches_unsharded(mesh, rng, tmp_path):
     ref = np.asarray(e0.extract_vlads_dataset(ds, v, "db", verbose=False))
     got = np.asarray(em.extract_vlads_dataset(ds, v, "db", verbose=False))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_sharded_search_bf16_scoring(mesh, rng):
+    """score_dtype='bfloat16' agrees with exact on separated data."""
+    centers = rng.standard_normal((64, 32)).astype(np.float32) * 5.0
+    db = centers + 0.01 * rng.standard_normal((64, 32)).astype(np.float32)
+    qu = centers[:8]
+    s0, i0 = top_k_search_sharded(db, qu, 3, mesh)
+    s1, i1 = top_k_search_sharded(db, qu, 3, mesh, score_dtype="bfloat16")
+    np.testing.assert_array_equal(i0[:, 0], i1[:, 0])
