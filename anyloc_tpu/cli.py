@@ -16,7 +16,7 @@ LocalArgs + main()) with subcommands over the shared PipelineArgs config:
   eval                checkpoint / off-the-shelf model evaluation
   sweep               ablation grids (the *_ablations.sh equivalent)
 
-Serving fast path flags (any descriptor pipeline):
+Serving fast path flags (vlad / global-vocab-vlad / gem / gp):
   --extractor.quant int8_full --extractor.transfer-dtype uint8
 """
 

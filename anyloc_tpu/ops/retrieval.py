@@ -36,17 +36,9 @@ def top_k_search(
     4096, but near-ties can flip (99.6% top-1 agreement on *random*
     vectors, the worst case; real descriptors with margins agree more).
     """
-    if score_dtype not in ("float32", "bfloat16"):
-        raise ValueError(f"Unknown score_dtype: {score_dtype}")
-    if score_dtype == "bfloat16":
-        def dot(a, b):
-            return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-    else:
-        def dot(a, b):
-            return jnp.dot(a.astype(jnp.float32), b.astype(jnp.float32),
-                           preferred_element_type=jnp.float32,
-                           precision=EXACT)
+    from anyloc_tpu.ops.common import score_dot
+
+    dot = score_dot(score_dtype)
     if method == "cosine":
         top, idx = jax.lax.top_k(dot(qu, db.T), k)
         return top, idx

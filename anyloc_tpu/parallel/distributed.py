@@ -119,14 +119,9 @@ def _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev,
     def _search(db_local, qu_all):
         shard = jax.lax.axis_index("data")
         offset = shard * local_n
-        if score_dtype == "bfloat16":
-            def dot(a, b):
-                return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-                               preferred_element_type=jnp.float32)
-        else:
-            def dot(a, b):
-                return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                               precision=EXACT)
+        from anyloc_tpu.ops.common import score_dot
+
+        dot = score_dot(score_dtype)
         if method == "cosine":
             scores = dot(qu_all, db_local.T)
         else:
@@ -166,8 +161,9 @@ def top_k_search_sharded(
     with the single-device search (ties broken by global index order).
     ``score_dtype='bfloat16'`` scores on the fast MXU path (see
     ops.retrieval.top_k_search)."""
-    if score_dtype not in ("float32", "bfloat16"):
-        raise ValueError(f"Unknown score_dtype: {score_dtype}")
+    from anyloc_tpu.ops.common import score_dot
+
+    score_dot(score_dtype)  # validate before building the shard_map
     n_dev = mesh.shape["data"]
     db_pad, n_valid = pad_to_multiple(np.asarray(db, np.float32), n_dev)
     local_n = db_pad.shape[0] // n_dev
@@ -187,6 +183,7 @@ def top_k_search_sharded(
 def get_top_k_recall_sharded(
     top_k, db, qu, gt_pos, mesh, method="cosine", norm_descs=True,
     use_percentage=True, sub_sample_db=1, sub_sample_qu=1,
+    score_dtype="float32",
 ):
     """Sharded-database version of ops.retrieval.get_top_k_recall."""
     from anyloc_tpu.ops.retrieval import compute_recalls
@@ -199,7 +196,8 @@ def get_top_k_recall_sharded(
         db = db / np.maximum(np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
         qu = qu / np.maximum(np.linalg.norm(qu, axis=-1, keepdims=True), 1e-12)
     max_k = min(int(max(top_k)), db.shape[0])
-    dists, indices = top_k_search_sharded(db, qu, max_k, mesh, method)
+    dists, indices = top_k_search_sharded(db, qu, max_k, mesh, method,
+                                          score_dtype=score_dtype)
     recalls = compute_recalls(
         indices, gt_pos, top_k, use_percentage, sub_sample_db, sub_sample_qu
     )

@@ -45,6 +45,14 @@ def _encode_dataset(m, dataset, which, sub_sample, batch_size):
 
 def run_clip_top_k(largs: PipelineArgs, dataset=None, pca_dim: Optional[int] = None,
                    verbose: bool = True) -> Dict:
+    if largs.extractor.quant or largs.extractor.transfer_dtype != "float32":
+        # the serving flags only apply to the facet-extractor pipelines
+        # (vlad / global-vocab-vlad / gem / gp); rejecting beats silently
+        # running full-precision while the user believes otherwise
+        raise ValueError(
+            "extractor.quant / extractor.transfer_dtype are not supported "
+            "by this pipeline"
+        )
     ds_name = largs.prog.vg_dataset_name
     if dataset is None:
         dataset = get_dataset(
@@ -81,6 +89,14 @@ def unfold_crops(imgs: np.ndarray, num_patches: int) -> np.ndarray:
 
 def run_patch_clip(largs: PipelineArgs, dataset=None, num_patches: int = 4,
                    verbose: bool = True) -> Dict:
+    if largs.extractor.quant or largs.extractor.transfer_dtype != "float32":
+        # the serving flags only apply to the facet-extractor pipelines
+        # (vlad / global-vocab-vlad / gem / gp); rejecting beats silently
+        # running full-precision while the user believes otherwise
+        raise ValueError(
+            "extractor.quant / extractor.transfer_dtype are not supported "
+            "by this pipeline"
+        )
     ds_name = largs.prog.vg_dataset_name
     if dataset is None:
         dataset = get_dataset(

@@ -65,6 +65,14 @@ def run_global_vpr(
     largs: PipelineArgs, dataset=None, engine: Optional[ClsEngine] = None,
     verbose: bool = True,
 ) -> Dict:
+    if largs.extractor.quant or largs.extractor.transfer_dtype != "float32":
+        # the serving flags only apply to the facet-extractor pipelines
+        # (vlad / global-vocab-vlad / gem / gp); rejecting beats silently
+        # running full-precision while the user believes otherwise
+        raise ValueError(
+            "extractor.quant / extractor.transfer_dtype are not supported "
+            "by this pipeline"
+        )
     ds_name = largs.prog.vg_dataset_name
     if dataset is None:
         dataset = get_dataset(
