@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--num-clusters", type=int, default=32)
     p.add_argument("--max-img-size", type=int, default=1024)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--quant", default=None,
+                   choices=["int8", "int8_fused", "int8_full"],
+                   help="int8 trunk mode; int8_fused is the measured optimum "
+                        "at demo resolutions (docs/PERFORMANCE.md long-N)")
     p.add_argument("--first-n", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -57,7 +61,8 @@ def main(argv=None) -> int:
     print(f"Loaded vocabulary: {vdir}")
 
     extractor = DinoV2ExtractFeatures(
-        args.model, args.layer, args.facet, checkpoint=args.checkpoint
+        args.model, args.layer, args.facet, checkpoint=args.checkpoint,
+        quant=args.quant,
     )
     out_dir = args.out_dir or args.in_dir
     os.makedirs(out_dir, exist_ok=True)
