@@ -1,10 +1,10 @@
 """Multi-chip example: sharded vocabulary k-means + database-sharded
-retrieval over a device mesh. Runs on a real pod or on a virtual CPU mesh:
-
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-  JAX_PLATFORMS=cpu python examples/multichip_retrieval.py
+retrieval over a device mesh. Runs on a real pod; on a single-device
+machine it builds itself an 8-device virtual CPU mesh (pass --devices N
+to change the count, --no-virtual to stay on the real device layout).
 """
 
+import argparse
 import os
 import sys
 
@@ -14,11 +14,23 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--no-virtual", action="store_true")
+    args = ap.parse_args()
+
     import jax
 
-    if len(jax.devices()) == 1:
-        print("1 device only — set xla_force_host_platform_device_count for a "
-              "virtual mesh")
+    if len(jax.devices()) == 1 and not args.no_virtual:
+        # single-device rig: pin a virtual CPU mesh (env vars alone can be
+        # overridden by site hooks, and XLA_FLAGS only parses at first
+        # backend init — same self-heal as __graft_entry__.dryrun_multichip)
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.devices)
+        print(f"virtual {args.devices}-device CPU mesh")
     import jax.random as jr
 
     from anyloc_tpu.parallel import (
