@@ -195,10 +195,9 @@ def interpolate_pos_embed(
     # downscales (wider, renormalized kernel support).
     wh = jnp.asarray(_torch_bicubic_matrix(m, h, sh, antialias))
     ww = jnp.asarray(_torch_bicubic_matrix(m, w, sw, antialias))
-    if True:
-        patch = jnp.einsum(
-            "hm,bmnd,wn->bhwd", wh, patch, ww, precision=jax.lax.Precision.HIGHEST
-        )
+    patch = jnp.einsum(
+        "hm,bmnd,wn->bhwd", wh, patch, ww, precision=jax.lax.Precision.HIGHEST
+    )
     patch = patch.reshape(1, h * w, -1)
     return jnp.concatenate([prefix, patch], axis=1)
 

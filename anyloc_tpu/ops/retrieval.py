@@ -107,6 +107,12 @@ def top_k_search_blocked(
     k = min(k, n_db)
     if n_db == 0 or n_qu == 0:
         return (np.empty((n_qu, k), np.float32), np.empty((n_qu, k), np.int64))
+    if n_db >= 2**31:
+        # indices accumulate as int32 on device (int64 needs jax x64 mode);
+        # fail loudly rather than silently overflowing the shard offset
+        raise ValueError(
+            f"blocked engine supports up to 2^31-1 database rows, got {n_db}"
+        )
     sign = 1.0 if method == "cosine" else -1.0
 
     qu_dev = jax.device_put(np.ascontiguousarray(qu, np.float32))
@@ -237,9 +243,10 @@ def get_top_k_recall(
             f"engine (got engine={engine!r})"
         )
     if engine == "blocked":
-        # db stays un-copied on host (it may barely fit RAM); normalization
-        # happens per streamed shard inside the engine
-        db = np.asarray(db, dtype=np.float32)
+        # db stays un-copied on host (it may barely fit RAM): no upfront
+        # dtype cast — _prepare_shard converts per streamed shard, so even a
+        # float64 input never doubles host RAM here
+        db = np.asarray(db)
         qu = np.asarray(qu, dtype=np.float32)
         if qu.ndim == 1:
             qu = qu[None, :]

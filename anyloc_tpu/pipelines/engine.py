@@ -198,16 +198,12 @@ class DescriptorEngine:
                 [center_crop_multiple(im, self.patch) for im in imgs]
             )
             if self._sharded is not None:
-                if aggregate is not None or keep_on_device:
-                    # device-resident route: aggregate/accumulate before any
-                    # host copy (batches() pads with repeats, so the padded
-                    # tail is redundant and a prefix slice stays valid)
-                    out, n_valid = self._sharded_dev(
-                        self.extractor.params, imgs
-                    )
-                    out = out[:n_valid]
-                else:
-                    out = self._sharded(self.extractor.params, imgs)
+                # always the device-array route: the as_numpy wrapper would
+                # block on D2H inside this dispatch and defeat the depth-1
+                # pipeline; drain() does the (masked) host conversion instead
+                out, n_valid = self._sharded_dev(self.extractor.params, imgs)
+                out = out[:n_valid]  # lazy: batches() pads, so a prefix slice
+                # stays valid (the bidx mask in drain drops repeated-tail pads)
             else:
                 out = self.extractor(jnp.asarray(imgs))  # async device value
             if aggregate is not None:
