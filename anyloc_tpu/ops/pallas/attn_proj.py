@@ -51,7 +51,8 @@ def _softmax_masked(s: jnp.ndarray, n_valid: int) -> jnp.ndarray:
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _heads_attention(q, k, v, hd: int, skew: bool, n_valid=None):
+def _heads_attention(q, k, v, hd: int, skew: bool, n_valid=None,
+                     score_dtype=jnp.float32):
     """Per-head scores -> softmax -> PV over column-concatenated heads.
 
     q [N, hc*hd] f32 (already scaled), k [N, hc*hd] f32, v [N, hc*hd]
@@ -61,13 +62,20 @@ def _heads_attention(q, k, v, hd: int, skew: bool, n_valid=None):
     dual-issue. ``n_valid`` masks padded key columns (batch-tiled cells
     pad each image's rows to a sublane multiple). Shared by the int8 /
     bf16 / qkv-view kernels.
+
+    ``score_dtype``: operand dtype of the QK^T dot (accumulation is always
+    f32). An f32 operand matmul costs multiple MXU passes; bf16 operands
+    run at the native rate. Callers pass their *input* dtype (bf16 trunks
+    score in bf16, f32 inputs keep f32 math); the int8 kernel passes bf16
+    explicitly — its operands already carry ~1% quantization error.
     """
     hc = q.shape[-1] // hd
     nv = q.shape[0] if n_valid is None else n_valid
 
     def head_scores(h):
         return jax.lax.dot_general(
-            q[:, h * hd : (h + 1) * hd], k[:, h * hd : (h + 1) * hd],
+            q[:, h * hd : (h + 1) * hd].astype(score_dtype),
+            k[:, h * hd : (h + 1) * hd].astype(score_dtype),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )                                                   # [N, N]
 
@@ -125,8 +133,11 @@ def _attn_proj_kernel(
     hc, np_tok, hd = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
 
     def head_scores(h):
-        q = q_ref[0, h].astype(jnp.float32) * scale        # [Np, hd]
-        k = k_ref[0, h].astype(jnp.float32)
+        # input-dtype operands (bf16 runs the MXU at native rate; an f32-
+        # operand dot costs multiple passes), f32 accumulation, scale folded
+        # into q in f32 before the one rounding cast
+        q = (q_ref[0, h].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        k = k_ref[0, h]
         return jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                   # [Np, Np]
@@ -190,8 +201,8 @@ def _attn_qkv_proj_kernel(
 
     o_cat = _heads_attention(
         q_ref[0].astype(jnp.float32) * scale,
-        k_ref[0].astype(jnp.float32),
-        v_ref[0], hd, skew,
+        k_ref[0],
+        v_ref[0], hd, skew, score_dtype=q_ref.dtype,
     )                                                       # [N, hc*hd]
     acc_ref[:] += jnp.dot(
         o_cat, wp_ref[:], preferred_element_type=jnp.float32
@@ -357,7 +368,7 @@ def _attn_half_int8_kernel(
             q[i * np_pad : (i + 1) * np_pad],
             k[i * np_pad : (i + 1) * np_pad],
             v[i * np_pad : (i + 1) * np_pad],
-            hd, skew, n_valid=n,
+            hd, skew, n_valid=n, score_dtype=jnp.bfloat16,
         ).astype(jnp.float32)
         for i in range(bt)
     ]
@@ -545,7 +556,9 @@ def _attn_half_bf16_kernel(
     q = project(wq_ref, bq_ref) * scale
     k = project(wk_ref, bk_ref)
     v = project(wv_ref, bv_ref).astype(jnp.bfloat16)
-    o_cat = _heads_attention(q, k, v, hd, skew)             # [N, hc*hd] bf16
+    o_cat = _heads_attention(
+        q, k, v, hd, skew, score_dtype=x_ref.dtype
+    )                                                       # [N, hc*hd] bf16
     acc_ref[:] += jnp.dot(o_cat, wp_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)

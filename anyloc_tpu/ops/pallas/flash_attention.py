@@ -39,12 +39,15 @@ def _attn_kernel_full(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int)
 
     Block shapes: q/k/v/o [1, Np, hd] (Np = padded token count).
     """
-    q = q_ref[0].astype(jnp.float32) * scale          # [Np, hd]
-    k = k_ref[0].astype(jnp.float32)
+    # operands stay in the input dtype (bf16 runs the MXU at native rate;
+    # an f32-operand dot costs multiple passes); accumulation is f32 and the
+    # scale applies to the accumulated scores — same softmax, one rounding
+    q = q_ref[0]                                      # [Np, hd]
+    k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Np, Np]
+    ) * scale  # [Np, Np]
     np_tokens = s.shape[-1]
     if n_valid < np_tokens:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -111,12 +114,14 @@ def _attn_kernel_heads(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int
     """One batch element per cell, all heads in-block: q/k/v [1, H, Np, hd].
     Fewer, larger grid cells than the per-(batch,head) kernel — better for
     short sequences where per-cell overhead dominates."""
-    q = q_ref[0].astype(jnp.float32) * scale          # [H, Np, hd]
-    k = k_ref[0].astype(jnp.float32)
+    # input-dtype operands, f32 accumulation, scale on the scores (see
+    # _attn_kernel_full note)
+    q = q_ref[0]                                      # [H, Np, hd]
+    k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # [H, Np, Np]
+    ) * scale  # [H, Np, Np]
     np_tokens = s.shape[-1]
     if n_valid < np_tokens:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -191,11 +196,13 @@ def _attn_kernel_blocked(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [Bq, hd]
-    kblk = k_ref[0, 0].astype(jnp.float32)               # [Bk, hd]
+    # input-dtype operands, f32 accumulation, scale on the scores (see
+    # _attn_kernel_full note)
+    q = q_ref[0, 0]                                      # [Bq, hd]
+    kblk = k_ref[0, 0]                                   # [Bk, hd]
     s = jax.lax.dot_general(
         q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Bq, Bk]
+    ) * scale  # [Bq, Bk]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kb * block_k
     s = jnp.where(col < n_valid, s, -jnp.inf)
 

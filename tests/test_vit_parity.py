@@ -24,118 +24,7 @@ from anyloc_tpu.models.vit import ViT, ViTConfig
 import jax.numpy as jnp
 
 
-# ---------------------------------------------------------------------------
-# torch mini-DINOv2 (oracle)
-# ---------------------------------------------------------------------------
-
-class TorchMlp(tnn.Module):
-    def __init__(self, d, ratio):
-        super().__init__()
-        h = int(d * ratio)
-        self.fc1 = tnn.Linear(d, h)
-        self.fc2 = tnn.Linear(h, d)
-
-    def forward(self, x):
-        return self.fc2(tF.gelu(self.fc1(x)))
-
-
-class TorchSwiGLU(tnn.Module):
-    def __init__(self, d, ratio):
-        super().__init__()
-        h = ((int(d * ratio * 2 / 3) + 7) // 8) * 8
-        self.w12 = tnn.Linear(d, 2 * h)
-        self.w3 = tnn.Linear(h, d)
-
-    def forward(self, x):
-        x12 = self.w12(x)
-        x1, x2 = x12.chunk(2, dim=-1)
-        return self.w3(tF.silu(x1) * x2)
-
-
-class TorchAttention(tnn.Module):
-    def __init__(self, d, heads):
-        super().__init__()
-        self.heads = heads
-        self.qkv = tnn.Linear(d, 3 * d)
-        self.proj = tnn.Linear(d, d)
-
-    def forward(self, x):
-        b, n, d = x.shape
-        hd = d // self.heads
-        qkv = self.qkv(x).reshape(b, n, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = (q @ k.transpose(-2, -1)) * hd ** -0.5
-        attn = attn.softmax(dim=-1)
-        out = (attn @ v).transpose(1, 2).reshape(b, n, d)
-        return self.proj(out)
-
-
-class TorchLayerScale(tnn.Module):
-    def __init__(self, d, init):
-        super().__init__()
-        self.gamma = tnn.Parameter(init * torch.ones(d))
-
-    def forward(self, x):
-        return x * self.gamma
-
-
-class TorchBlock(tnn.Module):
-    def __init__(self, d, heads, ratio, swiglu):
-        super().__init__()
-        self.norm1 = tnn.LayerNorm(d, eps=1e-6)
-        self.attn = TorchAttention(d, heads)
-        self.ls1 = TorchLayerScale(d, 1e-5)
-        self.norm2 = tnn.LayerNorm(d, eps=1e-6)
-        self.mlp = TorchSwiGLU(d, ratio) if swiglu else TorchMlp(d, ratio)
-        self.ls2 = TorchLayerScale(d, 1e-5)
-
-    def forward(self, x):
-        x = x + self.ls1(self.attn(self.norm1(x)))
-        x = x + self.ls2(self.mlp(self.norm2(x)))
-        return x
-
-
-class TorchMiniDino(tnn.Module):
-    def __init__(self, img_size=56, patch=14, d=64, depth=4, heads=4,
-                 ratio=4.0, swiglu=False):
-        super().__init__()
-        self.patch = patch
-        self.grid = img_size // patch
-        self.patch_embed = tnn.Module()
-        self.patch_embed.proj = tnn.Conv2d(3, d, patch, patch)
-        self.cls_token = tnn.Parameter(torch.randn(1, 1, d) * 0.02)
-        self.pos_embed = tnn.Parameter(torch.randn(1, 1 + self.grid ** 2, d) * 0.02)
-        self.blocks = tnn.ModuleList(
-            [TorchBlock(d, heads, ratio, swiglu) for _ in range(depth)]
-        )
-        self.norm = tnn.LayerNorm(d, eps=1e-6)
-
-    def interpolate_pos_encoding(self, x, gh, gw):
-        n = self.pos_embed.shape[1] - 1
-        if gh * gw == n and gh == gw:
-            return self.pos_embed
-        m = int(math.sqrt(n))
-        cls_pos = self.pos_embed[:, :1]
-        patch_pos = self.pos_embed[:, 1:].reshape(1, m, m, -1).permute(0, 3, 1, 2)
-        # real DINOv2 uses scale_factor=(g + 0.1)/m, recompute_scale_factor
-        # unset — the fudge shifts sampling, so the oracle must match it
-        patch_pos = tF.interpolate(
-            patch_pos, scale_factor=((gh + 0.1) / m, (gw + 0.1) / m),
-            mode="bicubic", align_corners=False, recompute_scale_factor=False,
-        )
-        assert patch_pos.shape[-2:] == (gh, gw)
-        patch_pos = patch_pos.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)
-        return torch.cat([cls_pos, patch_pos], dim=1)
-
-    def forward(self, x):
-        b, _, h, w = x.shape
-        gh, gw = h // self.patch, w // self.patch
-        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
-        x = torch.cat([self.cls_token.expand(b, -1, -1), x], dim=1)
-        x = x + self.interpolate_pos_encoding(x, gh, gw)
-        for blk in self.blocks:
-            x = blk(x)
-        return self.norm(x)
+from oracles import TorchMiniDino
 
 
 def make_pair(swiglu=False, img_size=56, depth=4):
