@@ -30,8 +30,9 @@ def main():
 
     dev = jax.devices()[0]
     model_name = "dinov2_vitg14"
-    img_size = 224  # 16x16 grid = 257 tokens
+    img_size = 224  # 16x16 grid = 257 tokens; the serving-optimal shape
     layer, n_clusters = 31, 32
+    also_ref_res = True  # additionally measure 308px (reference SOTA shape)
     args = list(sys.argv[1:])
     # Default trunk mode: int8_full — the production serving mode for this
     # frozen-trunk workload (whole block = two fused int8 Pallas kernels;
@@ -51,6 +52,7 @@ def main():
             # e.g. 308 = the reference pipelines' (320,320) resize after the
             # center-crop to a patch-14 multiple (22x22 grid = 485 tokens)
             img_size = int(a.split("=", 1)[1])
+            also_ref_res = False  # explicit size: bench exactly that
     args = [a for a in args
             if not a.startswith(("--quant", "--bf16", "--img-size"))]
     batch = int(args[0]) if args else 32
@@ -75,43 +77,45 @@ def main():
         facet = l2_normalize(facet[:, 1:].astype(jnp.float32), axis=-1)
         return vlad_aggregate(facet, centers)
 
-    images = jnp.asarray(
-        np.random.default_rng(1).standard_normal((batch, img_size, img_size, 3)),
-        jnp.float32,
-    )
-
-    # Warmup / compile (with a host fetch to drain the pipeline)
-    out = pipeline(params, centers, images)
-    assert out.shape == (batch, n_clusters * cfg.embed_dim)
-    float(jnp.sum(out))
-
-    # Timed steady state. NOTE: under the axon tunnel block_until_ready does
-    # not reliably fence device work — an actual device->host fetch of a
-    # value depending on every call is the only trustworthy sync, so we chain
-    # the outputs into a scalar and fetch it once at the end.
-    n_iters = 10
-    best = 0.0
-    for _trial in range(3):
-        t0 = time.perf_counter()
-        acc = jnp.zeros((), jnp.float32)
-        for _ in range(n_iters):
-            acc = acc + jnp.sum(pipeline(params, centers, images))
-        float(acc)
-        dt = time.perf_counter() - t0
-        best = max(best, batch * n_iters / dt)
-    imgs_per_sec = best
-
-    print(
-        json.dumps(
-            {
-                "metric": "vlad_descriptors_per_sec_per_chip",
-                "value": round(imgs_per_sec, 2),
-                "unit": f"imgs/sec ({model_name} l{layer} value + VLAD-{n_clusters}, "
-                f"{img_size}px, {quant or 'bf16'}, batch {batch}, {dev.device_kind})",
-                "vs_baseline": round(imgs_per_sec / 1000.0, 4),
-            }
+    def measure(size):
+        """Best-of-3 steady-state imgs/sec at one image size. NOTE: under
+        the axon tunnel block_until_ready does not reliably fence device
+        work — an actual device->host fetch of a value depending on every
+        call is the only trustworthy sync, so outputs chain into a scalar
+        fetched once per trial."""
+        images = jnp.asarray(
+            np.random.default_rng(1).standard_normal((batch, size, size, 3)),
+            jnp.float32,
         )
-    )
+        out = pipeline(params, centers, images)   # warmup / compile
+        assert out.shape == (batch, n_clusters * cfg.embed_dim)
+        float(jnp.sum(out))
+        n_iters = 10
+        best = 0.0
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(n_iters):
+                acc = acc + jnp.sum(pipeline(params, centers, images))
+            float(acc)
+            dt = time.perf_counter() - t0
+            best = max(best, batch * n_iters / dt)
+        return best
+
+    imgs_per_sec = measure(img_size)
+    result = {
+        "metric": "vlad_descriptors_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": f"imgs/sec ({model_name} l{layer} value + VLAD-{n_clusters}, "
+        f"{img_size}px, {quant or 'bf16'}, batch {batch}, {dev.device_kind})",
+        "vs_baseline": round(imgs_per_sec / 1000.0, 4),
+    }
+    if also_ref_res:
+        # the reference SOTA eval shape ((320,320) resize -> 308px crop,
+        # 485 tokens) reported in the SAME line so both operating points
+        # are driver-visible; roofline context in docs/PERFORMANCE.md
+        result["value_308px_ref_resolution"] = round(measure(308), 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

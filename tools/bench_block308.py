@@ -4,14 +4,15 @@
 (scripts/dino_v2_global_vocab_vlad.py:142,355-357). Measures the fused int8
 attention half and the fused int8 MLP half per ViT-G layer, at N=485 and
 N=257 (224px), isolating the QK^T score-dtype change. Loops run inside one
-jit (tunnel-safe timing, docs/PERFORMANCE.md measurement hygiene)."""
+jit with iters>=100 (the ~20 ms per-dispatch RPC cost through the tunnel
+inflates shorter loops by ~1 ms/iter — docs/PERFORMANCE.md)."""
 import sys, time, functools, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax, jax.numpy as jnp, numpy as np
 from anyloc_tpu.ops.pallas.attn_proj import fused_attn_half_int8
 from anyloc_tpu.ops.pallas.fused_mlp import fused_mlp_int8
 
-def timeit(fn, *args, iters=20):
+def timeit(fn, *args, iters=100):
     @jax.jit
     def run(*args):
         def body(i, acc):
