@@ -488,7 +488,13 @@ class Mlp(nn.Module):
             )
             if return_params:
                 return (kq1, ks1, b1), (kq3, ks3, b3)
-            if jax.default_backend() in ("cpu",) and not _FUSED_MLP_INTERPRET:
+            from anyloc_tpu.ops.pallas.fused_mlp import int8_mlp_geometry_ok
+
+            mlp_kind = "swiglu_fused" if c.mlp_type == "swiglu_fused" else "mlp"
+            if (
+                jax.default_backend() in ("cpu",)
+                or not int8_mlp_geometry_ok(mlp_kind, hidden)
+            ) and not _FUSED_MLP_INTERPRET:
                 return _mlp_int8_xla(c, x, (kq1, ks1, b1), (kq3, ks3, b3))
             return fused_mlp_int8(
                 x, kq1, ks1, b1, kq3, ks3, b3,
@@ -525,11 +531,16 @@ class Block(nn.Module):
         impl = c.attn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from anyloc_tpu.ops.pallas.attn_proj import int8_attn_geometry_ok
+
         use_fused_attn_int8 = (
             c.quant == "int8_full"
             and x.shape[1] <= MAX_FUSED_TOKENS
             and not (qkv_only or return_attn_probs or return_qkv)
             and (impl == "pallas" or jax.default_backend() == "cpu")
+            # tiny head geometries can't lane-align the kernel's weight
+            # blocks -> plain QDense path (caught by the tpu test lane)
+            and int8_attn_geometry_ok(c.num_heads, c.head_dim)
         )
         if use_fused_attn_int8:
             # Whole attention half (norm1 + int8 qkv + attention + int8
@@ -603,7 +614,14 @@ class Block(nn.Module):
                 if c.layerscale_init is not None
                 else None
             )
-            if jax.default_backend() in ("cpu",) and not _FUSED_MLP_INTERPRET:
+            from anyloc_tpu.ops.pallas.fused_mlp import int8_mlp_geometry_ok
+
+            mlp_kind = "swiglu_fused" if c.mlp_type == "swiglu_fused" else "mlp"
+            hid_cols = p3[0].shape[0]
+            if (
+                jax.default_backend() in ("cpu",)
+                or not int8_mlp_geometry_ok(mlp_kind, hid_cols)
+            ) and not _FUSED_MLP_INTERPRET:
                 from anyloc_tpu.ops.pallas.fused_mlp import _ln_rows
 
                 hn = _ln_rows(

@@ -99,6 +99,31 @@ def _heads_attention(q, k, v, hd: int, skew: bool, n_valid=None,
     return jnp.concatenate(outs, axis=1)                    # [N, hc*hd]
 
 
+def _pick_int8_head_chunk(n: int, h: int, hd: int, requested):
+    """Head chunk for the int8 half kernel. Unlike the bf16/qkv-view kernels
+    (whose blocks end in the full ``hd`` dim), its weight-column BlockSpecs
+    are (D, hc*hd) views of the qkv matrix — Mosaic requires the last block
+    dim be a multiple of 128 lanes (or the whole array dim), so hc*hd must
+    be lane-aligned. Returns None when no divisor of ``h`` qualifies (tiny
+    test models); callers fall back to the XLA-equivalent int8 path."""
+    budget = _pick_head_chunk(n, h, requested)
+    for hc in range(budget, 0, -1):
+        if h % hc == 0 and (hc * hd) % 128 == 0:
+            return hc
+    for hc in range(budget + 1, h + 1):  # aligned but over-budget beats none
+        if h % hc == 0 and (hc * hd) % 128 == 0:
+            return hc
+    return None
+
+
+def int8_attn_geometry_ok(num_heads: int, head_dim: int) -> bool:
+    """True iff ``fused_attn_half_int8`` can lower for this head geometry."""
+    return any(
+        num_heads % hc == 0 and (hc * head_dim) % 128 == 0
+        for hc in range(1, num_heads + 1)
+    )
+
+
 def _pick_head_chunk(n: int, h: int, requested) -> int:
     """Heads per grid cell under a ~6 MB f32 score-block VMEM budget,
     rounded down to a divisor of ``h`` (shared by the fused-half and
@@ -444,7 +469,18 @@ def fused_attn_half_int8(
             stacklevel=2,
         )
     np_pad = _round_up(n, 8)
-    hc = _pick_head_chunk(n, h, head_chunk)
+    if interpret:
+        # interpret mode has no Mosaic lane-alignment constraint (CPU tests
+        # exercise tiny geometries)
+        hc = _pick_head_chunk(n, h, head_chunk)
+    else:
+        hc = _pick_int8_head_chunk(n, h, hd, head_chunk)
+    if hc is None:
+        raise ValueError(
+            f"fused_attn_half_int8 needs a head chunk with hc*head_dim % 128"
+            f" == 0; no divisor of num_heads={h} qualifies at head_dim={hd}."
+            " Gate with int8_attn_geometry_ok() and use the XLA int8 path."
+        )
     nj = h // hc
     hcw = hc * hd
 

@@ -221,6 +221,28 @@ def _mlp_kernel_gelu_bf16(
         _epilogue(x_ref, b3_ref, gamma_ref, out_ref, acc_ref, residual=residual)
 
 
+def _pick_hidden_chunk(hidden_chunk: int, hid: int, whole_ok: bool):
+    """Hidden chunk for the fused MLP kernels. The weight-column BlockSpecs
+    are (D, hc) views, so Mosaic needs hc % 128 == 0 — unless the block
+    covers the whole array width (``whole_ok``: the GELU layout's w1 is
+    exactly [D, hid], so hc == hid is exempt). Returns None when no chunk
+    qualifies (tiny swiglu models); callers use the XLA int8 path."""
+    for hc in range(min(hidden_chunk, hid), 127, -1):
+        if hid % hc == 0 and hc % 128 == 0:
+            return hc
+    for hc in range(min(hidden_chunk, hid) + 1, hid + 1):
+        if hid % hc == 0 and hc % 128 == 0:
+            return hc
+    if whole_ok:
+        return hid
+    return None
+
+
+def int8_mlp_geometry_ok(mlp_type: str, hid: int) -> bool:
+    """True iff the fused MLP kernels can lower for this hidden width."""
+    return _pick_hidden_chunk(512, hid, mlp_type != "swiglu_fused") is not None
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
@@ -260,9 +282,20 @@ def fused_mlp_int8(
     x2 = x.reshape(-1, d)
     m = x2.shape[0]
 
-    hc = min(hidden_chunk, hid)
-    while hid % hc:
-        hc -= 1
+    if interpret:
+        # interpret mode has no Mosaic lane-alignment constraint (CPU tests
+        # exercise tiny geometries)
+        hc = min(hidden_chunk, hid)
+        while hid % hc:
+            hc -= 1
+    else:
+        hc = _pick_hidden_chunk(hidden_chunk, hid, mlp_type != "swiglu_fused")
+    if hc is None:
+        raise ValueError(
+            f"fused MLP kernel needs a lane-aligned hidden chunk (hc % 128"
+            f" == 0); none divides hid={hid}. Gate with"
+            " int8_mlp_geometry_ok() and use the XLA int8 path."
+        )
     # Prefer an m-tile that divides m exactly — padding costs a full
     # pad+slice round-trip of the activations in HBM. Search near the
     # requested tile for a divisor (any 8-multiple tile works; Mosaic pads
@@ -410,9 +443,20 @@ def fused_mlp_bf16(
     x2 = x.reshape(-1, d)
     m = x2.shape[0]
 
-    hc = min(hidden_chunk, hid)
-    while hid % hc:
-        hc -= 1
+    if interpret:
+        # interpret mode has no Mosaic lane-alignment constraint (CPU tests
+        # exercise tiny geometries)
+        hc = min(hidden_chunk, hid)
+        while hid % hc:
+            hc -= 1
+    else:
+        hc = _pick_hidden_chunk(hidden_chunk, hid, mlp_type != "swiglu_fused")
+    if hc is None:
+        raise ValueError(
+            f"fused MLP kernel needs a lane-aligned hidden chunk (hc % 128"
+            f" == 0); none divides hid={hid}. Gate with"
+            " int8_mlp_geometry_ok() and use the XLA int8 path."
+        )
     mt = min(m_tile, _round_up(m, 32))
     if m % mt:
         cands = [
