@@ -107,3 +107,35 @@ def random_resized_crop(
         return top + (bot - top) * wy
 
     return jax.vmap(crop_one)(imgs, y0, x0, ch, cw)
+
+
+def make_augment_fn(
+    brightness: float = 0,
+    contrast: float = 0,
+    saturation: float = 0,
+    hue: float = 0,
+    horizontal_flip: bool = False,
+    random_resized_crop: float = 0,
+):
+    """Compose the dvgl parser's data-augmentation flags (parser.py:76-84)
+    into one ``(key, imgs [B,H,W,3]) -> imgs`` transform for the triplet
+    train loop. ``random_resized_crop`` is the minimum area scale (0 = off),
+    matching torchvision RandomResizedCrop(scale=(s, 1))."""
+
+    def augment(key, imgs):
+        kj, kf, kc = jax.random.split(key, 3)
+        x = imgs
+        if brightness or contrast or saturation or hue:
+            x = color_jitter(kj, x, brightness=brightness, contrast=contrast,
+                             saturation=saturation, hue=hue)
+        if horizontal_flip:
+            flip = jax.random.bernoulli(kf, 0.5, (x.shape[0], 1, 1, 1))
+            x = jnp.where(flip, x[:, :, ::-1], x)
+        if random_resized_crop:
+            x = globals()["random_resized_crop"](
+                kc, x, out_hw=x.shape[1:3],
+                scale=(float(random_resized_crop), 1.0),
+            )
+        return x
+
+    return augment

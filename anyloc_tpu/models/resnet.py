@@ -170,6 +170,47 @@ class VGG16(nn.Module):
     out_channels = 512
 
 
+class AlexNet(nn.Module):
+    """AlexNet ``features[:-2]`` — the dvgl backbone variant
+    (dvgl_benchmark/model/network.py:139-145): torchvision's feature stack
+    truncated before the final ReLU+MaxPool, ending at the last 256-channel
+    conv. Channels-last Flax; MaxPool2d(3, 2) floor semantics == VALID."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (11, 11), strides=(4, 4), padding=2,
+                    dtype=self.dtype, name="conv_0")(x)
+        x = nn.max_pool(nn.relu(x), (3, 3), (2, 2))
+        x = nn.Conv(192, (5, 5), padding=2, dtype=self.dtype, name="conv_1")(x)
+        x = nn.max_pool(nn.relu(x), (3, 3), (2, 2))
+        x = nn.relu(nn.Conv(384, (3, 3), padding=1, dtype=self.dtype,
+                            name="conv_2")(x))
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
+                            name="conv_3")(x))
+        return nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_4")(x)
+
+    out_channels = 256
+
+
+def convert_torchvision_alexnet(sd: Dict) -> Dict:
+    """torchvision alexnet state dict -> AlexNet flax params (the five
+    feature convs at indices 0, 3, 6, 8, 10)."""
+    from anyloc_tpu.models.convert import conv_kernel, t2np
+
+    params: Dict = {}
+    for i, idx in enumerate((0, 3, 6, 8, 10)):
+        params[f"conv_{i}"] = {
+            "kernel": conv_kernel(sd[f"features.{idx}.weight"]),
+            "bias": t2np(sd[f"features.{idx}.bias"]),
+        }
+    return {"params": params}
+
+
 def convert_torchvision_resnet(sd: Dict, cfg: ResNetConfig) -> Dict:
     """torchvision resnet state dict -> flax params/batch_stats trees."""
     params: Dict = {}

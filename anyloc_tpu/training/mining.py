@@ -31,7 +31,7 @@ class TripletMiner:
         neg_samples_num: int = 1000,
         seed: int = 42,
     ) -> None:
-        assert mining in ("random", "partial", "full"), mining
+        assert mining in ("random", "partial", "full", "msls_weighted"), mining
         self.ds = dataset
         self.neg_num = neg_num
         self.mining = mining
@@ -40,6 +40,25 @@ class TripletMiner:
         # queries with at least one positive (datasets_ws.py:300-308)
         pos = dataset.get_positives()
         self.valid_queries = [i for i, p in enumerate(pos) if len(p) > 0]
+        self.query_weights = None
+        if mining == "msls_weighted":
+            # MSLS-supplementary mining (datasets_ws.py:322-337): night and
+            # sideways queries are over-sampled inversely to their frequency.
+            # The dataset provides the index sets (MSLS filename markers).
+            night = np.asarray(getattr(dataset, "night_indexes", []), int)
+            side = np.asarray(getattr(dataset, "sideways_indexes", []), int)
+            if len(night) == 0 and len(side) == 0:
+                raise RuntimeError(
+                    "msls_weighted mining needs a dataset exposing "
+                    "night_indexes / sideways_indexes (Mapillary SLS)"
+                )
+            nq = dataset.queries_num
+            w = np.ones(nq)
+            if len(night):
+                w[night] += nq / len(night)
+            if len(side):
+                w[side] += nq / len(side)
+            self.query_weights = w / w.sum()
 
     def _extract(self, descriptor_fn, indices: np.ndarray, batch_size: int):
         """Batched extraction with the last chunk PADDED to batch_size —
@@ -68,9 +87,13 @@ class TripletMiner:
     ) -> List[Tuple[int, int, np.ndarray]]:
         """-> list of (query_idx, positive_idx, negative_idxs [neg_num])
         (dataset-global indices; queries offset by database_num)."""
+        weights = None
+        if self.query_weights is not None:
+            w = self.query_weights[self.valid_queries]
+            weights = w / w.sum()
         qsel = self.rng.choice(
             self.valid_queries, size=min(n_queries, len(self.valid_queries)),
-            replace=False,
+            replace=False, p=weights,
         )
         positives = self.ds.get_positives()
         db_num = self.ds.database_num

@@ -19,6 +19,7 @@ from anyloc_tpu.ops.common import l2_normalize
 from anyloc_tpu.ops.gem import gem_pool_spatial
 from anyloc_tpu.ops.pooling import mac_spatial, rmac_spatial, spoc_spatial
 from anyloc_tpu.models.resnet import (
+    AlexNet,
     ResNet,
     ResNetConfig,
     VGG16,
@@ -110,7 +111,13 @@ _RESNETS = {
 
 
 class GeoLocalizationNet(nn.Module):
-    """backbone + aggregation -> L2-normalized global descriptor."""
+    """backbone + aggregation -> L2-normalized global descriptor.
+
+    Backbones: resnet18/50/101 conv4|conv5, vgg16, alexnet (CNN feature
+    maps), plus the token backbones of dvgl network.py:106-198 — cct384
+    (Compact Convolutional Transformer, truncatable via ``trunc_te``) and
+    vit (HF ViT-Base geometry; tokens for netvlad/gem, CLS otherwise —
+    VitWrapper semantics, network.py:189-198)."""
 
     backbone: str = "resnet18conv4"
     aggregation: str = "netvlad"
@@ -118,6 +125,10 @@ class GeoLocalizationNet(nn.Module):
     fc_output_dim: Optional[int] = None  # optional linear head (CosPlace-style)
     gem_p: float = 3.0
     sync_axis: Optional[str] = None
+    # token-backbone truncation: keep transformer blocks [0, trunc_te)
+    # (reference --trunc_te; --freeze_te is an optimizer-mask concern here,
+    # see train_cli)
+    trunc_te: Optional[int] = None
 
     def _backbone(self):
         if self.backbone in _RESNETS:
@@ -126,13 +137,64 @@ class GeoLocalizationNet(nn.Module):
             return ResNet(cfg, name="backbone"), ResNet(cfg).out_channels
         if self.backbone == "vgg16":
             return VGG16(name="backbone"), 512
+        if self.backbone == "alexnet":
+            return AlexNet(name="backbone"), 256
         raise ValueError(f"Unknown backbone {self.backbone}")
+
+    def _token_backbone(self, imgs, train):
+        """cct384 / vit: returns (tokens [B,T,D] or None, pooled [B,D] or
+        None, channels)."""
+        del train
+        agg_wants_tokens = self.aggregation in ("netvlad", "gem", "crn")
+        if self.backbone.startswith("cct"):
+            from anyloc_tpu.models.cct import CCT, cct_14_7x2_384
+
+            cfg = cct_14_7x2_384(truncate_at=self.trunc_te)
+            out = CCT(cfg, name="backbone")(
+                imgs, return_tokens=agg_wants_tokens
+            )
+            return (out, None, 384) if agg_wants_tokens else (None, out, 384)
+        # vit: HF ViT-Base geometry (dvgl uses google/vit-base-*), our trunk
+        import dataclasses as _dc
+
+        from anyloc_tpu.models.cosplace_vit import hf_vit_config
+        from anyloc_tpu.models.vit import ViT
+
+        cfg = hf_vit_config(img_size=imgs.shape[1])
+        if self.trunc_te is not None:
+            cfg = _dc.replace(cfg, depth=self.trunc_te)
+        out = ViT(cfg, name="backbone")(imgs)
+        if agg_wants_tokens:
+            return out["tokens"], None, cfg.embed_dim
+        return None, out["cls"], cfg.embed_dim
 
     @nn.compact
     def __call__(self, imgs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        agg = self.aggregation
+        if self.backbone.startswith(("cct", "vit")):
+            tokens, pooled, channels = self._token_backbone(imgs, train)
+            if pooled is not None:
+                # VitWrapper CLS / CCT seq-pool route: the aggregation layer
+                # reduces to L2 (+ optional fc) on the pooled vector
+                out = l2_normalize(pooled.astype(jnp.float32), axis=-1)
+            elif agg == "netvlad":
+                tokens = l2_normalize(tokens.astype(jnp.float32), axis=-1)
+                out = NetVLAD(
+                    self.netvlad_clusters, channels, name="aggregation"
+                )(tokens)
+            else:  # gem over tokens (work_with_tokens)
+                from anyloc_tpu.ops.gem import gem_pool
+
+                out = l2_normalize(
+                    gem_pool(tokens.astype(jnp.float32), p=self.gem_p),
+                    axis=-1,
+                )
+            if self.fc_output_dim is not None:
+                out = nn.Dense(self.fc_output_dim, name="fc")(out)
+                out = l2_normalize(out, axis=-1)
+            return out
         bb, channels = self._backbone()
         fmap = bb(imgs, train=train)  # [B, h, w, C]
-        agg = self.aggregation
         if agg == "netvlad":
             b, h, w, d = fmap.shape
             fmap = l2_normalize(fmap, axis=-1)  # dvgl normalize_input

@@ -19,25 +19,51 @@ def main(argv=None) -> int:
     p.add_argument("--datasets-folder", required=True)
     p.add_argument("--val-dataset", default=None,
                    help="defaults to --dataset val split")
-    p.add_argument("--backbone", default="resnet18conv4")
+    p.add_argument("--backbone", default="resnet18conv4",
+                   choices=["alexnet", "vgg16", "resnet18conv4", "resnet18conv5",
+                            "resnet50conv4", "resnet50conv5", "resnet101conv4",
+                            "resnet101conv5", "cct384", "vit"])
     p.add_argument("--aggregation", default="netvlad",
-                   choices=["netvlad", "crn", "rrm", "gem", "mac", "spoc", "rmac"])
+                   choices=["netvlad", "crn", "rrm", "gem", "mac", "spoc",
+                            "rmac", "cls", "seqpool"])
     p.add_argument("--netvlad-clusters", type=int, default=64)
     p.add_argument("--fc-output-dim", type=int, default=None)
+    p.add_argument("--trunc-te", type=int, default=None, choices=list(range(0, 14)),
+                   help="truncate cct384/vit at this transformer encoder")
+    p.add_argument("--freeze-te", type=int, default=None, choices=list(range(-1, 14)),
+                   help="freeze transformer encoders up to this index "
+                        "(optimizer mask)")
     p.add_argument("--mining", default="partial",
-                   choices=["random", "partial", "full"])
+                   choices=["random", "partial", "full", "msls_weighted"])
+    p.add_argument("--neg-samples-num", type=int, default=1000,
+                   help="negatives pool size for hardest-negative search")
     p.add_argument("--criterion", default="triplet",
                    choices=["triplet", "sare_ind", "sare_joint"])
     p.add_argument("--margin", type=float, default=0.1)
     p.add_argument("--neg-num", type=int, default=10)
     p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--patience", type=int, default=3,
+                   help="early-stop epochs without R@5 improvement")
+    p.add_argument("--optim", default="adam", choices=["adam", "sgd"])
     p.add_argument("--queries-per-epoch", type=int, default=5000)
     p.add_argument("--cache-refresh-every", type=int, default=1000)
     p.add_argument("--train-batch-size", type=int, default=4)
     p.add_argument("--infer-batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--resize", type=int, nargs=2, default=(480, 640))
+    p.add_argument("--test-method", default="hard_resize",
+                   choices=["hard_resize", "single_query", "central_crop",
+                            "five_crops", "nearest_crop", "maj_voting"])
+    p.add_argument("--efficient-ram-testing", action="store_true")
     p.add_argument("--recall-values", type=int, nargs="*", default=[1, 5, 10, 20])
+    # train-time augmentation (reference parser.py data-augmentation block;
+    # applied on device per triplet batch, data/augment.py)
+    p.add_argument("--brightness", type=float, default=0)
+    p.add_argument("--contrast", type=float, default=0)
+    p.add_argument("--saturation", type=float, default=0)
+    p.add_argument("--hue", type=float, default=0)
+    p.add_argument("--horizontal-flip", action="store_true")
+    p.add_argument("--random-resized-crop", type=float, default=0)
     p.add_argument("--output-dir", default="./runs/default")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--netvlad-init-samples", type=int, default=0,
@@ -45,6 +71,39 @@ def main(argv=None) -> int:
                         "many database descriptors (dvgl initialize_netvlad)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
+
+    # cross-flag validation (dvgl parser.py:102-151 semantics)
+    if args.queries_per_epoch % args.cache_refresh_every != 0:
+        p.error(
+            f"queries-per-epoch ({args.queries_per_epoch}) must be divisible "
+            f"by cache-refresh-every ({args.cache_refresh_every})"
+        )
+    if args.mining == "msls_weighted" and "msls" not in args.dataset.lower():
+        p.error("msls_weighted mining can only be applied to the msls dataset")
+    if args.backbone == "vit" and tuple(args.resize) not in ((224, 224), (384, 384)):
+        p.error(f"Image size for ViT must be 224 or 384, got {args.resize}")
+    if args.backbone == "cct384" and tuple(args.resize) != (384, 384):
+        p.error(f"Image size for CCT384 must be 384, got {args.resize}")
+    cnn_backbones = ("alexnet", "vgg16") + tuple(
+        f"resnet{n}conv{c}" for n in (18, 50, 101) for c in (4, 5)
+    )
+    if args.backbone in cnn_backbones and args.aggregation in ("cls", "seqpool"):
+        p.error(f"CNNs like {args.backbone} can't use aggregation {args.aggregation}")
+    if args.backbone == "cct384" and args.aggregation in (
+        "spoc", "mac", "rmac", "crn", "rrm"
+    ):
+        p.error("CCT supports aggregations [netvlad, gem, cls, seqpool] only")
+    if args.backbone == "vit" and args.aggregation not in (
+        "cls", "gem", "netvlad"
+    ):
+        p.error("ViT supports aggregations [netvlad, gem, cls] only")
+    if args.trunc_te is not None and args.backbone not in ("cct384", "vit"):
+        p.error("--trunc-te only applies to cct384 / vit backbones")
+    if args.aggregation == "crn" and not args.resume:
+        logging.warning(
+            "the reference requires CRN to resume from a trained NetVLAD "
+            "checkpoint (parser.py:118-119); training CRN from scratch"
+        )
 
     import jax
     import jax.numpy as jnp
@@ -76,10 +135,14 @@ def main(argv=None) -> int:
         val_ds = train_ds
         logging.info("no val split; validating on the train dataset")
 
+    # cls/seqpool are the token-backbone pooled routes: GeoLocalizationNet
+    # emits the pooled vector for any non-netvlad/gem aggregation there
+    agg = args.aggregation if args.aggregation not in ("cls", "seqpool") else "mac"
     model = GeoLocalizationNet(
-        backbone=args.backbone, aggregation=args.aggregation,
+        backbone=args.backbone, aggregation=agg,
         netvlad_clusters=args.netvlad_clusters,
         fc_output_dim=args.fc_output_dim,
+        trunc_te=args.trunc_te,
     )
     variables = model.init(jax.random.PRNGKey(args.seed),
                            jnp.zeros((1, *resize, 3)))
@@ -136,15 +199,32 @@ def main(argv=None) -> int:
             seed=args.seed,
         )["params"]
 
+    augment_fn = None
+    if any((args.brightness, args.contrast, args.saturation, args.hue,
+            args.horizontal_flip, args.random_resized_crop)):
+        from anyloc_tpu.data.augment import make_augment_fn
+
+        augment_fn = make_augment_fn(
+            brightness=args.brightness, contrast=args.contrast,
+            saturation=args.saturation, hue=args.hue,
+            horizontal_flip=args.horizontal_flip,
+            random_resized_crop=args.random_resized_crop,
+        )
+
     state, best_r5, history = train_triplet(
         descriptor_fn, variables, train_ds, val_ds,
         epochs=args.epochs, queries_per_epoch=args.queries_per_epoch,
         cache_refresh_every=args.cache_refresh_every,
         batch_size=args.train_batch_size, neg_num=args.neg_num,
         mining=args.mining, criterion=args.criterion, margin=args.margin,
-        lr=args.lr, output_dir=args.output_dir,
+        lr=args.lr, optim=args.optim, patience=args.patience,
+        neg_samples_num=args.neg_samples_num,
+        output_dir=args.output_dir,
         recall_values=tuple(args.recall_values),
-        eval_batch_size=args.infer_batch_size, seed=args.seed,
+        eval_batch_size=args.infer_batch_size,
+        test_method=args.test_method,
+        efficient_ram=args.efficient_ram_testing,
+        augment_fn=augment_fn, seed=args.seed,
     )
     logging.info(f"done: best R@5 {best_r5:.1f}")
     return 0

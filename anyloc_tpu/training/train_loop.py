@@ -32,24 +32,40 @@ def train_triplet(
     criterion: str = "triplet",
     margin: float = 0.1,
     lr: float = 1e-5,
+    optim: str = "adam",
+    patience: Optional[int] = None,
+    neg_samples_num: int = 1000,
     output_dir: Optional[str] = None,
     recall_values=(1, 5, 10, 20),
     eval_batch_size: int = 16,
+    test_method: str = "hard_resize",
+    efficient_ram: bool = False,
+    augment_fn=None,
     seed: int = 42,
 ):
-    """Returns (final_state, best_r5, history)."""
+    """Returns (final_state, best_r5, history).
+
+    ``optim``/``patience`` mirror the dvgl parser (adam|sgd; early stop after
+    ``patience`` epochs without a best-R@5 improvement, train.py:183-206).
+    ``augment_fn(rng_key, images [B,H,W,3]) -> images`` applies train-time
+    augmentation to each triplet batch on device (the reference augments in
+    TripletsDataset transforms; see data/augment.py color_jitter etc.).
+    """
     import jax
 
-    opt = optax.adam(lr)
+    opt = optax.adam(lr) if optim == "adam" else optax.sgd(lr)
     step = make_triplet_train_step(
         descriptor_fn, opt, neg_num=neg_num, margin=margin, criterion=criterion
     )
     state = step.init_state(init_params)
-    miner = TripletMiner(train_ds, neg_num=neg_num, mining=mining, seed=seed)
+    miner = TripletMiner(train_ds, neg_num=neg_num, mining=mining, seed=seed,
+                         neg_samples_num=neg_samples_num)
+    aug_key = jax.random.PRNGKey(seed + 1)
     # One jitted inference fn for mining + eval (an unjitted model.apply would
     # dispatch op-by-op — catastrophic over the TPU tunnel).
     infer = jax.jit(descriptor_fn)
     best_r5 = 0.0
+    epochs_since_best = 0
     history = []
     for epoch in range(epochs):
         losses = []
@@ -66,14 +82,21 @@ def train_triplet(
                 tuples = miner.tuples_as_batch(triplets, idxs)
                 if tuples.shape[0] < batch_size:
                     continue  # static shapes: drop the remainder
-                state, loss = step(state, jnp.asarray(tuples))
+                tuples = jnp.asarray(tuples)
+                if augment_fn is not None:
+                    aug_key, k = jax.random.split(aug_key)
+                    flat = tuples.reshape((-1,) + tuples.shape[2:])
+                    tuples = augment_fn(k, flat).reshape(tuples.shape)
+                state, loss = step(state, tuples)
                 losses.append(float(loss))
             done += n
         recalls, recalls_str = evaluate(
             lambda imgs: infer(state.params, jnp.asarray(imgs)),
             val_ds,
+            test_method=test_method,
             recall_values=recall_values,
             batch_size=eval_batch_size,
+            efficient_ram=efficient_ram,
         )
         r5 = recalls[min(1, len(recalls) - 1)]
         is_best = r5 > best_r5
@@ -92,4 +115,14 @@ def train_triplet(
                 {"params": state.params, "epoch": epoch + 1, "best_r5": best_r5},
                 is_best,
             )
+        if is_best:
+            epochs_since_best = 0
+        else:
+            epochs_since_best += 1
+            if patience is not None and epochs_since_best >= patience:
+                logging.info(
+                    f"early stop: no R@5 improvement for {patience} epochs "
+                    f"(train.py:183-206 patience semantics)"
+                )
+                break
     return state, best_r5, history

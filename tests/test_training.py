@@ -305,3 +305,190 @@ class TestTripletLossOracles:
         want = total / (q.shape[0] * n.shape[1])
         got = float(sare_joint_loss(jnp.asarray(q), jnp.asarray(p), jnp.asarray(n)))
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# dvgl backbone parity: alexnet / cct384 / vit (network.py:106-198)
+# ---------------------------------------------------------------------------
+
+def test_geolocalization_alexnet_forward(rng):
+    model = GeoLocalizationNet(backbone="alexnet", aggregation="gem")
+    imgs = jnp.asarray(rng.standard_normal((2, 67, 67, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(v, imgs)
+    assert out.ndim == 2 and out.shape[0] == 2
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-4
+    )
+
+
+def test_alexnet_matches_torch_oracle(rng):
+    """Faithful torchvision features[:-2] geometry: conv/pool semantics vs
+    an independently-built torch stack + converter round-trip."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    from anyloc_tpu.models.resnet import AlexNet, convert_torchvision_alexnet
+
+    feats = tnn.Sequential(
+        tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(), tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(64, 192, 5, padding=2), tnn.ReLU(), tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(192, 384, 3, padding=1), tnn.ReLU(),
+        tnn.Conv2d(384, 256, 3, padding=1), tnn.ReLU(),
+        tnn.Conv2d(256, 256, 3, padding=1),
+    ).eval()
+    torch.manual_seed(0)
+    for p in feats.parameters():
+        p.data.mul_(0.2)
+    # state-dict with torchvision's features.N naming
+    sd = {}
+    for tv_idx, mod_idx in ((0, 0), (3, 3), (6, 6), (8, 8), (10, 10)):
+        sd[f"features.{tv_idx}.weight"] = feats[mod_idx].weight
+        sd[f"features.{tv_idx}.bias"] = feats[mod_idx].bias
+    variables = convert_torchvision_alexnet(sd)
+    img = rng.standard_normal((1, 3, 67, 67)).astype(np.float32)
+    with torch.no_grad():
+        want = feats(torch.from_numpy(img)).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(AlexNet().apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.parametrize("agg", ["netvlad", "gem", "mac"])
+def test_geolocalization_cct_forward(rng, agg):
+    """cct384 wiring (network.py:144-155): tokens feed netvlad/gem;
+    other aggregations get the CCT sequence-pool vector."""
+    model = GeoLocalizationNet(
+        backbone="cct384", aggregation=agg, netvlad_clusters=4, trunc_te=2
+    )
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), imgs)
+    # trunc_te=2 must keep exactly blocks 0..1
+    bb = v["params"]["backbone"]
+    assert "norm1_1" in bb and "norm1_2" not in bb
+    out = model.apply(v, imgs)
+    assert out.ndim == 2 and out.shape[0] == 2
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("agg", ["netvlad", "mac"])
+def test_geolocalization_vit_forward(rng, agg):
+    """vit wiring (VitWrapper semantics, network.py:189-198): tokens for
+    netvlad/gem, CLS otherwise; trunc_te truncates encoder depth."""
+    model = GeoLocalizationNet(
+        backbone="vit", aggregation=agg, netvlad_clusters=4, trunc_te=2
+    )
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(v, imgs)
+    assert out.ndim == 2 and out.shape[0] == 2
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("backbone", ["alexnet", "cct384"])
+def test_train_step_new_backbones(rng, backbone):
+    """One real triplet-loss gradient step through each new backbone."""
+    import optax
+
+    from anyloc_tpu.training.triplet import triplet_margin_loss
+
+    model = GeoLocalizationNet(
+        backbone=backbone, aggregation="gem",
+        trunc_te=1 if backbone == "cct384" else None,
+    )
+    imgs = jnp.asarray(rng.standard_normal((6, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    tx = optax.sgd(1e-3)
+    opt_state = tx.init(variables)
+
+    def loss_fn(params):
+        d = model.apply(params, imgs, train=False)
+        q, pos, neg = d[:2], d[2:4], d[4:6]
+        return triplet_margin_loss(q, pos, neg[:, None], margin=0.1)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables)
+    assert np.isfinite(float(loss))
+    updates, _ = tx.update(grads, opt_state)
+    new_vars = optax.apply_updates(variables, updates)
+    loss2 = loss_fn(new_vars)
+    assert np.isfinite(float(loss2))
+
+
+def test_train_cli_cross_flag_validation():
+    """parser.py:102-151 validation semantics."""
+    from anyloc_tpu.training.train_cli import main
+
+    base = ["--dataset", "pitts30k", "--datasets-folder", "/tmp/none"]
+    for extra in (
+        ["--queries-per-epoch", "5000", "--cache-refresh-every", "999"],
+        ["--mining", "msls_weighted"],
+        ["--backbone", "vit", "--resize", "480", "640"],
+        ["--backbone", "cct384", "--resize", "480", "640"],
+        ["--backbone", "alexnet", "--aggregation", "cls"],
+        ["--backbone", "cct384", "--resize", "384", "384", "--aggregation", "rmac"],
+        ["--backbone", "vit", "--resize", "224", "224", "--aggregation", "crn"],
+        ["--backbone", "resnet18conv4", "--trunc-te", "2"],
+    ):
+        with pytest.raises(SystemExit):
+            main(base + extra)
+
+
+def test_msls_weighted_mining(vg_ds):
+    """MSLS-supplementary weighted query sampling (datasets_ws.py:322-337):
+    night/sideways queries are over-sampled; datasets without the marker
+    index sets are rejected."""
+    from anyloc_tpu.training.mining import TripletMiner
+
+    with pytest.raises(RuntimeError):
+        TripletMiner(vg_ds, mining="msls_weighted")
+    vg_ds.night_indexes = np.array([0, 1])
+    vg_ds.sideways_indexes = np.array([2])
+    try:
+        miner = TripletMiner(vg_ds, neg_num=2, mining="msls_weighted", seed=0)
+        assert miner.query_weights is not None
+        # night/sideways queries carry amplified weight
+        assert miner.query_weights[0] > miner.query_weights[4]
+        trips = miner.compute_triplets(
+            lambda imgs: np.asarray(imgs, np.float32).reshape(len(imgs), -1)[:, :8],
+            n_queries=4, batch_size=4,
+        )
+        assert len(trips) == 4
+    finally:
+        del vg_ds.night_indexes, vg_ds.sideways_indexes
+
+
+def test_make_augment_fn_shapes(rng):
+    from anyloc_tpu.data.augment import make_augment_fn
+
+    fn = make_augment_fn(brightness=0.3, contrast=0.3, saturation=0.2,
+                         hue=0.1, horizontal_flip=True,
+                         random_resized_crop=0.7)
+    imgs = jnp.asarray(rng.random((4, 32, 40, 3)).astype(np.float32))
+    out = fn(jax.random.PRNGKey(0), imgs)
+    assert out.shape == imgs.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # identity config composes to a no-op
+    ident = make_augment_fn()
+    np.testing.assert_array_equal(
+        np.asarray(ident(jax.random.PRNGKey(1), imgs)), np.asarray(imgs)
+    )
+
+
+def test_train_triplet_patience_early_stop(vg_ds, tmp_path):
+    """patience semantics (train.py:183-206): constant recalls stop the run
+    after `patience` stale epochs."""
+    model = GeoLocalizationNet(backbone="alexnet", aggregation="gem")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    state, best, hist = train_triplet(
+        lambda p, im: model.apply(p, im), variables, vg_ds, vg_ds,
+        epochs=6, queries_per_epoch=2, cache_refresh_every=2,
+        batch_size=2, neg_num=2, mining="random", lr=0.0, optim="sgd",
+        patience=2, output_dir=str(tmp_path / "ck"), recall_values=(1, 5),
+        eval_batch_size=4,
+    )
+    # lr=0 -> params never change -> identical recalls -> early stop
+    assert len(hist) < 6
