@@ -13,10 +13,11 @@ with native Flax towers:
     ``list_models`` / per-item descriptor caching, clip_wrapper.py:237-451)
     with .npz caches instead of .pt.
 
-Tokenization: the CLIP BPE merges file is not shipped (zero-egress image);
-``SimpleTokenizer`` loads ``bpe_simple_vocab_16e6.txt.gz`` when a local path
-is given and otherwise falls back to a deterministic hash tokenizer (fine for
-caching/retrieval tests; real zero-shot text work needs the vocab file).
+Tokenization: ``SimpleTokenizer`` implements CLIP's exact BPE and loads
+``bpe_simple_vocab_16e6.txt.gz`` from an explicit path, $ANYLOC_CLIP_BPE, or
+the standard cache locations. Without a merges file it refuses to encode —
+the deterministic hash fallback is an explicit opt-in
+(``allow_hash_fallback=True``) for cache-key/shape work only.
 """
 
 from __future__ import annotations
@@ -187,26 +188,53 @@ def convert_clip_text(sd: Dict, layers: int) -> Dict:
 # ---------------------------------------------------------------------------
 
 class SimpleTokenizer:
-    """CLIP BPE tokenizer when the merges file is available; otherwise a
-    deterministic hash fallback (stable ids; adequate for cache keys and
-    retrieval tests, NOT for real zero-shot prompts)."""
+    """CLIP's BPE tokenizer (the algorithm of the reference's vendored
+    simple_tokenizer, imagebind_extractor.py:285-336,790-850), loading the
+    standard ``bpe_simple_vocab_16e6.txt.gz`` merges file.
+
+    Without a merges file the tokenizer REFUSES to encode unless constructed
+    with ``allow_hash_fallback=True`` — the hash fallback produces stable but
+    meaningless ids (adequate only for cache keys / shape tests, never for
+    real zero-shot prompts), so it must be an explicit opt-in.
+
+    Search order when ``bpe_path`` is None: $ANYLOC_CLIP_BPE, then
+    ``~/.cache/clip/`` and ``~/.cache/anyloc_tpu/`` standard filenames.
+    """
 
     SOT, EOT = 49406, 49407  # class-level defaults (full CLIP vocab)
+    _STD_NAME = "bpe_simple_vocab_16e6.txt.gz"
 
-    def __init__(self, bpe_path: Optional[str] = None, vocab: int = 49408):
+    def __init__(self, bpe_path: Optional[str] = None, vocab: int = 49408,
+                 allow_hash_fallback: bool = False):
         self.bpe = None
         self.vocab = vocab
+        self.allow_hash_fallback = allow_hash_fallback
         # standard CLIP special ids; clamped into range for smaller vocabs
         self.SOT = min(49406, vocab - 2)
         self.EOT = min(49407, vocab - 1)
+        if bpe_path is None:
+            bpe_path = self._find_standard_path()
         if bpe_path and os.path.exists(bpe_path):
             self._load_bpe(bpe_path)
+
+    @classmethod
+    def _find_standard_path(cls) -> Optional[str]:
+        cands = [os.environ.get("ANYLOC_CLIP_BPE")]
+        for d in ("~/.cache/clip", "~/.cache/anyloc_tpu"):
+            cands.append(os.path.join(os.path.expanduser(d), cls._STD_NAME))
+        for c in cands:
+            if c and os.path.exists(c):
+                return c
+        return None
 
     def _load_bpe(self, path: str):
         import regex as _re  # available via transformers dependency
 
-        merges = gzip.open(path).read().decode("utf-8").split("\n")[1 : 49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merges]
+        raw = (gzip.open(path).read() if path.endswith(".gz")
+               else open(path, "rb").read())
+        lines = raw.decode("utf-8").split("\n")[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in lines]
+        merges = [m for m in merges if len(m) == 2]  # drop blank tail lines
         self.byte_encoder = self._bytes_to_unicode()
         vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]
@@ -214,6 +242,10 @@ class SimpleTokenizer:
             vocab.append("".join(m))
         vocab.extend(["<|startoftext|>", "<|endoftext|>"])
         self.encoder = {v: i for i, v in enumerate(vocab)}
+        # specials sit at the end of the BPE vocab — derive, don't assume
+        # (only equals 49406/49407 for the full 49152-merge file)
+        self.SOT = self.encoder["<|startoftext|>"]
+        self.EOT = self.encoder["<|endoftext|>"]
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.pat = _re.compile(
             r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
@@ -258,17 +290,34 @@ class SimpleTokenizer:
             word = tuple(new)
         return list(word)
 
+    @staticmethod
+    def _clean(text: str) -> str:
+        """CLIP's whitespace_clean + (ftfy-free) basic_clean: html unescape
+        twice, collapse whitespace, strip, lowercase."""
+        import html
+        import re as _sre
+
+        text = html.unescape(html.unescape(text))
+        return _sre.sub(r"\s+", " ", text).strip().lower()
+
     def encode(self, text: str) -> List[int]:
         if self.bpe:
             out = []
-            for tok in self.pat.findall(text.lower().strip()):
+            for tok in self.pat.findall(self._clean(text)):
                 # UTF-8 bytes -> surrogate unicode chars, then BPE (CLIP's
                 # exact preprocessing; raw unicode would mistokenize non-ASCII)
                 tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
                 out.extend(self.encoder[u] for u in self._bpe_word(tok))
             return out
-        # hash fallback: one id per whitespace token, stable across runs,
-        # kept inside [1, SOT) so any vocab size embeds in range
+        if not self.allow_hash_fallback:
+            raise RuntimeError(
+                "No BPE merges file found — real CLIP tokenization needs "
+                f"'{self._STD_NAME}' (set $ANYLOC_CLIP_BPE or place it under "
+                "~/.cache/clip/). Pass allow_hash_fallback=True only for "
+                "cache-key/shape work: hash ids are NOT CLIP token ids."
+            )
+        # hash fallback (explicit opt-in): one id per whitespace token,
+        # stable across runs, kept inside [1, SOT) so any vocab embeds it
         hi = max(self.SOT - 1, 2)
         return [
             int.from_bytes(
@@ -306,6 +355,7 @@ class ClipWrapper:
         save_norm_descs: bool = True,
         checkpoint: Optional[str] = None,
         bpe_path: Optional[str] = None,
+        allow_hash_tokenizer: bool = False,
         dtype=jnp.float32,
         seed: int = 42,
         device=None,
@@ -331,7 +381,9 @@ class ClipWrapper:
             vocab=vocab, width=twidth, heads=theads, layers=tlayers,
             context=ctx, embed_dim=self.vcfg.proj_dim, quick=quick,
         )
-        self.tokenizer = SimpleTokenizer(bpe_path, vocab=vocab)
+        self.tokenizer = SimpleTokenizer(
+            bpe_path, vocab=vocab, allow_hash_fallback=allow_hash_tokenizer
+        )
         if checkpoint is not None:
             from anyloc_tpu.models.convert import load_torch_checkpoint
 

@@ -282,7 +282,8 @@ class ImageBindModel:
     (imagebind_extractor.py:1125+, postprocessors :1506-1530)."""
 
     def __init__(self, checkpoint: Optional[str] = None, dtype=jnp.float32,
-                 seed: int = 42, bpe_path: Optional[str] = None):
+                 seed: int = 42, bpe_path: Optional[str] = None,
+                 allow_hash_tokenizer: bool = False):
         self.dtype = dtype
         self.seed = seed
         self.vision_cfg = imagebind_vision_config(dtype=dtype)
@@ -298,7 +299,9 @@ class ImageBindModel:
                                dtype=dtype)
         from anyloc_tpu.models.clip import SimpleTokenizer
 
-        self.tokenizer = SimpleTokenizer(bpe_path)
+        self.tokenizer = SimpleTokenizer(
+            bpe_path, allow_hash_fallback=allow_hash_tokenizer
+        )
         self._params: Dict[str, Dict] = {}
         self._fns: Dict[str, object] = {}
         self._vision_head = None  # (ln_params, w) once known

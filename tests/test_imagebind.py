@@ -32,7 +32,7 @@ def tiny_model(monkeypatch_module=None):
     m.imu = ib._PatchTrunk(32, 2, 4, out_dim=16, kernel=8, mode="linear1d")
     from anyloc_tpu.models.clip import SimpleTokenizer
 
-    m.tokenizer = SimpleTokenizer(vocab=500)
+    m.tokenizer = SimpleTokenizer(vocab=500, allow_hash_fallback=True)
     m._params, m._fns = {}, {}
     m.logit_scales = {k: 1.0 for k in
                       ('vision', 'text', 'audio', 'depth', 'thermal', 'imu')}

@@ -84,6 +84,7 @@ class TestClipWrapper:
         return ClipWrapper(
             ClipWrapper.IMPL_OPENAI, "ViT-Tiny/16",
             base_cache_dir=str(cache), use_caching="exp1",
+            allow_hash_tokenizer=True,  # no merges file in this fixture
         )
 
     def test_encode_image_shape_and_cache(self, clip, rng):
@@ -102,7 +103,7 @@ class TestClipWrapper:
         assert txf.shape == (3, 16)
 
     def test_tokenizer_fallback_deterministic(self):
-        tok = SimpleTokenizer()
+        tok = SimpleTokenizer(allow_hash_fallback=True)
         a = tok.tokenize(["hello world"])
         b = tok.tokenize(["hello world"])
         np.testing.assert_array_equal(a, b)
@@ -199,3 +200,73 @@ def test_imagebind_vision_smoke(rng):
         wrapper.params = params
         wrapper._fwd = lambda p, i: (None, None)
         wrapper(np.zeros((1, 28, 28, 3), np.float32), modality="audio")
+
+
+class TestBPETokenizer:
+    """CLIP BPE parity (round-1 verdict item 5): the committed fixture loads
+    into BOTH our SimpleTokenizer and transformers' independent
+    CLIPTokenizer implementation — token ids must match exactly."""
+
+    FIXTURE = __import__("pathlib").Path(__file__).parent / "fixtures" / "bpe"
+    STRINGS = [
+        "hello world",
+        "a photo of the city",
+        "building 123 street",
+        "the cat's hat, and more.",
+        "  Weird   WHITESPACE\tand CASE  ",
+        "café naïve",           # non-ASCII utf-8 byte path
+        "unmergeable zxqj tokens",
+    ]
+
+    def _ours(self):
+        from anyloc_tpu.models.clip import SimpleTokenizer
+
+        return SimpleTokenizer(str(self.FIXTURE / "merges.txt"))
+
+    def test_matches_transformers_clip_tokenizer(self):
+        transformers = pytest.importorskip("transformers")
+        hf = transformers.CLIPTokenizer(
+            str(self.FIXTURE / "vocab.json"), str(self.FIXTURE / "merges.txt")
+        )
+        ours = self._ours()
+        for s in self.STRINGS:
+            got = ours.encode(s)
+            want = hf(s, add_special_tokens=False)["input_ids"]
+            assert got == want, (s, got, want)
+
+    def test_gz_loading_matches_plain(self):
+        from anyloc_tpu.models.clip import SimpleTokenizer
+
+        a = SimpleTokenizer(str(self.FIXTURE / "merges.txt"))
+        b = SimpleTokenizer(str(self.FIXTURE / "merges.txt.gz"))
+        for s in self.STRINGS:
+            assert a.encode(s) == b.encode(s)
+
+    def test_special_ids_derived_from_vocab(self):
+        ours = self._ours()
+        import json
+
+        vocab = json.loads((self.FIXTURE / "vocab.json").read_text())
+        assert ours.SOT == vocab["<|startoftext|>"]
+        assert ours.EOT == vocab["<|endoftext|>"]
+        toks = ours.tokenize(["hello world"])
+        assert toks[0, 0] == ours.SOT and ours.EOT in toks[0]
+
+    def test_no_merges_refuses_without_opt_in(self, monkeypatch):
+        from anyloc_tpu.models.clip import SimpleTokenizer
+
+        monkeypatch.delenv("ANYLOC_CLIP_BPE", raising=False)
+        monkeypatch.setattr(SimpleTokenizer, "_find_standard_path",
+                            classmethod(lambda cls: None))
+        tok = SimpleTokenizer()
+        with pytest.raises(RuntimeError, match="BPE merges"):
+            tok.encode("hello")
+        ok = SimpleTokenizer(allow_hash_fallback=True)
+        assert ok.encode("hello")  # stable hash ids, explicit opt-in
+
+    def test_env_var_discovery(self, monkeypatch):
+        from anyloc_tpu.models.clip import SimpleTokenizer
+
+        monkeypatch.setenv("ANYLOC_CLIP_BPE", str(self.FIXTURE / "merges.txt"))
+        tok = SimpleTokenizer()
+        assert tok.bpe
