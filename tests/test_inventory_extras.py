@@ -89,3 +89,49 @@ def test_ablation_plot(tmp_path):
     out = ablation_plot({"dinov2": str(csv1)}, "layer",
                         output_path=str(tmp_path / "abl.png"))
     assert os.path.exists(out)
+
+
+def test_viz_cli_report(tmp_path, rng):
+    """The app-surface artifact (gradio/HF-space replacement): one command,
+    one self-contained interactive HTML with embedded overlays + domain
+    scatter."""
+    from PIL import Image
+
+    from anyloc_tpu.pipelines.viz_cli import main
+
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            (rng.random((70, 84, 3)) * 255).astype(np.uint8)
+        ).save(in_dir / f"im{i}.jpg")
+    vdir = tmp_path / "cache" / "vocabulary" / "dinov2_vits14" / "l3_value_c4" / "indoor"
+    os.makedirs(vdir)
+    np.savez(vdir / "c_centers.npz",
+             centers=rng.standard_normal((4, 384)).astype(np.float32))
+    gem = {name: rng.standard_normal((5, 384)).astype(np.float32)
+           for name in ("gardens", "Oxford", "VPAir")}
+    np.savez(tmp_path / "gem.npz", **gem)
+    out = tmp_path / "report.html"
+    rc = main([
+        "report", "--in-dir", str(in_dir), "--out", str(out),
+        "--cache-dir", str(tmp_path / "cache"), "--domain", "indoor",
+        "--model", "dinov2_vits14", "--layer", "3", "--facet", "value",
+        "--num-clusters", "4", "--max-img-size", "70",
+        "--gem-cache", str(tmp_path / "gem.npz"),
+    ])
+    assert rc == 0
+    html = out.read_text()
+    assert html.count('<canvas') == 2           # one overlay per image
+    assert "viz-data" in html and "data:image/jpeg;base64," in html
+    assert "Domain projection" in html and "<svg" in html
+    import json as _json
+    import re as _re
+
+    data = _json.loads(
+        _re.search(r'id="viz-data">(.*?)</script>', html, _re.S).group(1)
+    )
+    assert len(data["palette"]) == 4
+    gh, gw = data["images"][0]["grid"]
+    assert len(data["images"][0]["labels"]) == gh * gw
+    assert all(0 <= v < 4 for v in data["images"][0]["labels"])
