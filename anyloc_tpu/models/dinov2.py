@@ -73,13 +73,28 @@ def convert_dinov2(sd: Dict, cfg: ViTConfig) -> Dict:
         pre = f"blocks.{i}"
         if f"{pre}.norm1.weight" not in sd and f"blocks.0.{i}.norm1.weight" in sd:
             pre = f"blocks.0.{i}"  # chunked giant checkpoints nest one level
+        qkv = dense_params(sd, f"{pre}.attn.qkv")
+        if cfg.tp_split:
+            # split the fused [D, 3D] matrix into the three shardable towers
+            # (column thirds = q|k|v; ViTConfig.tp_split)
+            attn = {"proj": dense_params(sd, f"{pre}.attn.proj")}
+            for t, n in enumerate(("wq", "wk", "wv")):
+                attn[n] = {
+                    "kernel": np.ascontiguousarray(
+                        np.split(qkv["kernel"], 3, axis=1)[t]
+                    ),
+                    **(
+                        {"bias": np.split(qkv["bias"], 3)[t]}
+                        if "bias" in qkv else {}
+                    ),
+                }
+        else:
+            attn = {"qkv": qkv,
+                    "proj": dense_params(sd, f"{pre}.attn.proj")}
         blk = {
             "norm1": ln_params(sd, f"{pre}.norm1"),
             "norm2": ln_params(sd, f"{pre}.norm2"),
-            "attn": {
-                "qkv": dense_params(sd, f"{pre}.attn.qkv"),
-                "proj": dense_params(sd, f"{pre}.attn.proj"),
-            },
+            "attn": attn,
             "ls1": {"gamma": t2np(sd[f"{pre}.ls1.gamma"])},
             "ls2": {"gamma": t2np(sd[f"{pre}.ls2.gamma"])},
         }
@@ -88,6 +103,19 @@ def convert_dinov2(sd: Dict, cfg: ViTConfig) -> Dict:
                 "fc1": dense_params(sd, f"{pre}.mlp.fc1"),
                 "fc2": dense_params(sd, f"{pre}.mlp.fc2"),
             }
+        elif cfg.tp_split:
+            w12 = dense_params(sd, f"{pre}.mlp.w12")
+            blk["mlp"] = {"w3": dense_params(sd, f"{pre}.mlp.w3")}
+            for t, n in enumerate(("w1", "w2")):
+                blk["mlp"][n] = {
+                    "kernel": np.ascontiguousarray(
+                        np.split(w12["kernel"], 2, axis=1)[t]
+                    ),
+                    **(
+                        {"bias": np.split(w12["bias"], 2)[t]}
+                        if "bias" in w12 else {}
+                    ),
+                }
         else:
             blk["mlp"] = {
                 "w12": dense_params(sd, f"{pre}.mlp.w12"),

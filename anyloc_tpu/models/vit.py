@@ -67,6 +67,13 @@ class ViTConfig:
     quant: Optional[str] = None    # None | "int8" — int8 W8A8 block matmuls
     # (frozen-trunk weight quantization, ops/quant.py; ~1.27x matmul stack on
     # v5e; params carry kernel_q/kernel_scale — see quantize_vit_params)
+    tp_split: bool = False         # store qkv as wq/wk/wv and SwiGLU w12 as
+    # w1/w2 (separate Dense params). The fused [D,3D]/[D,2H] layouts cannot
+    # shard head-/gate-aligned along columns; the split layouts give true
+    # Megatron-style tensor parallelism (parallel/tp.py) with identical math
+    # — the fused qkv facet tensor is reassembled by concatenation. Not
+    # combinable with the int8-fused kernel paths (those consume the fused
+    # layouts); converters split checkpoint matrices when this is set.
 
     @property
     def head_dim(self) -> int:
@@ -337,9 +344,20 @@ class Attention(nn.Module):
                 ln_params=(ln_scale, ln_bias), ln_eps=c.ln_eps,
                 layerscale=gamma, interpret=_FUSED_ATTN_INTERPRET,
             )
-        qkv = _dense(
-            c, 3 * d, use_bias=c.qkv_bias, name="qkv"
-        )(x)  # [B, N, 3D] fused — facet source
+        if c.tp_split:
+            # three column-shardable towers; concatenation reproduces the
+            # fused facet layout exactly (q|k|v, head-minor within each)
+            qkv = jnp.concatenate(
+                [
+                    _dense(c, d, use_bias=c.qkv_bias, name=n)(x)
+                    for n in ("wq", "wk", "wv")
+                ],
+                axis=-1,
+            )
+        else:
+            qkv = _dense(
+                c, 3 * d, use_bias=c.qkv_bias, name="qkv"
+            )(x)  # [B, N, 3D] fused — facet source
         if qkv_only:
             # Facet capture: the attention itself (and proj) is never built —
             # the reference computes the full block then discards it
@@ -457,8 +475,10 @@ class Mlp(nn.Module):
 
     def _supports_fused(self) -> bool:
         c = self.cfg
-        return c.quant in ("int8_fused", "int8_full") and (
-            c.mlp_type == "swiglu_fused" or c.act == "gelu"
+        return (
+            c.quant in ("int8_fused", "int8_full")
+            and (c.mlp_type == "swiglu_fused" or c.act == "gelu")
+            and not c.tp_split  # kernels consume the fused [D, 2H] layout
         )
 
     @nn.compact
@@ -509,8 +529,13 @@ class Mlp(nn.Module):
         elif c.mlp_type == "swiglu_fused":
             # DINOv2-giant SwiGLUFFNFused: hidden = (int(4d * 2/3) + 7) // 8 * 8
             hidden = ((int(d * c.mlp_ratio * 2 / 3) + 7) // 8) * 8
-            w12 = _dense(c, 2 * hidden, name="w12")(x)
-            x1, x2 = jnp.split(w12, 2, axis=-1)
+            if c.tp_split:
+                # gate-aligned column-parallel towers (see ViTConfig.tp_split)
+                x1 = _dense(c, hidden, name="w1")(x)
+                x2 = _dense(c, hidden, name="w2")(x)
+            else:
+                w12 = _dense(c, 2 * hidden, name="w12")(x)
+                x1, x2 = jnp.split(w12, 2, axis=-1)
             x = jax.nn.silu(x1) * x2
             return _dense(c, d, name="w3")(x)
         raise ValueError(f"Unknown mlp_type {c.mlp_type}")
@@ -541,6 +566,7 @@ class Block(nn.Module):
             # tiny head geometries can't lane-align the kernel's weight
             # blocks -> plain QDense path (caught by the tpu test lane)
             and int8_attn_geometry_ok(c.num_heads, c.head_dim)
+            and not c.tp_split  # kernel consumes the fused [D, 3D] layout
         )
         if use_fused_attn_int8:
             # Whole attention half (norm1 + int8 qkv + attention + int8

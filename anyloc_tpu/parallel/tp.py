@@ -1,20 +1,29 @@
 """Tensor-parallel sharding specs for the ViT trunk.
 
 Megatron-style TP expressed the JAX way: parameter sharding annotations only —
-XLA GSPMD inserts the all-reduces after the row-parallel matmuls. The MLP is
-where DINOv2-G's parameters live (SwiGLU 1536x4096x3 per block), so TP shards:
+XLA GSPMD inserts the all-reduces after the row-parallel matmuls. With
+``ViTConfig(tp_split=True)`` the trunk stores its big matrices in shardable
+layouts, and TP covers essentially all block parameters:
 
-  * mlp.fc1 kernel [D, H]  -> P(None, 'model')   (column-parallel)
-  * mlp.fc2 kernel [H, D]  -> P('model', None)   (row-parallel; bias replicated)
-  * swiglu w3 kernel       -> row-parallel
-  * swiglu w12             -> replicated (the fused [x1|x2] layout's split
-    point only aligns with even shard counts; replicating it costs ~2/3 of
-    the potential TP saving on giant but avoids a resharding all-to-all —
-    revisit by storing w1/w2 unfused)
+  * attention wq/wk/wv kernels [D, D] -> P(None, 'model')  (column-parallel,
+    head-aligned: heads are column-minor so a contiguous shard holds whole
+    heads whenever n_model divides num_heads)
+  * attention proj [D, D]      -> P('model', None)  (row-parallel; GSPMD
+    psums the partial outputs; bias replicated, added post-reduction)
+  * swiglu w1/w2 [D, H]        -> P(None, 'model')  (gate-aligned — the
+    silu(x@w1) * (x@w2) product is shard-local)
+  * swiglu w3 / mlp.fc2 [H, D] -> P('model', None)
+  * mlp.fc1 [D, H]             -> P(None, 'model')
 
-Attention stays replicated: the fused qkv layout (kept for facet parity with
-the reference hook, utilities.py:274-281) splits q/k/v at D boundaries that
-don't align with head-sharding; attention is <40% of ViT-G params.
+Without ``tp_split`` the fused qkv [D, 3D] / w12 [D, 2H] layouts (kept for
+the int8 fused kernels and single-chip serving) cannot shard column-aligned
+and stay replicated — only fc1/fc2/w3 shard. The round-1 "TP barely shards
+anything on giant" gap is exactly this: serve ViT-G across chips with
+``tp_split=True`` (converters split checkpoints automatically, models/
+dinov2.py), serve single-chip int8 with the fused layouts.
+
+Replaced reference precedent: whole-model DataParallel replication
+(dvgl_benchmark/train.py:55).
 """
 
 from __future__ import annotations
@@ -24,22 +33,27 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_COL_PARALLEL = ("wq/kernel", "wk/kernel", "wv/kernel",
+                 "w1/kernel", "w2/kernel", "fc1/kernel")
+_COL_BIAS = ("wq/bias", "wk/bias", "wv/bias",
+             "w1/bias", "w2/bias", "fc1/bias")
+_ROW_PARALLEL = ("fc2/kernel", "w3/kernel", "attn/proj/kernel")
+
 
 def _spec_for(path: tuple, leaf) -> P:
     names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
     joined = "/".join(str(n) for n in names)
-    if "mlp" in joined:
-        if joined.endswith("fc1/kernel"):
-            return P(None, "model")
-        if joined.endswith("fc1/bias"):
-            return P("model")
-        if joined.endswith("fc2/kernel") or joined.endswith("w3/kernel"):
-            return P("model", None)
+    if any(joined.endswith(s) for s in _COL_PARALLEL):
+        return P(None, "model")
+    if any(joined.endswith(s) for s in _COL_BIAS):
+        return P("model")
+    if any(joined.endswith(s) for s in _ROW_PARALLEL):
+        return P("model", None)
     return P()
 
 
 def vit_tp_shardings(params: Any, mesh: Mesh):
-    """Pytree of NamedShardings implementing MLP tensor parallelism."""
+    """Pytree of NamedShardings implementing trunk tensor parallelism."""
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), params
     )
@@ -49,3 +63,21 @@ def replicated_shardings(params: Any, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P()), params
     )
+
+
+def params_bytes_per_device(params: Any) -> int:
+    """Max per-device bytes actually held by ``params`` (sums each leaf's
+    addressable shards on device 0) — the TP-footprint diagnostic used by the
+    dryrun and tests."""
+    import numpy as np
+
+    total = 0
+    dev0 = jax.devices()[0]
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "addressable_shards"):
+            for sh in leaf.addressable_shards:
+                if sh.device == dev0:
+                    total += int(np.prod(sh.data.shape)) * sh.data.dtype.itemsize
+        else:
+            total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -127,3 +127,101 @@ def test_sharded_search_bf16_scoring(mesh, rng):
     s0, i0 = top_k_search_sharded(db, qu, 3, mesh)
     s1, i1 = top_k_search_sharded(db, qu, 3, mesh, score_dtype="bfloat16")
     np.testing.assert_array_equal(i0[:, 0], i1[:, 0])
+
+
+def test_tp_split_facet_equality_and_footprint():
+    """Real TP (round-1 verdict item 7): with ViTConfig(tp_split=True) the
+    trunk's big matrices shard across the model axis — per-device parameter
+    bytes drop toward 1/n_model, and facets equal the fused single-device
+    layout exactly (the converter splits the same matrices the fused layout
+    concatenates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.extractor import ViTFacetExtractor, init_params
+    from anyloc_tpu.models.vit import ViTConfig
+    from anyloc_tpu.parallel.mesh import get_mesh
+    from anyloc_tpu.parallel.tp import (
+        params_bytes_per_device,
+        replicated_shardings,
+        vit_tp_shardings,
+    )
+
+    base = dict(img_size=56, patch_size=14, embed_dim=96, depth=2,
+                num_heads=4, mlp_type="swiglu_fused", layerscale_init=1e-5,
+                dtype=jnp.float32)
+    cfg_f = ViTConfig(**base)
+    cfg_s = ViTConfig(**base, tp_split=True)
+    pf = init_params(cfg_f, seed=3)
+    # build the split tree FROM the fused one so both compute the same fn
+    import flax
+
+    pf_flat = flax.traverse_util.flatten_dict(pf["params"], sep="/")
+    ps_flat = {}
+    for k, v in pf_flat.items():
+        if k.endswith("attn/qkv/kernel"):
+            for t, n in enumerate(("wq", "wk", "wv")):
+                ps_flat[k.replace("qkv/kernel", f"{n}/kernel")] = (
+                    np.split(np.asarray(v), 3, axis=1)[t])
+        elif k.endswith("attn/qkv/bias"):
+            for t, n in enumerate(("wq", "wk", "wv")):
+                ps_flat[k.replace("qkv/bias", f"{n}/bias")] = (
+                    np.split(np.asarray(v), 3)[t])
+        elif k.endswith("mlp/w12/kernel"):
+            for t, n in enumerate(("w1", "w2")):
+                ps_flat[k.replace("w12/kernel", f"{n}/kernel")] = (
+                    np.split(np.asarray(v), 2, axis=1)[t])
+        elif k.endswith("mlp/w12/bias"):
+            for t, n in enumerate(("w1", "w2")):
+                ps_flat[k.replace("w12/bias", f"{n}/bias")] = (
+                    np.split(np.asarray(v), 2)[t])
+        else:
+            ps_flat[k] = v
+    ps = {"params": flax.traverse_util.unflatten_dict(ps_flat, sep="/")}
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
+    want = np.asarray(ViTFacetExtractor(cfg_f, pf, 1, "value")(img))
+
+    mesh = get_mesh(n_data=2, n_model=4)
+    ps_sharded = jax.device_put(ps, vit_tp_shardings(ps, mesh))
+    got = np.asarray(ViTFacetExtractor(cfg_s, ps_sharded, 1, "value")(img))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # per-device footprint: block params shard 4-way; embeddings replicate
+    rep = params_bytes_per_device(jax.device_put(ps, replicated_shardings(ps, mesh)))
+    shd = params_bytes_per_device(ps_sharded)
+    assert shd < 0.55 * rep, (shd, rep)  # ~1/4 of block params + embeds
+
+
+def test_tp_split_checkpoint_converter_splits():
+    """convert_dinov2 with tp_split splits the same fused matrices."""
+    torch = pytest.importorskip("torch")
+
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.dinov2 import convert_dinov2, dinov2_config
+    from anyloc_tpu.models.vit import ViT
+    import dataclasses
+
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from oracles import TorchMiniDino
+
+    torch.manual_seed(1)
+    tm = TorchMiniDino(img_size=56, d=64, depth=2, heads=4, swiglu=True).eval()
+    cfg = dinov2_config("dinov2_vits14", dtype=jnp.float32)
+    cfg = dataclasses.replace(
+        cfg, img_size=56, embed_dim=64, depth=2, num_heads=4,
+        mlp_type="swiglu_fused",
+    )
+    cfg_s = dataclasses.replace(cfg, tp_split=True)
+    pf = convert_dinov2(tm.state_dict(), cfg)
+    ps = convert_dinov2(tm.state_dict(), cfg_s)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+    a = ViT(cfg).apply(pf, img)
+    b = ViT(cfg_s).apply(ps, img)
+    np.testing.assert_allclose(
+        np.asarray(a["tokens"]), np.asarray(b["tokens"]), atol=1e-5
+    )
