@@ -1,5 +1,6 @@
 """Dataset layer tests over synthetic miniature datasets in each on-disk
 layout the reference supports."""
+import os
 
 import numpy as np
 import pytest
@@ -172,3 +173,166 @@ def test_eiffel_loader(tmp_path):
     # the loader must skip the first 101 gt rows
     for pos in ds.soft_positives_per_query:
         assert len(pos) == 1
+
+
+# ---------------------------------------------------------------------------
+# dataset-specific formatters (datasets_vg format_mapillary / tokyo247 /
+# pitts250k equivalents) on synthetic raw trees
+# ---------------------------------------------------------------------------
+
+def _save_jpg(path, size=(32, 40)):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.new("RGB", size, (120, 90, 60)).save(path)
+
+
+def _cellcol(fns):
+    """Column cell-array that loadmat round-trips to the reference's
+    ``[str(f[0].item()) for f in struct]`` parsing."""
+    arr = np.empty((len(fns), 1), object)
+    arr[:, 0] = [np.array([f]) for f in fns]
+    return arr
+
+
+def test_get_dst_image_name_reference_layout():
+    from anyloc_tpu.data.tools import get_dst_image_name, parse_utm_filename
+
+    name = get_dst_image_name(40.44, -79.99, "pano42", tile_num=5,
+                              timestamp="20200101", note="day_city")
+    parts = name.split("@")
+    assert len(parts) == 16 and parts[-1] == ".jpg"
+    assert parts[3] == "17" and parts[4] == "T"          # zone for Pittsburgh
+    assert parts[7] == "pano42" and parts[8] == "05"
+    assert parts[13] == "20200101" and parts[14] == "day_city"
+    e, n = parse_utm_filename(name)
+    assert 580000 < e < 600000 and 4.4e6 < n < 4.5e6
+
+
+def test_format_mapillary(tmp_path):
+    from anyloc_tpu.data.tools import format_mapillary
+
+    raw = tmp_path / "raw"
+    for city, split in (("london", "train"), ("cph", "val")):
+        for folder in ("database", "query"):
+            d = raw / city / folder
+            (d / "images").mkdir(parents=True)
+            rows_raw, rows_post = ["hdr\n"], ["hdr\n"]
+            for i in range(3):
+                pid = f"{city}{folder}{i}"
+                pano = "True" if i == 2 else "False"     # one panorama skipped
+                rows_raw.append(
+                    f"k,{pid},-0.12,51.50,x,2020-01-0{i+1},{pano}\n"
+                )
+                night = "True" if i == 1 else "False"
+                rows_post.append(f"a,b,{night},Forward\n")
+                _save_jpg(str(d / "images" / f"{pid}.jpg"))
+            (d / "raw.csv").write_text("".join(rows_raw))
+            (d / "postprocessed.csv").write_text("".join(rows_post))
+    out = tmp_path / "out"
+    moved = format_mapillary(str(raw), str(out))
+    assert moved == 8                                    # 2 skipped panoramas
+    train_db = list((out / "msls" / "train" / "database").glob("*.jpg"))
+    assert len(train_db) == 2
+    assert any("night_forward_london" in p.name for p in train_db)
+    assert (out / "msls" / "test").exists()              # symlink to val
+    # the UTM-named outputs load through the vg_bench BaseDataset parser
+    from anyloc_tpu.data.tools import parse_utm_filename
+
+    e, n = parse_utm_filename(train_db[0].name)
+    assert e > 0 and n > 0
+
+
+def test_format_pitts250k(tmp_path):
+    import scipy.io as sio
+
+    from anyloc_tpu.data.tools import format_pitts250k, latlon_to_utm
+
+    raw = tmp_path / "raw"
+    (raw / "datasets").mkdir(parents=True)
+    e0, n0, _, _ = latlon_to_utm(40.44, -79.99)
+
+    def struct(db_fns, q_fns):
+        n_db, n_q = len(db_fns), len(q_fns)
+        return np.array(
+            [(
+                "pitts",
+                _cellcol(db_fns),
+                np.array([[e0 + i, n0 + i] for i in range(n_db)]).T,
+                _cellcol(q_fns),
+                np.array([[e0 + i, n0 + i] for i in range(n_q)]).T,
+                n_db, n_q, 25, 0, 0,
+            )],
+            dtype=[("whichSet", "O"), ("dbImageFns", "O"), ("utmDb", "O"),
+                   ("qImageFns", "O"), ("utmQ", "O"), ("numImages", "O"),
+                   ("numQueries", "O"), ("posDistThr", "O"),
+                   ("posDistSqThr", "O"), ("nonTrivPosDistSqThr", "O")],
+        )
+
+    for split in ("train", "val", "test"):
+        db = [f"000/00{i}{split[0]}_pitch1_yaw{i+1}.jpg" for i in range(2)]
+        qs = [f"q{i}{split[0]}_pitch2_yaw{i+1}.jpg" for i in range(1)]
+        for f in db:
+            _save_jpg(str(raw / f))
+        for f in qs:
+            _save_jpg(str(raw / "queries_real" / f))
+        sio.savemat(raw / "datasets" / f"pitts250k_{split}.mat",
+                    {"dbStruct": struct(db, qs)})
+    out = tmp_path / "out"
+    done = format_pitts250k(str(raw), str(out))
+    assert done == 9
+    names = [p.name for p in (out / "images" / "train" / "database").glob("*")]
+    assert len(names) == 2
+    # tile = (pitch-1)*24 + (yaw-1): pitch1 yaw1 -> 00, pitch1 yaw2 -> 01
+    assert any("@00@" in n for n in names) and any("@01@" in n for n in names)
+    # registry round-trip: the formatted tree loads through BaseDataset's
+    # vg_bench UTM parser with correct soft positives
+    from anyloc_tpu.data.loaders.base_dataset import BaseDataset
+
+    ds = BaseDataset(str(tmp_path), "out", "test", img_size=(32, 32))
+    assert ds.database_num == 2 and ds.queries_num == 1
+    pos = ds.get_positives()
+    assert len(pos[0]) >= 1   # query utm == db utm -> within 25 m
+
+
+def test_format_tokyo247(tmp_path):
+    import scipy.io as sio
+
+    from anyloc_tpu.data.tools import format_tokyo247, latlon_to_utm
+
+    raw = tmp_path / "raw"
+    (raw / "datasets").mkdir(parents=True)
+    e0, n0, _, _ = latlon_to_utm(35.68, 139.76)   # Tokyo, zone 54S
+    db = ["03814/ABCDEFGHIJKLMNOPQRSTUV_012_030.jpg",
+          "03814/ABCDEFGHIJKLMNOPQRSTUV_012_330.jpg"]
+    for f in db:
+        _save_jpg(str(raw / "tokyo247" / f.replace(".jpg", ".png")))
+    st = np.array(
+        [(
+            "tokyo",
+            _cellcol(db),
+            np.array([[e0, n0], [e0 + 5, n0 + 5]]).T,
+            _cellcol([]), np.array([[], []]), 2, 0, 25, 0, 0,
+        )],
+        dtype=[("whichSet", "O"), ("dbImageFns", "O"), ("utmDb", "O"),
+               ("qImageFns", "O"), ("utmQ", "O"), ("numImages", "O"),
+               ("numQueries", "O"), ("posDistThr", "O"),
+               ("posDistSqThr", "O"), ("nonTrivPosDistSqThr", "O")],
+    )
+    sio.savemat(raw / "datasets" / "tokyo247.mat", {"dbStruct": st})
+    qdir = raw / "tokyo247" / "247query_subset_v2"
+    _save_jpg(str(qdir / "q0.jpg"), size=(600, 900))
+    (qdir / "q0.csv").write_text("qpano0,35.681,139.761,meta\n")
+    out = tmp_path / "out"
+    done = format_tokyo247(str(raw), str(out))
+    assert done == 3
+    dbs = sorted((out / "images" / "test" / "database").glob("*.jpg"))
+    assert len(dbs) == 2
+    # tile = view//30: 030 -> 01, 330 -> 11; pano id = first 22 chars
+    assert "@ABCDEFGHIJKLMNOPQRSTUV@01@" in dbs[0].name
+    assert "@ABCDEFGHIJKLMNOPQRSTUV@11@" in dbs[1].name
+    qs = list((out / "images" / "test" / "queries").glob("*.jpg"))
+    assert len(qs) == 1
+    from PIL import Image
+
+    assert min(Image.open(qs[0]).size) == 480   # short-edge resize
