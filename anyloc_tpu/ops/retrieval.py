@@ -192,22 +192,34 @@ def compute_recalls(
 ) -> Dict[int, float]:
     """Recall@K accumulation matching utilities.py:451-468 exactly, including
     the sub-sample index correction (qu index * sub_sample_qu into gt, and
-    retrieved db index * sub_sample_db before membership test)."""
-    recalls = {k: 0 for k in top_k}
-    for i_qu, qu_retr in enumerate(np.asarray(indices)):
-        correct = np.asarray(gt_pos[i_qu * sub_sample_qu])
-        scaled = qu_retr * sub_sample_db
-        hits = np.isin(scaled, correct)
-        # recall@k is a hit if any of the first k retrievals is correct
-        csum = np.cumsum(hits) > 0
-        for k in top_k:
-            if k <= len(csum) and csum[k - 1]:
-                recalls[k] += 1
-            elif k > len(csum) and csum[-1]:
-                recalls[k] += 1
+    retrieved db index * sub_sample_db before membership test).
+
+    Fully vectorized: one ``np.isin`` over composite (query, db) keys
+    replaces the reference's per-query Python loop — at the 250k-db / 10k-
+    query scale (BASELINE config #5) the loop itself was starting to show."""
+    indices = np.asarray(indices)
+    n_qu, max_k = indices.shape
+    # composite int64 keys: query_row * stride + db_id (collision-free)
+    gt_lists = [
+        np.asarray(gt_pos[i * sub_sample_qu], np.int64).ravel()
+        for i in range(n_qu)
+    ]
+    scaled = indices.astype(np.int64) * sub_sample_db
+    stride = np.int64(
+        max(int(scaled.max(initial=0)),
+            max((int(g.max()) for g in gt_lists if g.size), default=0)) + 1
+    )
+    gt_keys = np.concatenate(
+        [np.int64(i) * stride + g for i, g in enumerate(gt_lists)]
+    ) if any(g.size for g in gt_lists) else np.empty(0, np.int64)
+    retr_keys = np.arange(n_qu, dtype=np.int64)[:, None] * stride + scaled
+    hits = np.isin(retr_keys, gt_keys)          # [n_qu, max_k]
+    any_hit = np.cumsum(hits, axis=1) > 0
+    recalls = {
+        k: int(any_hit[:, min(k, max_k) - 1].sum()) for k in top_k
+    }
     if use_percentage:
-        n = len(indices)
-        recalls = {k: v / n for k, v in recalls.items()}
+        recalls = {k: v / n_qu for k, v in recalls.items()}
     return recalls
 
 

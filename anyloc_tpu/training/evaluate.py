@@ -39,11 +39,27 @@ def extract_features(
                 f = np.asarray(descriptor_fn(imgs))
                 qu_feats.append(f[bidx >= 0])
         else:
-            for qi in range(dataset.database_num, len(dataset)):
-                item, _ = dataset[qi]
-                f = np.asarray(descriptor_fn(item))  # [5, D]
+            # crop ensembles: batch whole queries (5 same-shape crops each)
+            # into one [nq*5, H, W, 3] forward — the reference (and round 1)
+            # ran batch-1 per query, wasting the accelerator at scale
+            q_per_batch = max(1, batch_size // 5)
+            q_indices = list(range(dataset.database_num, len(dataset)))
+            for s in range(0, len(q_indices), q_per_batch):
+                chunk = q_indices[s : s + q_per_batch]
+                n_valid = len(chunk)
+                # pad the tail chunk to the full batch shape (one compiled
+                # program; ragged tails would recompile)
+                padded = chunk + [chunk[-1]] * (q_per_batch - n_valid)
+                crops = np.concatenate(
+                    [dataset[qi][0] for qi in padded]
+                )  # [q_per_batch*5, H, W, 3]
+                f = np.asarray(descriptor_fn(crops)).reshape(
+                    q_per_batch, 5, -1
+                )[:n_valid]
                 if test_method == "five_crops":
-                    f = f.mean(axis=0, keepdims=True)
+                    f = f.mean(axis=1)            # [nq, D]
+                else:
+                    f = f.reshape(len(chunk) * 5, -1)
                 qu_feats.append(f)
     finally:
         dataset.test_method = prev_method
