@@ -174,8 +174,12 @@ def make_extractor(
         )
     if model_type.startswith("lseg"):
         raise NotImplementedError(
-            "LSeg needs the external LSeg package + checkpoint (the reference "
-            "also requires a separate env for it, scripts/lseg_ablations_env.sh); "
-            "extract LSeg features externally and feed them to ops.vlad directly"
+            "The LSeg MODEL needs the external LSeg package + checkpoint — "
+            "the reference runs it in a separate conda env too "
+            "(scripts/lseg_ablations_env.sh) and its lseg_vlad.py script only "
+            "consumes pre-computed .npy pixel-descriptor caches. That full "
+            "pipeline IS implemented here: "
+            "anyloc_tpu.pipelines.extras.lseg_vlad(db_cache_dir, "
+            "query_cache_dir, ...)"
         )
     raise KeyError(f"Unknown model family for '{model_type}'")

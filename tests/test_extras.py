@@ -140,3 +140,30 @@ def test_extractor_factory_families(rng):
     mae = make_extractor("mae_vit_base_patch16", dtype=jnp.float32)
     # mae config is 224px; skip heavy call, just check attrs
     assert mae.cfg.patch_size == 16
+
+
+def test_lseg_vlad_cached_pipeline(tmp_path, rng):
+    """scripts/lseg_vlad.py route: VLAD + recall over cached [H, W, D]
+    pixel-descriptor .npy files (the reference never runs the LSeg model in
+    this script either — caches come from a separate env)."""
+    from anyloc_tpu.pipelines.extras import lseg_vlad
+
+    db_dir = tmp_path / "db"; qu_dir = tmp_path / "qu"
+    db_dir.mkdir(); qu_dir.mkdir()
+    base = rng.standard_normal((6, 8, 8, 16)).astype(np.float32)
+    for i in range(6):
+        np.save(db_dir / f"im{i:03d}.npy", base[i])
+    for j, src in enumerate([0, 3, 5]):
+        np.save(qu_dir / f"q{j:03d}.npy",
+                base[src] + 0.05 * rng.standard_normal((8, 8, 16)).astype(np.float32))
+    gt = [np.array([0]), np.array([3]), np.array([5])]
+    dists, idx, recalls = lseg_vlad(
+        str(db_dir), str(qu_dir), gt, num_clusters=4, top_k_vals=[1, 3],
+    )
+    assert recalls[1] == 1.0 and np.asarray(idx)[:, 0].tolist() == [0, 3, 5]
+    # pixel sub-sampling halves the grid but keeps retrieval solvable
+    _, idx2, r2 = lseg_vlad(
+        str(db_dir), str(qu_dir), gt, num_clusters=4, top_k_vals=[1],
+        sub_sample_pixels=2, sub_sample_db_vlad=3,
+    )
+    assert r2[1] == 1.0
