@@ -64,7 +64,19 @@ def main(argv=None) -> int:
     p.add_argument("--test-method", default="hard_resize")
     p.add_argument("--recall-values", type=int, nargs="*", default=[1, 5, 10, 20])
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--efficient-ram-testing", action="store_true")
+    p.add_argument("--majority-weight", type=float, default=0.01)
+    p.add_argument("--save-descs", default=None,
+                   help="save all descriptors (db rows first, then queries) "
+                        "as <path>.npy (dvgl --save_descs)")
+    p.add_argument("--pca-dim", type=int, default=None)
+    p.add_argument("--pca-dataset-folder", default=None,
+                   help="image dir whose features fit the PCA "
+                        "(dvgl --pca_dataset_folder)")
     args = p.parse_args(argv)
+    if args.pca_dim is not None and args.pca_dataset_folder is None:
+        p.error("specify --pca-dataset-folder when using --pca-dim "
+                "(parser.py:135-136)")
     args.resize = tuple(args.resize)
 
     from anyloc_tpu.data.registry import get_dataset
@@ -79,10 +91,35 @@ def main(argv=None) -> int:
     ds = get_dataset(args.dataset, args.datasets_folder, args.split,
                      img_size=args.resize)
     infer = jax.jit(lambda imgs: model.apply(variables, imgs))
+    desc_fn = lambda imgs: infer(jnp.asarray(imgs, jnp.float32))  # noqa: E731
+    pca = None
+    if args.pca_dim is not None:
+        # dvgl util.compute_pca: forward the PCA folder's images, fit PCA
+        import glob as _glob
+        import os as _os
+
+        from anyloc_tpu.data.base import VPRDataset, natsorted
+        from anyloc_tpu.ops.pca import pca_fit
+
+        paths = natsorted([
+            q for e in ("*.jpg", "*.jpeg", "*.png")
+            for q in _glob.glob(_os.path.join(args.pca_dataset_folder, e))
+        ])
+        if not paths:
+            raise FileNotFoundError(
+                f"no images in {args.pca_dataset_folder}")
+        pca_ds = VPRDataset(paths, [], img_size=args.resize)
+        feats = []
+        for imgs, bidx in pca_ds.batches(args.batch_size, which="db"):
+            feats.append(np.asarray(desc_fn(imgs))[bidx >= 0])
+        pca = pca_fit(np.concatenate(feats), args.pca_dim)
     recalls, recalls_str = evaluate(
-        lambda imgs: infer(jnp.asarray(imgs, jnp.float32)), ds,
+        desc_fn, ds,
         test_method=args.test_method, recall_values=args.recall_values,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, pca=pca,
+        majority_weight=args.majority_weight,
+        efficient_ram=args.efficient_ram_testing,
+        save_descs=args.save_descs,
     )
     print(recalls_str)
     print(json.dumps({f"R@{k}": float(r)

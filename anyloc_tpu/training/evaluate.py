@@ -96,6 +96,7 @@ def evaluate(
     majority_weight: float = 0.01,
     efficient_ram: bool = False,
     stream_dtype: str = "float32",
+    save_descs: str = None,
 ) -> Tuple[np.ndarray, str]:
     """``efficient_ram`` is the dvgl ``test_efficient_ram_usage`` analogue
     (test.py:12-119) re-thought for TPU: the database streams through the
@@ -104,6 +105,10 @@ def evaluate(
     ("float32" / "bfloat16" / "int8") trades score precision for stream
     bandwidth (see ops.retrieval.top_k_search_blocked)."""
     db, qu = extract_features(descriptor_fn, dataset, test_method, batch_size)
+    if save_descs:
+        # dvgl --save_descs (parser.py): dump all descriptors as one .npy,
+        # database rows first then queries (the reference's layout)
+        np.save(f"{save_descs}.npy", np.concatenate([db, qu]))
     if pca is not None:
         from anyloc_tpu.ops.pca import pca_transform
 

@@ -219,3 +219,32 @@ class GeoLocalizationNet(nn.Module):
             out = nn.Dense(self.fc_output_dim, name="fc")(out)
             out = l2_normalize(out, axis=-1)
         return out
+
+
+def make_freeze_te_mask(freeze_te: int):
+    """Trainability mask callable for ``optax.masked`` implementing the dvgl
+    ``--freeze_te`` semantics (network.py:150-160, 169-180): every backbone
+    parameter freezes EXCEPT transformer-encoder blocks with index >
+    ``freeze_te`` (embeddings/tokenizer stay frozen; -1 unfreezes all
+    blocks). Heads/aggregation params stay trainable."""
+    import re
+
+    def mask(params):
+        import jax
+
+        def trainable(path, _leaf):
+            names = [str(getattr(k, "key", getattr(k, "name", k)))
+                     for k in path]
+            joined = "/".join(names)
+            if "backbone" not in names:
+                return True
+            after = joined.split("backbone/", 1)[-1]
+            m = re.search(r"(?:blocks_|norm1_|norm2_|qkv_|proj_|fc1_|fc2_)"
+                          r"(\d+)(?:/|$)", after)
+            if m is None:
+                return False       # embeddings / tokenizer / final norm
+            return int(m.group(1)) > freeze_te
+
+        return jax.tree_util.tree_map_with_path(trainable, params)
+
+    return mask

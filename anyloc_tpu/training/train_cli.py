@@ -99,6 +99,8 @@ def main(argv=None) -> int:
         p.error("ViT supports aggregations [netvlad, gem, cls] only")
     if args.trunc_te is not None and args.backbone not in ("cct384", "vit"):
         p.error("--trunc-te only applies to cct384 / vit backbones")
+    if args.freeze_te is not None and args.backbone not in ("cct384", "vit"):
+        p.error("--freeze-te only applies to cct384 / vit backbones")
     if args.aggregation == "crn" and not args.resume:
         logging.warning(
             "the reference requires CRN to resume from a trained NetVLAD "
@@ -219,6 +221,12 @@ def main(argv=None) -> int:
         mining=args.mining, criterion=args.criterion, margin=args.margin,
         lr=args.lr, optim=args.optim, patience=args.patience,
         neg_samples_num=args.neg_samples_num,
+        trainable_mask=(
+            None if args.freeze_te is None
+            else __import__("anyloc_tpu.training.network",
+                            fromlist=["make_freeze_te_mask"]
+                            ).make_freeze_te_mask(args.freeze_te)
+        ),
         output_dir=args.output_dir,
         recall_values=tuple(args.recall_values),
         eval_batch_size=args.infer_batch_size,

@@ -34,6 +34,7 @@ def train_triplet(
     lr: float = 1e-5,
     optim: str = "adam",
     patience: Optional[int] = None,
+    trainable_mask=None,
     neg_samples_num: int = 1000,
     output_dir: Optional[str] = None,
     recall_values=(1, 5, 10, 20),
@@ -54,6 +55,23 @@ def train_triplet(
     import jax
 
     opt = optax.adam(lr) if optim == "adam" else optax.sgd(lr)
+    if trainable_mask is not None:
+        # dvgl --freeze_te: frozen params get ZERO updates (requires_grad
+        # equivalent; network.make_freeze_te_mask builds the mask callable).
+        # NOTE optax.masked would pass raw gradients through where masked
+        # out — multi_transform + set_to_zero is the freezing construct.
+        inner = opt
+
+        def labels(params):
+            import jax as _jax
+
+            return _jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze", trainable_mask(params)
+            )
+
+        opt = optax.multi_transform(
+            {"train": inner, "freeze": optax.set_to_zero()}, labels
+        )
     step = make_triplet_train_step(
         descriptor_fn, opt, neg_num=neg_num, margin=margin, criterion=criterion
     )

@@ -135,3 +135,35 @@ def test_viz_cli_report(tmp_path, rng):
     gh, gw = data["images"][0]["grid"]
     assert len(data["images"][0]["labels"]) == gh * gw
     assert all(0 <= v < 4 for v in data["images"][0]["labels"])
+
+
+def test_eval_cli_pca_and_save_descs(tmp_path, rng):
+    """dvgl parser parity: --pca-dim (+ required --pca-dataset-folder),
+    --save-descs, cross-flag validation."""
+    from PIL import Image
+
+    from anyloc_tpu.data.synthetic import build_gardens
+    from anyloc_tpu.training.eval_cli import main
+
+    root = build_gardens(str(tmp_path), n_db=6, n_q=3, size=(64, 64))
+    pca_dir = tmp_path / "pca_imgs"
+    pca_dir.mkdir()
+    for i in range(8):
+        Image.fromarray(
+            (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        ).save(pca_dir / f"p{i}.jpg")
+    descs_path = tmp_path / "descs"
+    rc = main([
+        "--backbone", "resnet18conv4", "--aggregation", "gem",
+        "--dataset", "gardens", "--datasets-folder", root,
+        "--resize", "64", "64", "--recall-values", "1", "3",
+        "--batch-size", "3", "--pca-dim", "4",
+        "--pca-dataset-folder", str(pca_dir),
+        "--save-descs", str(descs_path),
+    ])
+    assert rc == 0
+    saved = np.load(f"{descs_path}.npy")
+    assert saved.shape[0] == 9          # 6 db rows then 3 queries
+    with pytest.raises(SystemExit):     # pca-dim without folder
+        main(["--backbone", "resnet18conv4", "--dataset", "gardens",
+              "--datasets-folder", root, "--pca-dim", "4"])

@@ -492,3 +492,50 @@ def test_train_triplet_patience_early_stop(vg_ds, tmp_path):
     )
     # lr=0 -> params never change -> identical recalls -> early stop
     assert len(hist) < 6
+
+
+def test_freeze_te_mask_zeroes_frozen_updates(rng):
+    """--freeze_te semantics (network.py:150-160): backbone embeddings +
+    blocks <= freeze_te get ZERO updates; later blocks and the head train."""
+    import optax
+
+    from anyloc_tpu.training.network import make_freeze_te_mask
+    from anyloc_tpu.training.triplet import triplet_margin_loss
+
+    model = GeoLocalizationNet(backbone="cct384", aggregation="gem",
+                               trunc_te=2)
+    imgs = jnp.asarray(rng.standard_normal((6, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    mask_fn = make_freeze_te_mask(0)
+    opt = optax.multi_transform(
+        {"train": optax.sgd(1.0), "freeze": optax.set_to_zero()},
+        lambda p: jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", mask_fn(p)),
+    )
+    opt_state = opt.init(variables)
+
+    def loss_fn(params):
+        d = model.apply(params, imgs)
+        return triplet_margin_loss(d[:2], d[2:4], d[4:6][:, None], margin=0.5)
+
+    _, grads = jax.value_and_grad(loss_fn)(variables)
+    updates, _ = opt.update(grads, opt_state)
+    new_vars = optax.apply_updates(variables, updates)
+    bb_old = variables["params"]["backbone"]
+    bb_new = new_vars["params"]["backbone"]
+    # block 0 and the tokenizer frozen; block 1 trainable
+    np.testing.assert_array_equal(
+        np.asarray(bb_new["qkv_0"]["kernel"]), np.asarray(bb_old["qkv_0"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(bb_new["tokenizer"]["conv_0"]["kernel"]),
+        np.asarray(bb_old["tokenizer"]["conv_0"]["kernel"]))
+    assert not np.array_equal(
+        np.asarray(bb_new["qkv_1"]["kernel"]), np.asarray(bb_old["qkv_1"]["kernel"]))
+
+
+def test_freeze_te_cli_validation():
+    from anyloc_tpu.training.train_cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--dataset", "x", "--datasets-folder", "/tmp/none",
+              "--backbone", "resnet18conv4", "--freeze-te", "2"])
