@@ -213,3 +213,57 @@ def test_quantized_params_checkpoint_roundtrip(tmp_path):
         assert ks in flat1, ks
         assert flat1[ks].dtype == v.dtype, ks
         np.testing.assert_array_equal(np.asarray(flat1[ks]), np.asarray(v))
+
+
+def test_int8_full_deep_trunk_accumulation():
+    """Quantization error ACCUMULATION evidence at depth (the round-1
+    concern: facet cosine was only measured on shallow test trunks, while
+    the flagship runs 31 quantized blocks): a depth-12 ViT-S-geometry trunk
+    (384-d, head_dim 64 — the real int8 kernel geometry) over the committed
+    real-JPEG fixture. Facet cosine vs the f32 trunk must stay high at
+    layer 11, and VLAD retrieval must be unchanged."""
+    import dataclasses
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from anyloc_tpu.data.transforms import center_crop_multiple, load_image
+    from anyloc_tpu.models.dinov2 import dinov2_config
+    from anyloc_tpu.models.extractor import ViTFacetExtractor, init_params
+    from anyloc_tpu.ops.quant import quantize_vit_params
+    from anyloc_tpu.ops.retrieval import top_k_search
+    from anyloc_tpu.ops.vlad import vlad_aggregate
+
+    fixture = pathlib.Path(__file__).parent / "fixtures" / "e2e"
+    paths = sorted((fixture / "db").glob("*.jpg"))[:8]
+    imgs = np.stack([
+        center_crop_multiple(load_image(str(p), (160, 160)), 14)
+        for p in paths
+    ])
+    cfg = dinov2_config("dinov2_vits14", dtype=jnp.float32)  # depth 12
+    params = init_params(cfg, seed=11)
+    layer = cfg.depth - 1
+    f32 = np.asarray(
+        ViTFacetExtractor(cfg, params, layer, "value")(jnp.asarray(imgs))
+    )
+    qcfg = dataclasses.replace(cfg, quant="int8_full")
+    qparams = quantize_vit_params(params, "int8_full")
+    q = np.asarray(
+        ViTFacetExtractor(qcfg, qparams, layer, "value")(jnp.asarray(imgs))
+    )
+    cos = (f32 * q).sum(-1) / (
+        np.linalg.norm(f32, axis=-1) * np.linalg.norm(q, axis=-1) + 1e-12
+    )
+    # 12 quantized blocks of accumulation on real image content
+    assert np.median(cos) > 0.99, float(np.median(cos))
+    assert cos.min() > 0.95, float(cos.min())
+
+    centers = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, cfg.embed_dim)),
+        jnp.float32,
+    )
+    v_f = np.asarray(vlad_aggregate(jnp.asarray(f32), centers))
+    v_q = np.asarray(vlad_aggregate(jnp.asarray(q), centers))
+    # self-retrieval ranking stability: int8 queries against the f32 db
+    _, idx = top_k_search(v_f, v_q, 1)
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(len(paths)))
