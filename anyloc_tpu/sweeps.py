@@ -115,6 +115,37 @@ def run_sweep(
     return rows
 
 
+
+# Named preset grids reproducing the reference's published ablation axes
+# (the 15 scripts/*_ablations.sh drivers + paper_utils/data/ablations CSVs).
+# Layers mirror the commented full ranges in
+# dino_v2_global_vocab_vlad_ablations.sh:12-18; facet/cluster/domain values
+# are the exact published grids. Combine with --grid.dataset to pick targets.
+PRESETS = {
+    # facet ordering table (facet/dinov2_*.csv: value > token >> query > key)
+    "facets": {"model_type": ["dinov2_vitg14"], "desc_layer": [31],
+               "desc_facet": ["query", "key", "value", "token"],
+               "num_clusters": [32]},
+    # layer ablation per model family (vit_and_layer/*.csv)
+    "layers-g14": {"model_type": ["dinov2_vitg14"], "desc_facet": ["value"],
+                   "desc_layer": list(range(39, -1, -1)), "num_clusters": [32]},
+    "layers-l14": {"model_type": ["dinov2_vitl14"], "desc_facet": ["value"],
+                   "desc_layer": list(range(23, -1, -1)), "num_clusters": [32]},
+    "layers-b14": {"model_type": ["dinov2_vitb14"], "desc_facet": ["value"],
+                   "desc_layer": list(range(11, -1, -1)), "num_clusters": [32]},
+    "layers-s14": {"model_type": ["dinov2_vits14"], "desc_facet": ["value"],
+                   "desc_layer": list(range(11, -1, -1)), "num_clusters": [32]},
+    # vocabulary-size ablation
+    "clusters": {"model_type": ["dinov2_vitg14"], "desc_layer": [31],
+                 "desc_facet": ["value"], "num_clusters": [256, 128, 64, 32]},
+    # domain-vocabulary ablation (global-vocab pipeline)
+    "domains": {"model_type": ["dinov2_vitg14"], "desc_layer": [31],
+                "desc_facet": ["value"], "num_clusters": [32],
+                "domain": ["indoor", "urban", "aerial", "structured",
+                           "unstructured", "both"]},
+}
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     p = argparse.ArgumentParser(description=__doc__)
@@ -129,11 +160,15 @@ def main(argv=None) -> int:
                    type=int, default=[])
     p.add_argument("--grid.dataset", dest="g_dataset", nargs="*", default=[])
     p.add_argument("--grid.domain", dest="g_domain", nargs="*", default=[])
+    p.add_argument("--preset", default=None, choices=sorted(PRESETS),
+                   help="start from a published ablation grid "
+                        "(reference *_ablations.sh axes); explicit --grid.* "
+                        "values override its entries")
     args, rest = p.parse_known_args(argv)
     from anyloc_tpu.config import parse_args
 
     base = parse_args(PipelineArgs, rest)
-    grid = {}
+    grid = dict(PRESETS[args.preset]) if args.preset else {}
     for key, vals in (("model_type", args.g_model), ("desc_layer", args.g_layer),
                       ("desc_facet", args.g_facet),
                       ("num_clusters", args.g_clusters),

@@ -104,3 +104,28 @@ def test_descriptor_cache_recomputes_when_grown(tmp_path, rng):
         "db", 8, lambda: rng.standard_normal((8, 2, 3)).astype(np.float32)
     )
     assert out.shape == (8, 2, 3)
+
+
+def test_sweep_presets_match_published_grids():
+    """The named presets reproduce the reference ablation axes
+    (dino_v2_global_vocab_vlad_ablations.sh:12-33, paper_utils CSVs)."""
+    from anyloc_tpu.sweeps import PRESETS
+
+    assert PRESETS["facets"]["desc_facet"] == ["query", "key", "value", "token"]
+    assert PRESETS["clusters"]["num_clusters"] == [256, 128, 64, 32]
+    assert PRESETS["layers-g14"]["desc_layer"][0] == 39
+    assert len(PRESETS["layers-g14"]["desc_layer"]) == 40
+    assert set(PRESETS["domains"]["domain"]) == {
+        "indoor", "urban", "aerial", "structured", "unstructured", "both"}
+    # preset flows through the CLI grid assembly
+    import anyloc_tpu.sweeps as S
+
+    captured = {}
+    orig = S.run_sweep
+    S.run_sweep = lambda pipe, grid, base, out: captured.update(grid) or []
+    try:
+        S.main(["--preset", "facets", "--grid.dataset", "gardens"])
+    finally:
+        S.run_sweep = orig
+    assert captured["desc_facet"] == ["query", "key", "value", "token"]
+    assert captured["dataset"] == ["gardens"]
