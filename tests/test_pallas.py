@@ -111,3 +111,62 @@ def test_flash_attention_blocked_matches_xla(rng, n):
     )
     ref = np.asarray(xla_attention(q, k, v))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_fused_block_int8_matches_two_kernel_math(rng):
+    """Whole-block kernel == the attention-half + MLP-half composition
+    (same quantization points), interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from anyloc_tpu.ops.pallas.fused_block import fused_block_int8
+    from anyloc_tpu.ops.pallas.fused_mlp import _ln_rows
+
+    B, H, D, HID, N = 2, 4, 64, 48, 30
+
+    def qw(shape):
+        w = rng.standard_normal(shape).astype(np.float32) * 0.05
+        s = np.abs(w).max(axis=0) / 127.0
+        return (jnp.asarray(np.round(w / s).clip(-127, 127).astype(np.int8)),
+                jnp.asarray(s))
+
+    wqkv_q, wqkv_s = qw((D, 3 * D)); wp_q, wp_s = qw((D, D))
+    w12_q, w12_s = qw((D, 2 * HID)); w3_q, w3_s = qw((HID, D))
+    ln1 = (jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32))
+    x = jnp.asarray(rng.standard_normal((B, N, D)), jnp.float32)
+    got = fused_block_int8(
+        x, (wqkv_q, wqkv_s, None, wp_q, wp_s, None),
+        (w12_q, w12_s, None, w3_q, w3_s, None),
+        num_heads=H, ln1=ln1, ln2=ln1, interpret=True,
+    )
+
+    def q_rows(xn):
+        s = jnp.maximum(jnp.max(jnp.abs(xn), -1, keepdims=True), 1e-6) / 127.
+        return jnp.clip(jnp.round(xn / s), -127, 127), s
+
+    xn = _ln_rows(x, *ln1, 1e-6)
+    xq, xs = q_rows(xn)
+    qkv = (xq @ wqkv_q.astype(jnp.float32)) * xs * wqkv_s
+    q3, k3, v3 = jnp.split(qkv, 3, -1)
+    hd = D // H
+    heads = lambda t: t.reshape(B, N, H, hd).transpose(0, 2, 1, 3)  # noqa: E731
+    s = jnp.einsum("bhqd,bhkd->bhqk",
+                   heads(q3 * hd ** -0.5).astype(jnp.bfloat16),
+                   heads(k3).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, -1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(jnp.bfloat16),
+                   heads(v3).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+    oq, osc = q_rows(o)
+    x2 = x + (oq @ wp_q.astype(jnp.float32)) * osc * wp_s
+    xn2 = _ln_rows(x2, *ln1, 1e-6)
+    xq2, xs2 = q_rows(xn2)
+    h12 = (xq2 @ w12_q.astype(jnp.float32)) * xs2 * w12_s
+    h1, h2 = jnp.split(h12, 2, -1)
+    a = jax.nn.silu(h1) * h2
+    aq, asc = q_rows(a)
+    want = x2 + (aq @ w3_q.astype(jnp.float32)) * asc * w3_s
+    g = np.asarray(got).ravel(); w = np.asarray(want).ravel()
+    assert g @ w / (np.linalg.norm(g) * np.linalg.norm(w)) > 0.999

@@ -258,3 +258,23 @@ def test_e2e_serving_path_on_tpu(tmp_path):
     dbv, quv = allv[: len(db)], allv[len(db):]
     _, idx, recalls = get_top_k_recall([1, 5], dbv, quv, gt)
     assert recalls[1] == 1.0, (recalls, np.asarray(idx)[:, 0])
+
+
+@requires_tpu
+def test_fused_block_int8_on_tpu(data):
+    """The (unwired, measured-negative) whole-block kernel must keep
+    lowering on real hardware — retained for re-evaluation."""
+    from anyloc_tpu.ops.pallas.fused_block import fused_block_int8
+
+    rng, d, h = data["rng"], data["d"], data["h"]
+    kq, ks, _ = _qw(rng, (d, 3 * d))
+    kp, kps, _ = _qw(rng, (d, d))
+    k12, k12s, _ = _qw(rng, (d, 512))
+    k3, k3s, _ = _qw(rng, (256, d))
+    ln = (jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32))
+    out = fused_block_int8(
+        data["x"], (kq, ks, None, kp, kps, None),
+        (k12, k12s, None, k3, k3s, None),
+        num_heads=h, ln1=ln, ln2=ln,
+    )
+    assert np.isfinite(np.asarray(out, np.float32)).all()
