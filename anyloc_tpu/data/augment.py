@@ -109,6 +109,123 @@ def random_resized_crop(
     return jax.vmap(crop_one)(imgs, y0, x0, ch, cw)
 
 
+def _bilinear_gather(img, yy, xx, fill):
+    """Sample one image [H, W, 3] at float source coords ``yy``/``xx``
+    [h, w]; coordinates outside the image take ``fill`` [3]."""
+    h, w = img.shape[:2]
+    inb = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (yy - y0)[..., None]
+    wx = (xx - x0)[..., None]
+    tl, tr = img[y0, x0], img[y0, x1]
+    bl, br = img[y1, x0], img[y1, x1]
+    top = tl + (tr - tl) * wx
+    bot = bl + (br - bl) * wx
+    out = top + (bot - top) * wy
+    return jnp.where(inb[..., None], out, fill)
+
+
+def rotate_batch(imgs: jnp.ndarray, angles_deg: jnp.ndarray,
+                 fill: jnp.ndarray) -> jnp.ndarray:
+    """Rotate each image about its center by its angle (degrees, CCW in
+    image coords — matching torchvision F.rotate), bilinear, expand=False,
+    out-of-bounds -> fill. Deterministic core of random_rotation."""
+    b, h, w, _ = imgs.shape
+    theta = jnp.deg2rad(angles_deg.astype(jnp.float32))
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ygrid, xgrid = jnp.mgrid[0:h, 0:w]
+    dy, dx = ygrid - cy, xgrid - cx
+
+    def one(img, t):
+        c, s = jnp.cos(t), jnp.sin(t)
+        # inverse rotation of the output grid back into the source image
+        sx = cx + c * dx - s * dy
+        sy = cy + s * dx + c * dy
+        return _bilinear_gather(img, sy, sx, fill)
+
+    return jax.vmap(one)(imgs, theta)
+
+
+def perspective_batch(imgs: jnp.ndarray, endpoints: jnp.ndarray,
+                      fill: jnp.ndarray) -> jnp.ndarray:
+    """Warp each image so its corners land on ``endpoints`` [B, 4, 2]
+    ((x, y) order: top-left, top-right, bottom-right, bottom-left) —
+    torchvision F.perspective semantics. Deterministic core of
+    random_perspective."""
+    b, h, w, _ = imgs.shape
+    starts = jnp.asarray(
+        [[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], jnp.float32
+    )
+    ygrid, xgrid = jnp.mgrid[0:h, 0:w]
+    yg = ygrid.astype(jnp.float32)
+    xg = xgrid.astype(jnp.float32)
+
+    def coeffs(ends):
+        # homography (a..h) mapping endpoint (xe, ye) -> start (xs, ys):
+        #   xs = (a xe + b ye + c) / (g xe + h ye + 1), ys likewise —
+        # the inverse map needed to sample the source at each output pixel
+        rows = []
+        rhs = []
+        for i in range(4):
+            xe, ye = ends[i, 0], ends[i, 1]
+            xs, ys = starts[i, 0], starts[i, 1]
+            rows.append(jnp.stack(
+                [xe, ye, 1.0, 0.0, 0.0, 0.0, -xs * xe, -xs * ye]))
+            rows.append(jnp.stack(
+                [0.0, 0.0, 0.0, xe, ye, 1.0, -ys * xe, -ys * ye]))
+            rhs.extend([xs, ys])
+        return jnp.linalg.solve(jnp.stack(rows), jnp.stack(rhs))
+
+    def one(img, ends):
+        a, bb, c, d, e, f, g, hh = coeffs(ends.astype(jnp.float32))
+        den = g * xg + hh * yg + 1.0
+        sx = (a * xg + bb * yg + c) / den
+        sy = (d * xg + e * yg + f) / den
+        return _bilinear_gather(img, sy, sx, fill)
+
+    return jax.vmap(one)(imgs, endpoints)
+
+
+def random_rotation(key, imgs, degrees: float, fill) -> jnp.ndarray:
+    """torchvision RandomRotation(degrees): per-image uniform angle in
+    [-degrees, degrees]."""
+    angles = jax.random.uniform(
+        key, (imgs.shape[0],), minval=-degrees, maxval=degrees
+    )
+    return rotate_batch(imgs, angles, fill)
+
+
+def random_perspective(key, imgs, distortion_scale: float, fill,
+                       p: float = 0.5) -> jnp.ndarray:
+    """torchvision RandomPerspective(distortion_scale, p=0.5): each corner
+    moves inward by uniform(0, scale * half_extent); applied per image with
+    probability ``p``."""
+    b, h, w, _ = imgs.shape
+    kd, kp = jax.random.split(key)
+    half_h, half_w = h // 2, w // 2
+    d = jax.random.uniform(kd, (b, 4, 2))  # per-corner (dx, dy) fractions
+    dx = d[..., 0] * (distortion_scale * half_w)
+    dy = d[..., 1] * (distortion_scale * half_h)
+    ends = jnp.stack([
+        jnp.stack([dx[:, 0], dy[:, 0]], -1),                       # TL
+        jnp.stack([w - 1 - dx[:, 1], dy[:, 1]], -1),               # TR
+        jnp.stack([w - 1 - dx[:, 2], h - 1 - dy[:, 2]], -1),       # BR
+        jnp.stack([dx[:, 3], h - 1 - dy[:, 3]], -1),               # BL
+    ], axis=1)
+    warped = perspective_batch(imgs, ends, fill)
+    apply = jax.random.bernoulli(kp, p, (b, 1, 1, 1))
+    return jnp.where(apply, warped, imgs)
+
+
+# aliases: the make_augment_fn params of the same (dvgl flag) names shadow
+# these module functions inside its closure
+_random_resized_crop = random_resized_crop
+_random_rotation = random_rotation
+
+
 def make_augment_fn(
     brightness: float = 0,
     contrast: float = 0,
@@ -116,26 +233,63 @@ def make_augment_fn(
     hue: float = 0,
     horizontal_flip: bool = False,
     random_resized_crop: float = 0,
+    rand_perspective: float = 0,
+    random_rotation: float = 0,
+    imagenet_normalized: bool = True,
 ):
-    """Compose the dvgl parser's data-augmentation flags (parser.py:76-84)
+    """Compose the dvgl parser's data-augmentation flags (parser.py:73-84)
     into one ``(key, imgs [B,H,W,3]) -> imgs`` transform for the triplet
-    train loop. ``random_resized_crop`` is the minimum area scale (0 = off),
-    matching torchvision RandomResizedCrop(scale=(s, 1))."""
+    train loop, applied in the reference query_transform's order
+    (datasets_ws.py:292-298): jitter -> perspective -> resized-crop ->
+    rotation. ``random_resized_crop`` follows the dvgl flag semantics:
+    crop area scale is ``(1 - r, 1)`` (datasets_ws.py:297), 0 = off.
+
+    The reference jitters PIL images in [0, 1] RGB *before* ImageNet
+    normalization; our batches arrive already normalized, so with
+    ``imagenet_normalized=True`` (default) the color jitter un-normalizes,
+    operates in [0, 1] space, and re-normalizes — identical math to the
+    reference ordering (the geometric ops are channel-affine-invariant).
+    Geometric fills use normalized black, the reference's fill=0."""
 
     def augment(key, imgs):
-        kj, kf, kc = jax.random.split(key, 3)
+        kj, kf, kc, kp, kr = jax.random.split(key, 5)
         x = imgs
+        if imagenet_normalized:
+            from anyloc_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+            fill = jnp.asarray(
+                (0.0 - IMAGENET_MEAN) / IMAGENET_STD, imgs.dtype
+            )
+        else:
+            fill = jnp.zeros((3,), imgs.dtype)
         if brightness or contrast or saturation or hue:
+            # only the color jitter needs [0, 1] space — flip and the
+            # bilinear crop are linear per channel, so per-channel affine
+            # normalization commutes with them exactly
+            if imagenet_normalized:
+                from anyloc_tpu.data.transforms import (
+                    IMAGENET_MEAN, IMAGENET_STD,
+                )
+
+                mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+                std = jnp.asarray(IMAGENET_STD, x.dtype)
+                x = x * std + mean
             x = color_jitter(kj, x, brightness=brightness, contrast=contrast,
                              saturation=saturation, hue=hue)
+            if imagenet_normalized:
+                x = (x - mean) / std
+        if rand_perspective:
+            x = random_perspective(kp, x, float(rand_perspective), fill)
         if horizontal_flip:
             flip = jax.random.bernoulli(kf, 0.5, (x.shape[0], 1, 1, 1))
             x = jnp.where(flip, x[:, :, ::-1], x)
         if random_resized_crop:
-            x = globals()["random_resized_crop"](
+            x = _random_resized_crop(
                 kc, x, out_hw=x.shape[1:3],
-                scale=(float(random_resized_crop), 1.0),
+                scale=(1.0 - float(random_resized_crop), 1.0),
             )
+        if random_rotation:
+            x = _random_rotation(kr, x, float(random_rotation), fill)
         return x
 
     return augment

@@ -340,6 +340,9 @@ def format_tokyo247(raw_root: str, out_root: str) -> int:
     for src in sorted(glob.glob(os.path.join(q_dir, "*.jpg"))):
         with open(src.replace(".jpg", ".csv")) as f:
             pano_id, lat, lon = f.readline().split(",")[:3]
+        # the ",jpg" (not ".jpg") replace mirrors format_tokyo247.py:104
+        # verbatim — it is a no-op there too (pano_id comes from
+        # split(",")[0]); kept for reference-exact naming, do not "fix"
         name = get_dst_image_name(lat, lon, pano_id.replace(",jpg", ""))
         img = Image.open(src)
         w, h = img.size

@@ -241,6 +241,21 @@ class SimpleTokenizer:
         for m in merges:
             vocab.append("".join(m))
         vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        if len(vocab) > self.vocab:
+            # the merges file produces ids beyond this text tower's embedding
+            # table (e.g. a tiny test tower + the discovered full 49152-merge
+            # file) — JAX embedding lookups clamp out-of-range ids silently,
+            # so using it would yield garbage descriptors with no error.
+            # Refuse the file; encode() then raises (or hash-falls-back if
+            # explicitly opted in), keeping the __init__-clamped special ids.
+            import warnings
+
+            warnings.warn(
+                f"BPE merges at {path} define {len(vocab)} ids but this "
+                f"tokenizer's vocab is {self.vocab}; ignoring the file "
+                "(use the full 49408-id text tower for real BPE)."
+            )
+            return
         self.encoder = {v: i for i, v in enumerate(vocab)}
         # specials sit at the end of the BPE vocab — derive, don't assume
         # (only equals 49406/49407 for the full 49152-merge file)

@@ -52,6 +52,38 @@ def _spec_for(path: tuple, leaf) -> P:
     return P()
 
 
+def split_fused_params(params: Any) -> Any:
+    """Rewrite a fused-layout param tree (attn qkv [D,3D], swiglu w12
+    [D,2H]) into the tp_split layout (wq/wk/wv, w1/w2) — the same split
+    ``convert_dinov2(tp_split=True)`` applies to torch checkpoints, exposed
+    for trees that were initialized (not converted) in the fused layout.
+    Returns a new tree; non-fused leaves pass through unchanged."""
+    import flax
+    import numpy as np
+
+    flat = flax.traverse_util.flatten_dict(params["params"], sep="/")
+    out = {}
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if k.endswith("attn/qkv/kernel"):
+            for t, nm in enumerate(("wq", "wk", "wv")):
+                out[k.replace("qkv/kernel", f"{nm}/kernel")] = (
+                    np.split(v, 3, axis=1)[t])
+        elif k.endswith("attn/qkv/bias"):
+            for t, nm in enumerate(("wq", "wk", "wv")):
+                out[k.replace("qkv/bias", f"{nm}/bias")] = np.split(v, 3)[t]
+        elif k.endswith("mlp/w12/kernel"):
+            for t, nm in enumerate(("w1", "w2")):
+                out[k.replace("w12/kernel", f"{nm}/kernel")] = (
+                    np.split(v, 2, axis=1)[t])
+        elif k.endswith("mlp/w12/bias"):
+            for t, nm in enumerate(("w1", "w2")):
+                out[k.replace("w12/bias", f"{nm}/bias")] = np.split(v, 2)[t]
+        else:
+            out[k] = v
+    return {"params": flax.traverse_util.unflatten_dict(out, sep="/")}
+
+
 def vit_tp_shardings(params: Any, mesh: Mesh):
     """Pytree of NamedShardings implementing trunk tensor parallelism."""
     return jax.tree_util.tree_map_with_path(

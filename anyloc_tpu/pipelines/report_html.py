@@ -26,7 +26,16 @@ import numpy as np
 _DOMAIN_COLORS_LIGHT = ["#2a78d6", "#eb6834", "#1baf7a"]
 _DOMAIN_COLORS_DARK = ["#3987e5", "#d95926", "#199e70"]
 
-_CSS = """
+# scatter series hues as CSS variables so dark mode swaps point fills too
+_PALETTE_CSS = (
+    ".viz-root { "
+    + " ".join(f"--cat-{i + 1}:{c};" for i, c in enumerate(_DOMAIN_COLORS_LIGHT))
+    + " }\n@media (prefers-color-scheme: dark) { .viz-root { "
+    + " ".join(f"--cat-{i + 1}:{c};" for i, c in enumerate(_DOMAIN_COLORS_DARK))
+    + " } }\n"
+)
+
+_CSS = _PALETTE_CSS + """
 .viz-root { color-scheme: light;
   --surface-1:#fcfcfb; --surface-2:#f1f0ee; --text-primary:#0b0b0b;
   --text-secondary:#52514e; --border:#d9d8d4; }
@@ -119,8 +128,9 @@ function setupClusterUI() {
     cv.onclick = (ev) => {  // pixel pick -> isolate that patch's cluster
       const r = cv.getBoundingClientRect();
       const [gh, gw] = im.grid;
-      const x = Math.floor((ev.clientX - r.left) / r.width * gw);
-      const y = Math.floor((ev.clientY - r.top) / r.height * gh);
+      // clamp: a click on the exact right/bottom edge yields fraction 1.0
+      const x = Math.min(gw - 1, Math.floor((ev.clientX - r.left) / r.width * gw));
+      const y = Math.min(gh - 1, Math.floor((ev.clientY - r.top) / r.height * gh));
       const c = im.labels[y * gw + x];
       state.on[c] = !state.on[c];
       document.querySelectorAll('.chip')[c].classList.toggle('off', !state.on[c]);
@@ -222,7 +232,9 @@ def build_report(
         domains = [d for d in dict.fromkeys(
             p["domain"] for p in domain_points if not p.get("user")
         )][:3]
-        light = dict(zip(domains, _DOMAIN_COLORS_LIGHT))
+        # var() indirection: the same SVG/swatch markup renders the light or
+        # dark hue per prefers-color-scheme (values in _PALETTE_CSS)
+        light = {d: f"var(--cat-{i + 1})" for i, d in enumerate(domains)}
         legend = "".join(
             f'<span><span class="sw" style="background:{light[d]}"></span>{d}</span>'
             for d in domains

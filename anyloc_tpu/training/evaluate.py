@@ -32,9 +32,16 @@ def extract_features(
     prev_method = getattr(dataset, "test_method", "hard_resize")
     dataset.test_method = test_method
     try:
-        if test_method in ("hard_resize", "single_query"):
-            # same fixed-shape batched path as the database — per-query
-            # batch-1 forwards would waste the accelerator
+        if test_method == "single_query":
+            # queries may have varying sizes and can't be stacked — the
+            # reference forces inference batch 1 here (test.py:30,153)
+            for qi in range(dataset.database_num, len(dataset)):
+                img = dataset[qi][0]
+                qu_feats.append(np.asarray(descriptor_fn(img[None])))
+        elif test_method in ("hard_resize", "central_crop"):
+            # fixed-shape query transforms: same batched path as the
+            # database — per-query batch-1 forwards would waste the
+            # accelerator
             for imgs, bidx in dataset.batches(batch_size, which="queries"):
                 f = np.asarray(descriptor_fn(imgs))
                 qu_feats.append(f[bidx >= 0])

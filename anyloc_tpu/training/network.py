@@ -145,7 +145,15 @@ class GeoLocalizationNet(nn.Module):
         """cct384 / vit: returns (tokens [B,T,D] or None, pooled [B,D] or
         None, channels)."""
         del train
-        agg_wants_tokens = self.aggregation in ("netvlad", "gem", "crn")
+        # reference parser.py:146-151 blocks spatial-map aggregators with
+        # token backbones; enforce at the model level too so the Python API
+        # can't silently fall through to a different aggregator
+        if self.aggregation in ("spoc", "mac", "rmac", "crn", "rrm"):
+            raise ValueError(
+                f"{self.backbone} can't work with aggregation "
+                f"{self.aggregation}; use netvlad/gem/cls"
+            )
+        agg_wants_tokens = self.aggregation in ("netvlad", "gem")
         if self.backbone.startswith("cct"):
             from anyloc_tpu.models.cct import CCT, cct_14_7x2_384
 

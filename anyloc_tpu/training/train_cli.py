@@ -112,7 +112,10 @@ def main(argv=None) -> int:
     import numpy as np
 
     from anyloc_tpu.data.registry import get_dataset
-    from anyloc_tpu.training.network import GeoLocalizationNet
+    from anyloc_tpu.training.network import (
+        GeoLocalizationNet,
+        make_freeze_te_mask,
+    )
     from anyloc_tpu.training.train_loop import train_triplet
     from anyloc_tpu.utils.logging_utils import setup_logging
     from anyloc_tpu.utils.seeding import seed_everything
@@ -223,9 +226,7 @@ def main(argv=None) -> int:
         neg_samples_num=args.neg_samples_num,
         trainable_mask=(
             None if args.freeze_te is None
-            else __import__("anyloc_tpu.training.network",
-                            fromlist=["make_freeze_te_mask"]
-                            ).make_freeze_te_mask(args.freeze_te)
+            else make_freeze_te_mask(args.freeze_te)
         ),
         output_dir=args.output_dir,
         recall_values=tuple(args.recall_values),

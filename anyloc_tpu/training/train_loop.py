@@ -49,8 +49,10 @@ def train_triplet(
     ``optim``/``patience`` mirror the dvgl parser (adam|sgd; early stop after
     ``patience`` epochs without a best-R@5 improvement, train.py:183-206).
     ``augment_fn(rng_key, images [B,H,W,3]) -> images`` applies train-time
-    augmentation to each triplet batch on device (the reference augments in
-    TripletsDataset transforms; see data/augment.py color_jitter etc.).
+    augmentation to the QUERY image of each triplet on device — the
+    reference's query_transform augments queries only, while positives and
+    negatives get the plain resized transform (datasets_ws.py:287-298);
+    see data/augment.py make_augment_fn.
     """
     import jax
 
@@ -102,9 +104,10 @@ def train_triplet(
                     continue  # static shapes: drop the remainder
                 tuples = jnp.asarray(tuples)
                 if augment_fn is not None:
+                    # queries only (tuple slot 0); positives/negatives stay
+                    # un-augmented, matching the reference query_transform
                     aug_key, k = jax.random.split(aug_key)
-                    flat = tuples.reshape((-1,) + tuples.shape[2:])
-                    tuples = augment_fn(k, flat).reshape(tuples.shape)
+                    tuples = tuples.at[:, 0].set(augment_fn(k, tuples[:, 0]))
                 state, loss = step(state, tuples)
                 losses.append(float(loss))
             done += n

@@ -252,6 +252,19 @@ class TestBPETokenizer:
         toks = ours.tokenize(["hello world"])
         assert toks[0, 0] == ours.SOT and ours.EOT in toks[0]
 
+    def test_small_vocab_refuses_oversized_merges(self):
+        """A merges file whose derived vocab exceeds the tokenizer's
+        embedding-table size must be ignored (with a warning), not silently
+        emit out-of-range ids that JAX embedding lookups would clamp."""
+        from anyloc_tpu.models.clip import SimpleTokenizer
+
+        with pytest.warns(UserWarning, match="ignoring the file"):
+            tok = SimpleTokenizer(str(self.FIXTURE / "merges.txt"), vocab=128)
+        assert tok.bpe is None
+        assert tok.SOT == 126 and tok.EOT == 127  # clamped into range
+        with pytest.raises(RuntimeError, match="BPE merges"):
+            tok.encode("hello world")
+
     def test_no_merges_refuses_without_opt_in(self, monkeypatch):
         from anyloc_tpu.models.clip import SimpleTokenizer
 

@@ -144,6 +144,7 @@ def test_tp_split_facet_equality_and_footprint():
     from anyloc_tpu.parallel.tp import (
         params_bytes_per_device,
         replicated_shardings,
+        split_fused_params,
         vit_tp_shardings,
     )
 
@@ -154,30 +155,7 @@ def test_tp_split_facet_equality_and_footprint():
     cfg_s = ViTConfig(**base, tp_split=True)
     pf = init_params(cfg_f, seed=3)
     # build the split tree FROM the fused one so both compute the same fn
-    import flax
-
-    pf_flat = flax.traverse_util.flatten_dict(pf["params"], sep="/")
-    ps_flat = {}
-    for k, v in pf_flat.items():
-        if k.endswith("attn/qkv/kernel"):
-            for t, n in enumerate(("wq", "wk", "wv")):
-                ps_flat[k.replace("qkv/kernel", f"{n}/kernel")] = (
-                    np.split(np.asarray(v), 3, axis=1)[t])
-        elif k.endswith("attn/qkv/bias"):
-            for t, n in enumerate(("wq", "wk", "wv")):
-                ps_flat[k.replace("qkv/bias", f"{n}/bias")] = (
-                    np.split(np.asarray(v), 3)[t])
-        elif k.endswith("mlp/w12/kernel"):
-            for t, n in enumerate(("w1", "w2")):
-                ps_flat[k.replace("w12/kernel", f"{n}/kernel")] = (
-                    np.split(np.asarray(v), 2, axis=1)[t])
-        elif k.endswith("mlp/w12/bias"):
-            for t, n in enumerate(("w1", "w2")):
-                ps_flat[k.replace("w12/bias", f"{n}/bias")] = (
-                    np.split(np.asarray(v), 2)[t])
-        else:
-            ps_flat[k] = v
-    ps = {"params": flax.traverse_util.unflatten_dict(ps_flat, sep="/")}
+    ps = split_fused_params(pf)
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)

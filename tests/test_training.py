@@ -118,7 +118,9 @@ def _desc_fn():
     return fn
 
 
-@pytest.mark.parametrize("method", ["hard_resize", "five_crops", "nearest_crop", "maj_voting"])
+@pytest.mark.parametrize("method", ["hard_resize", "central_crop",
+                                    "single_query", "five_crops",
+                                    "nearest_crop", "maj_voting"])
 def test_evaluate_methods(vg_ds, method):
     recalls, s = evaluate(_desc_fn(), vg_ds, test_method=method,
                           recall_values=(1, 5), batch_size=4)
@@ -353,10 +355,10 @@ def test_alexnet_matches_torch_oracle(rng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
-@pytest.mark.parametrize("agg", ["netvlad", "gem", "mac"])
+@pytest.mark.parametrize("agg", ["netvlad", "gem", "cls"])
 def test_geolocalization_cct_forward(rng, agg):
     """cct384 wiring (network.py:144-155): tokens feed netvlad/gem;
-    other aggregations get the CCT sequence-pool vector."""
+    cls gets the CCT sequence-pool vector (spatial aggregators raise)."""
     model = GeoLocalizationNet(
         backbone="cct384", aggregation=agg, netvlad_clusters=4, trunc_te=2
     )
@@ -372,7 +374,7 @@ def test_geolocalization_cct_forward(rng, agg):
     )
 
 
-@pytest.mark.parametrize("agg", ["netvlad", "mac"])
+@pytest.mark.parametrize("agg", ["netvlad", "cls"])
 def test_geolocalization_vit_forward(rng, agg):
     """vit wiring (VitWrapper semantics, network.py:189-198): tokens for
     netvlad/gem, CLS otherwise; trunc_te truncates encoder depth."""
@@ -475,6 +477,41 @@ def test_make_augment_fn_shapes(rng):
     np.testing.assert_array_equal(
         np.asarray(ident(jax.random.PRNGKey(1), imgs)), np.asarray(imgs)
     )
+
+
+def test_make_augment_fn_normalized_ordering(rng):
+    """With imagenet_normalized=True (the triplet-loop wiring), jittering a
+    normalized batch must equal normalize(jitter(raw [0,1] batch)) — the
+    reference applies ColorJitter BEFORE Normalize (datasets_ws.py:292-298)."""
+    from anyloc_tpu.data.augment import make_augment_fn
+    from anyloc_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    raw = rng.random((3, 16, 16, 3)).astype(np.float32)
+    norm = (raw - IMAGENET_MEAN) / IMAGENET_STD
+    kw = dict(brightness=0.4, contrast=0.3, saturation=0.3, hue=0.2)
+    key = jax.random.PRNGKey(7)
+    got = np.asarray(
+        make_augment_fn(**kw, imagenet_normalized=True)(key, jnp.asarray(norm))
+    )
+    want = (
+        np.asarray(
+            make_augment_fn(**kw, imagenet_normalized=False)(
+                key, jnp.asarray(raw)
+            )
+        )
+        - IMAGENET_MEAN
+    ) / IMAGENET_STD
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_token_backbone_rejects_spatial_aggregations(rng):
+    """parser.py:146-151 semantics enforced at the model level: CCT/ViT
+    token backbones raise for spatial-map aggregators instead of silently
+    training a different head."""
+    for agg in ("crn", "rrm", "mac"):
+        model = GeoLocalizationNet(backbone="cct384", aggregation=agg)
+        with pytest.raises(ValueError, match="can't work with aggregation"):
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3)))
 
 
 def test_train_triplet_patience_early_stop(vg_ds, tmp_path):
