@@ -133,6 +133,9 @@ class CLIPTextTower(nn.Module):
 # ---------------------------------------------------------------------------
 
 def convert_clip_vision(sd: Dict, cfg: ViTConfig) -> Dict:
+    from anyloc_tpu.models.hf_convert import ensure_native_naming
+
+    sd = ensure_native_naming(sd, "clip")
     pre = "visual."
     p: Dict = {
         "patch_embed": {"kernel": conv_kernel(sd[pre + "conv1.weight"])},
@@ -163,6 +166,9 @@ def convert_clip_vision(sd: Dict, cfg: ViTConfig) -> Dict:
 
 
 def convert_clip_text(sd: Dict, layers: int) -> Dict:
+    from anyloc_tpu.models.hf_convert import ensure_native_naming
+
+    sd = ensure_native_naming(sd, "clip")
     p: Dict = {
         "token_embedding": {"embedding": t2np(sd["token_embedding.weight"])},
         "positional_embedding": t2np(sd["positional_embedding"]),

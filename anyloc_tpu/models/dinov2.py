@@ -56,7 +56,13 @@ def dinov2_config(name: str, *, num_register_tokens: int = 0, dtype=None, img_si
 
 
 def convert_dinov2(sd: Dict, cfg: ViTConfig) -> Dict:
-    """torch DINOv2 state dict -> flax params for ``anyloc_tpu.models.ViT``."""
+    """torch DINOv2 state dict -> flax params for ``anyloc_tpu.models.ViT``.
+
+    Accepts both the facebookresearch/dinov2 naming and the HuggingFace
+    ``Dinov2Model`` layout (facebook/dinov2-*) — see models/hf_convert.py."""
+    from anyloc_tpu.models.hf_convert import ensure_native_naming
+
+    sd = ensure_native_naming(sd, "dinov2")
     p: Dict = {
         "patch_embed": {
             "kernel": conv_kernel(sd["patch_embed.proj.weight"]),

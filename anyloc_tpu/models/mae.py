@@ -175,12 +175,16 @@ class MaskedAutoencoderViT(nn.Module):
 
 
 def convert_mae(sd: Dict, cfg: MAEConfig) -> Dict:
-    """torch MAE checkpoint (facebookresearch/mae naming) -> flax params.
-    NOTE: torch patchify uses channel-major inner layout [3, p, p] while our
-    channels-last patchify is [p, p, 3]; decoder_pred's output columns are
-    permuted accordingly."""
-    import numpy as np
+    """torch MAE checkpoint -> flax params.  Accepts the facebookresearch/mae
+    naming and the HuggingFace ``ViTMAEForPreTraining`` layout
+    (facebook/vit-mae-*) — see models/hf_convert.py.
 
+    decoder_pred needs NO column permutation: models_mae.py patchify's
+    einsum 'nchpwq->nhwpqc' makes the target inner layout (ph, pw, c) —
+    channels-LAST, identical to our patchify."""
+    from anyloc_tpu.models.hf_convert import ensure_native_naming
+
+    sd = ensure_native_naming(sd, "mae")
     p: Dict = {
         "patch_embed": {
             "kernel": conv_kernel(sd["patch_embed.proj.weight"]),
@@ -191,15 +195,8 @@ def convert_mae(sd: Dict, cfg: MAEConfig) -> Dict:
         "norm": ln_params(sd, "norm"),
         "decoder_embed": dense_params(sd, "decoder_embed"),
         "decoder_norm": ln_params(sd, "decoder_norm"),
+        "decoder_pred": dense_params(sd, "decoder_pred"),
     }
-    # decoder_pred columns: torch layout (c, ph, pw) -> ours (ph, pw, c)
-    w = t2np(sd["decoder_pred.weight"])  # [p*p*3, D] in (c, ph, pw) order
-    bvec = t2np(sd["decoder_pred.bias"])
-    ps = cfg.patch_size
-    perm = (
-        np.arange(3 * ps * ps).reshape(3, ps, ps).transpose(1, 2, 0).reshape(-1)
-    )
-    p["decoder_pred"] = {"kernel": w[perm].T, "bias": bvec[perm]}
     for i in range(cfg.depth):
         pre = f"blocks.{i}"
         p[f"blocks_{i}"] = {

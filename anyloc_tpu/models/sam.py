@@ -201,7 +201,12 @@ class SAMImageEncoder(nn.Module):
 
 
 def convert_sam(sd: Dict, cfg: SAMConfig) -> Dict:
-    """SAM checkpoint (image_encoder.* naming) -> flax params."""
+    """SAM checkpoint -> flax params.  Accepts the Meta image_encoder.*
+    naming and the HuggingFace ``SamModel`` layout (facebook/sam-vit-*) —
+    see models/hf_convert.py."""
+    from anyloc_tpu.models.hf_convert import ensure_native_naming
+
+    sd = ensure_native_naming(sd, "sam")
     pre = "image_encoder." if any(k.startswith("image_encoder.") for k in sd) else ""
     p: Dict = {
         "patch_embed": {

@@ -589,11 +589,16 @@ class Block(nn.Module):
             return Attention(c, name="attn")(h, qkv_only=True)
         if return_attn_probs:
             return Attention(c, name="attn")(h, return_attn_probs=True)
+        from anyloc_tpu.ops.pallas.attn_proj import attn_geometry_ok
+
         use_fused_attn = (
             impl == "pallas"
             and x.shape[1] <= MAX_FUSED_TOKENS
             # int8 modes quantize proj -> different params / fused routes
             and c.quant not in ("int8", "int8_full")
+            # tiny geometries (hc*head_dim never a 128-lane multiple) can't
+            # lower on real Mosaic — route them through the unfused path
+            and attn_geometry_ok(c.num_heads, c.head_dim)
         )
         if use_fused_attn:
             gamma1 = (

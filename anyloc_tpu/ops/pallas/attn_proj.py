@@ -116,12 +116,33 @@ def _pick_int8_head_chunk(n: int, h: int, hd: int, requested):
     return None
 
 
-def int8_attn_geometry_ok(num_heads: int, head_dim: int) -> bool:
-    """True iff ``fused_attn_half_int8`` can lower for this head geometry."""
+def attn_geometry_ok(num_heads: int, head_dim: int) -> bool:
+    """True iff the fused attention kernels can lower for this head
+    geometry: some head chunk hc must divide num_heads with hc*head_dim a
+    multiple of 128 lanes (Mosaic last-dim block constraint).  Gate EVERY
+    fused-attention route with this — interpret-mode CPU tests do not catch
+    lane-alignment failures (they only surface on real Mosaic lowering)."""
     return any(
         num_heads % hc == 0 and (hc * head_dim) % 128 == 0
         for hc in range(1, num_heads + 1)
     )
+
+
+# the int8 kernel has the same lane constraint
+int8_attn_geometry_ok = attn_geometry_ok
+
+
+def _lane_valid_head_chunk(h: int, hd: int, hc: int) -> int:
+    """Largest lane-valid divisor of ``h`` not above ``hc`` (else the
+    smallest valid one); returns ``hc`` unchanged when no divisor is valid
+    (caller should have gated via attn_geometry_ok)."""
+    if (hc * hd) % 128 == 0:
+        return hc
+    valid = [c for c in range(1, h + 1) if h % c == 0 and (c * hd) % 128 == 0]
+    if not valid:
+        return hc
+    below = [c for c in valid if c <= hc]
+    return max(below) if below else min(valid)
 
 
 def _pick_head_chunk(n: int, h: int, requested) -> int:
@@ -272,7 +293,7 @@ def flash_attention_qkv_proj(
     hd = d // h
     d_out = w_proj.shape[1]
     scale = hd ** -0.5 if scale is None else scale
-    hc = _pick_head_chunk(n, h, head_chunk)
+    hc = _lane_valid_head_chunk(h, hd, _pick_head_chunk(n, h, head_chunk))
     nj = h // hc
 
     qkv_view = lambda off: pl.BlockSpec(  # noqa: E731
@@ -643,7 +664,7 @@ def fused_attn_half_bf16(
     assert wqkv.shape == (d, 3 * d), wqkv.shape
     assert wp.shape == (d, d), wp.shape
     scale = hd ** -0.5 if scale is None else scale
-    hc = _pick_head_chunk(n, h, head_chunk)
+    hc = _lane_valid_head_chunk(h, hd, _pick_head_chunk(n, h, head_chunk))
     nj = h // hc
     hcw = hc * hd
 
