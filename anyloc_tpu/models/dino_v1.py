@@ -65,7 +65,12 @@ def dino_v1_config(name: str, stride: Optional[int] = None, dtype=None,
 
 
 def convert_dino_v1(sd: Dict, cfg: ViTConfig) -> Dict:
-    """torch DINO v1 (timm-style naming) state dict -> flax params."""
+    """torch DINO v1 state dict -> flax params.  Accepts the original
+    timm-style naming and the HuggingFace ``ViTModel`` layout
+    (facebook/dino-vit*) — see models/hf_convert.py."""
+    from anyloc_tpu.models.hf_convert import ensure_native_naming
+
+    sd = ensure_native_naming(sd, "dino_v1")
     p: Dict = {
         "patch_embed": {
             "kernel": conv_kernel(sd["patch_embed.proj.weight"]),

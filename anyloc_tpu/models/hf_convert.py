@@ -136,6 +136,27 @@ def hf_to_mae(sd: Mapping) -> Dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# DINO v1: transformers ViTModel (facebook/dino-vit*) -> timm naming
+# ---------------------------------------------------------------------------
+
+def hf_to_dino_v1(sd: Mapping) -> Dict[str, np.ndarray]:
+    """transformers ``ViTModel`` layout -> the timm-style naming of the
+    original facebookresearch/dino checkpoints (what ``convert_dino_v1``
+    consumes).  The pooler head, if present, is dropped."""
+    out: Dict[str, np.ndarray] = {
+        "cls_token": _np(sd, "embeddings.cls_token"),
+        "pos_embed": _np(sd, "embeddings.position_embeddings"),
+    }
+    _copy(sd, "embeddings.patch_embeddings.projection", out, "patch_embed.proj")
+    _copy(sd, "layernorm", out, "norm")
+    i = 0
+    while f"encoder.layer.{i}.layernorm_before.weight" in sd:
+        _hf_vit_layer(sd, f"encoder.layer.{i}", out, f"blocks.{i}")
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
 # CLIP: transformers CLIPModel (openai/clip-vit-*) -> OpenAI CLIP naming
 # ---------------------------------------------------------------------------
 
@@ -227,11 +248,16 @@ def hf_to_sam(sd: Mapping) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 _SIGNATURES = {
-    # (a key unique to the HF layout of that family) -> renamer
-    "dinov2": ("embeddings.patch_embeddings.projection.weight", hf_to_dinov2),
-    "mae": ("vit.embeddings.patch_embeddings.projection.weight", hf_to_mae),
-    "clip": ("vision_model.embeddings.patch_embedding.weight", hf_to_clip),
-    "sam": ("vision_encoder.patch_embed.projection.weight", hf_to_sam),
+    # (keys that must ALL be present in the HF layout of that family) ->
+    # renamer.  dinov2 and dino_v1 share the embeddings signature, so each
+    # also requires a block-level key unique to its layer layout.
+    "dinov2": (("embeddings.patch_embeddings.projection.weight",
+                "encoder.layer.0.layer_scale1.lambda1"), hf_to_dinov2),
+    "dino_v1": (("embeddings.patch_embeddings.projection.weight",
+                 "encoder.layer.0.layernorm_before.weight"), hf_to_dino_v1),
+    "mae": (("vit.embeddings.patch_embeddings.projection.weight",), hf_to_mae),
+    "clip": (("vision_model.embeddings.patch_embedding.weight",), hf_to_clip),
+    "sam": (("vision_encoder.patch_embed.projection.weight",), hf_to_sam),
 }
 
 
@@ -239,12 +265,12 @@ def ensure_native_naming(sd: Mapping, family: str) -> Mapping:
     """If ``sd`` is in the HF layout for ``family``, rename it to the
     original-repo naming; otherwise return it unchanged.  Called at the top
     of each family's converter so both formats load transparently."""
-    sig, fn = _SIGNATURES[family]
+    sigs, fn = _SIGNATURES[family]
     # HF checkpoints sometimes carry a top-level "model." prefix (e.g. when
     # exported from a wrapper); probe both
-    if sig in sd:
+    if all(s in sd for s in sigs):
         return fn(sd)
-    if f"model.{sig}" in sd:
+    if all(f"model.{s}" in sd for s in sigs):
         from anyloc_tpu.models.convert import strip_prefix
 
         return fn(strip_prefix(sd, "model."))

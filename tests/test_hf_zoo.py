@@ -66,6 +66,38 @@ def test_dinov2_hf_parity(rng, swiglu):
 
 
 # ---------------------------------------------------------------------------
+# DINO v1 (HF redistributes facebook/dino-vit* as plain ViTModel)
+# ---------------------------------------------------------------------------
+
+def test_dino_v1_hf_parity(rng):
+    """ViTModel == our ViT after hf_to_dino_v1 + convert_dino_v1 (the
+    timm-naming converter the original DINO checkpoints use)."""
+    from anyloc_tpu.models.dino_v1 import convert_dino_v1
+    from anyloc_tpu.models.vit import ViT, ViTConfig
+
+    torch.manual_seed(4)
+    hcfg = transformers.ViTConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=16,
+    )
+    tm = transformers.ViTModel(hcfg, add_pooling_layer=True).eval()
+    cfg = ViTConfig(
+        img_size=32, patch_size=16, embed_dim=32, depth=2, num_heads=4,
+        mlp_type="mlp", layerscale_init=None, ln_eps=hcfg.layer_norm_eps,
+    )
+    params = convert_dino_v1(tm.state_dict(), cfg)
+
+    img = _nchw(rng, 2, 32)
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(img)).last_hidden_state.numpy()
+    out = ViT(cfg).apply(params, _nhwc(img))
+    got = np.concatenate(
+        [np.asarray(out["cls"])[:, None], np.asarray(out["tokens"])], 1
+    )
+    np.testing.assert_allclose(got, expect, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
 # MAE
 # ---------------------------------------------------------------------------
 
