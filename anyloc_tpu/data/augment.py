@@ -90,21 +90,10 @@ def random_resized_crop(
     xs = jnp.linspace(0.0, 1.0, ow)
 
     def crop_one(img, y0i, x0i, chi, cwi):
-        yy = y0i + ys * (chi - 1)
-        xx = x0i + xs * (cwi - 1)
-        yf, xf = jnp.floor(yy), jnp.floor(xx)
-        wy, wx = (yy - yf)[:, None, None], (xx - xf)[None, :, None]
-        y0_ = jnp.clip(yf.astype(jnp.int32), 0, h - 1)
-        y1_ = jnp.clip(y0_ + 1, 0, h - 1)
-        x0_ = jnp.clip(xf.astype(jnp.int32), 0, w - 1)
-        x1_ = jnp.clip(x0_ + 1, 0, w - 1)
-        tl = img[y0_][:, x0_]
-        tr = img[y0_][:, x1_]
-        bl = img[y1_][:, x0_]
-        br = img[y1_][:, x1_]
-        top = tl + (tr - tl) * wx
-        bot = bl + (br - bl) * wx
-        return top + (bot - top) * wy
+        yy = jnp.broadcast_to((y0i + ys * (chi - 1))[:, None], (oh, ow))
+        xx = jnp.broadcast_to((x0i + xs * (cwi - 1))[None, :], (oh, ow))
+        # crops are always in-bounds, so the fill never triggers
+        return _bilinear_gather(img, yy, xx, jnp.zeros((3,), img.dtype))
 
     return jax.vmap(crop_one)(imgs, y0, x0, ch, cw)
 
@@ -189,6 +178,7 @@ def perspective_batch(imgs: jnp.ndarray, endpoints: jnp.ndarray,
     return jax.vmap(one)(imgs, endpoints)
 
 
+@functools.partial(jax.jit, static_argnames=("degrees",))
 def random_rotation(key, imgs, degrees: float, fill) -> jnp.ndarray:
     """torchvision RandomRotation(degrees): per-image uniform angle in
     [-degrees, degrees]."""
@@ -198,6 +188,7 @@ def random_rotation(key, imgs, degrees: float, fill) -> jnp.ndarray:
     return rotate_batch(imgs, angles, fill)
 
 
+@functools.partial(jax.jit, static_argnames=("distortion_scale", "p"))
 def random_perspective(key, imgs, distortion_scale: float, fill,
                        p: float = 0.5) -> jnp.ndarray:
     """torchvision RandomPerspective(distortion_scale, p=0.5): each corner

@@ -176,21 +176,29 @@ def _hf_clip_layer(sd: Mapping, h: str, out: Dict, b: str):
 
 
 def hf_to_clip(sd: Mapping) -> Dict[str, np.ndarray]:
+    """Full-model HF CLIP -> OpenAI naming.  Tolerates vision-only exports
+    (``CLIPVisionModel`` layout: no text tower / projections / logit_scale) —
+    the vision keys convert and the text-side keys are simply absent, so
+    ``convert_clip_vision`` works standalone on such checkpoints."""
     out: Dict[str, np.ndarray] = {
         "visual.class_embedding": _np(sd, "vision_model.embeddings.class_embedding"),
         "visual.conv1.weight": _np(sd, "vision_model.embeddings.patch_embedding.weight"),
         "visual.positional_embedding": _np(
             sd, "vision_model.embeddings.position_embedding.weight"),
-        # projections: HF Linear(bias=False) weight [out, in] -> OpenAI raw
-        # parameter [in, out] applied as x @ proj
-        "visual.proj": _np(sd, "visual_projection.weight").T,
-        "text_projection": _np(sd, "text_projection.weight").T,
-        "token_embedding.weight": _np(
-            sd, "text_model.embeddings.token_embedding.weight"),
-        "positional_embedding": _np(
-            sd, "text_model.embeddings.position_embedding.weight"),
-        "logit_scale": _np(sd, "logit_scale"),
     }
+    # projections: HF Linear(bias=False) weight [out, in] -> OpenAI raw
+    # parameter [in, out] applied as x @ proj
+    if "visual_projection.weight" in sd:
+        out["visual.proj"] = _np(sd, "visual_projection.weight").T
+    if "text_projection.weight" in sd:
+        out["text_projection"] = _np(sd, "text_projection.weight").T
+    if "logit_scale" in sd:
+        out["logit_scale"] = _np(sd, "logit_scale")
+    if "text_model.embeddings.token_embedding.weight" in sd:
+        out["token_embedding.weight"] = _np(
+            sd, "text_model.embeddings.token_embedding.weight")
+        out["positional_embedding"] = _np(
+            sd, "text_model.embeddings.position_embedding.weight")
     # "pre_layrnorm" is the historical transformers typo; newer versions may
     # spell it correctly — accept both
     pre = ("vision_model.pre_layrnorm"
@@ -198,7 +206,8 @@ def hf_to_clip(sd: Mapping) -> Dict[str, np.ndarray]:
            else "vision_model.pre_layernorm")
     _copy(sd, pre, out, "visual.ln_pre")
     _copy(sd, "vision_model.post_layernorm", out, "visual.ln_post")
-    _copy(sd, "text_model.final_layer_norm", out, "ln_final")
+    if "text_model.final_layer_norm.weight" in sd:
+        _copy(sd, "text_model.final_layer_norm", out, "ln_final")
     i = 0
     while f"vision_model.encoder.layers.{i}.layer_norm1.weight" in sd:
         _hf_clip_layer(sd, f"vision_model.encoder.layers.{i}", out,

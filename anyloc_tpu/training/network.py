@@ -145,13 +145,18 @@ class GeoLocalizationNet(nn.Module):
         """cct384 / vit: returns (tokens [B,T,D] or None, pooled [B,D] or
         None, channels)."""
         del train
-        # reference parser.py:146-151 blocks spatial-map aggregators with
-        # token backbones; enforce at the model level too so the Python API
-        # can't silently fall through to a different aggregator
-        if self.aggregation in ("spoc", "mac", "rmac", "crn", "rrm"):
+        # reference parser.py:143-152 blocks spatial-map aggregators with
+        # token backbones (and seqpool with ViT — it's CCT's native pool);
+        # enforce at the model level too so the Python API can't silently
+        # fall through to a different aggregator
+        allowed = (
+            ("netvlad", "gem", "cls", "seqpool")
+            if self.backbone.startswith("cct") else ("netvlad", "gem", "cls")
+        )
+        if self.aggregation not in allowed:
             raise ValueError(
                 f"{self.backbone} can't work with aggregation "
-                f"{self.aggregation}; use netvlad/gem/cls"
+                f"{self.aggregation}; use one among {list(allowed)}"
             )
         agg_wants_tokens = self.aggregation in ("netvlad", "gem")
         if self.backbone.startswith("cct"):

@@ -64,6 +64,8 @@ def main(argv=None) -> int:
     p.add_argument("--hue", type=float, default=0)
     p.add_argument("--horizontal-flip", action="store_true")
     p.add_argument("--random-resized-crop", type=float, default=0)
+    p.add_argument("--rand-perspective", type=float, default=0)
+    p.add_argument("--random-rotation", type=float, default=0)
     p.add_argument("--output-dir", default="./runs/default")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--netvlad-init-samples", type=int, default=0,
@@ -206,7 +208,8 @@ def main(argv=None) -> int:
 
     augment_fn = None
     if any((args.brightness, args.contrast, args.saturation, args.hue,
-            args.horizontal_flip, args.random_resized_crop)):
+            args.horizontal_flip, args.random_resized_crop,
+            args.rand_perspective, args.random_rotation)):
         from anyloc_tpu.data.augment import make_augment_fn
 
         augment_fn = make_augment_fn(
@@ -214,6 +217,8 @@ def main(argv=None) -> int:
             saturation=args.saturation, hue=args.hue,
             horizontal_flip=args.horizontal_flip,
             random_resized_crop=args.random_resized_crop,
+            rand_perspective=args.rand_perspective,
+            random_rotation=args.random_rotation,
         )
 
     state, best_r5, history = train_triplet(
