@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from anyloc_tpu.models.vit import ViT, ViTConfig, exact_gelu, quick_gelu
-from anyloc_tpu.models.convert import conv_kernel, dense_params, ln_params, t2np
+from anyloc_tpu.models.convert import (conv_kernel, dense_params, ln_params,
+                                        maybe_tp_split, t2np)
 from anyloc_tpu.ops.common import l2_normalize
 
 # name: (patch, width, layers, heads, embed_dim, image_size)
@@ -162,7 +163,7 @@ def convert_clip_vision(sd: Dict, cfg: ViTConfig) -> Dict:
                 "fc2": dense_params(sd, f"{b}.mlp.c_proj"),
             },
         }
-    return {"params": p}
+    return maybe_tp_split({"params": p}, cfg)
 
 
 def convert_clip_text(sd: Dict, layers: int) -> Dict:

@@ -59,3 +59,15 @@ def strip_prefix(sd: Mapping, prefix: str) -> Dict:
     for k, v in sd.items():
         out[k[len(prefix):] if k.startswith(prefix) else k] = v
     return out
+
+
+def maybe_tp_split(params: Dict, cfg) -> Dict:
+    """Honor ``ViTConfig.tp_split`` for converters that emit the fused
+    layouts: rewrite ``attn/qkv`` -> ``wq/wk/wv`` (and SwiGLU ``w12`` ->
+    ``w1/w2``) so every family's converted tree can be applied to a
+    ``tp_split=True`` trunk, not just DINOv2's (which splits inline)."""
+    if getattr(cfg, "tp_split", False):
+        from anyloc_tpu.parallel.tp import split_fused_params
+
+        return split_fused_params(params)
+    return params

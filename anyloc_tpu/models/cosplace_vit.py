@@ -16,7 +16,8 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from anyloc_tpu.models.convert import conv_kernel, dense_params, ln_params, t2np
+from anyloc_tpu.models.convert import (conv_kernel, dense_params, ln_params,
+                                        maybe_tp_split, t2np)
 from anyloc_tpu.models.extractor import ViTFacetExtractor, init_params
 from anyloc_tpu.models.vit import ViTConfig
 
@@ -75,7 +76,7 @@ def convert_hf_vit(sd: Dict, cfg: ViTConfig) -> Dict:
                 "fc2": dense_params(sd, f"{b}.output.dense"),
             },
         }
-    return {"params": p}
+    return maybe_tp_split({"params": p}, cfg)
 
 
 class CosPlaceViTExtractFeatures(ViTFacetExtractor):

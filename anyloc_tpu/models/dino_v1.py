@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from anyloc_tpu.models.convert import conv_kernel, dense_params, ln_params, t2np
+from anyloc_tpu.models.convert import (conv_kernel, dense_params, ln_params,
+                                        maybe_tp_split, t2np)
 from anyloc_tpu.models.vit import ViT, ViTConfig
 
 _DIMS = {
@@ -94,7 +95,7 @@ def convert_dino_v1(sd: Dict, cfg: ViTConfig) -> Dict:
                 "fc2": dense_params(sd, f"{pre}.mlp.fc2"),
             },
         }
-    return {"params": p}
+    return maybe_tp_split({"params": p}, cfg)
 
 
 def log_bin(descs: jnp.ndarray, grid: Tuple[int, int], hierarchy: int = 2) -> jnp.ndarray:

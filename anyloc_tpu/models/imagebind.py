@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from anyloc_tpu.models.convert import dense_params, ln_params, t2np
+from anyloc_tpu.models.convert import dense_params, ln_params, maybe_tp_split, t2np
 from anyloc_tpu.models.vit import Block, ViT, ViTConfig
 from anyloc_tpu.ops.common import l2_normalize
 
@@ -489,7 +489,7 @@ def convert_imagebind_vision(sd: Dict, cfg: ViTConfig) -> Dict:
                 "fc2": dense_params(sd, f"{b}.mlp.fc2"),
             },
         }
-    return {"params": p}
+    return maybe_tp_split({"params": p}, cfg)
 
 
 def convert_imagebind_vision_head(sd: Dict):

@@ -14,6 +14,7 @@ with ``--serve`` (stdlib http.server).
 from __future__ import annotations
 
 import base64
+import html
 import io
 import json
 from typing import Dict, List, Optional
@@ -180,7 +181,7 @@ def _scatter_svg(points: List[dict], colors: Dict[str, str],
     marks = []
     for p in points:
         x, y = sx(p["x"]), sy(p["y"])
-        name = p["name"].replace("&", "&amp;").replace("<", "&lt;")
+        name = html.escape(p["name"], quote=True)
         if p.get("user"):
             # 2px surface ring on the overlapping mark class (mark spec)
             marks.append(
@@ -225,7 +226,7 @@ def build_report(
             f'<div class="card">'
             f'<img id="img{i}" src="data:image/jpeg;base64,{_b64_jpeg(im["rgb"])}" hidden>'
             f'<canvas id="cv{i}" class="overlay" width="{w}" height="{h}"></canvas>'
-            f'<div class="name">{im["name"]}</div></div>'
+            f'<div class="name">{html.escape(im["name"])}</div></div>'
         )
     domain_html = ""
     if domain_points:
@@ -250,12 +251,13 @@ def build_report(
             + _scatter_svg(domain_points, light)
             + '<div class="tooltip"></div></div>'
         )
+    esc_title = html.escape(title)
     return f"""<!doctype html>
-<html><head><meta charset="utf-8"><title>{title}</title>
+<html><head><meta charset="utf-8"><title>{esc_title}</title>
 <style>{_CSS}</style></head>
 <body><div class="viz-root">
-<h1>{title}</h1>
-<p class="sub">{config_line}</p>
+<h1>{esc_title}</h1>
+<p class="sub">{html.escape(config_line)}</p>
 <h2>VLAD cluster assignments</h2>
 <p class="sub">Per-patch hard assignments to the domain vocabulary
 (gradio_imgs_vlad_clusters.py semantics). Drag alpha to blend; click a

@@ -142,11 +142,8 @@ def main(argv=None) -> int:
         val_ds = train_ds
         logging.info("no val split; validating on the train dataset")
 
-    # cls/seqpool are the token-backbone pooled routes: GeoLocalizationNet
-    # emits the pooled vector for any non-netvlad/gem aggregation there
-    agg = args.aggregation if args.aggregation not in ("cls", "seqpool") else "mac"
     model = GeoLocalizationNet(
-        backbone=args.backbone, aggregation=agg,
+        backbone=args.backbone, aggregation=args.aggregation,
         netvlad_clusters=args.netvlad_clusters,
         fc_output_dim=args.fc_output_dim,
         trunc_te=args.trunc_te,

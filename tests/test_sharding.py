@@ -203,3 +203,40 @@ def test_tp_split_checkpoint_converter_splits():
     np.testing.assert_allclose(
         np.asarray(a["tokens"]), np.asarray(b["tokens"]), atol=1e-5
     )
+
+
+def test_tp_split_honored_by_non_dinov2_converters():
+    """maybe_tp_split (models/convert.py): every trunk converter emits the
+    wq/wk/wv layout when cfg.tp_split is set — previously only convert_dinov2
+    split, so converted DINO-v1/CLIP/HF-ViT checkpoints could not be applied
+    to a tp_split trunk."""
+    torch = pytest.importorskip("torch")
+
+    import dataclasses
+    import pathlib
+    import sys
+
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.dino_v1 import convert_dino_v1, dino_v1_config
+    from anyloc_tpu.models.vit import ViT
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from oracles import TorchMiniDino
+
+    torch.manual_seed(5)
+    tm = TorchMiniDino(img_size=32, patch=16, d=32, depth=2, heads=4).eval()
+    cfg = dino_v1_config("dino_vits16", img_size=32, dtype=jnp.float32)
+    cfg = dataclasses.replace(cfg, embed_dim=32, depth=2, num_heads=4)
+    cfg_s = dataclasses.replace(cfg, tp_split=True)
+    pf = convert_dino_v1(tm.state_dict(), cfg)
+    ps = convert_dino_v1(tm.state_dict(), cfg_s)
+    attn = ps["params"]["blocks_0"]["attn"]
+    assert "wq" in attn and "qkv" not in attn
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    a = ViT(cfg).apply(pf, img)
+    b = ViT(cfg_s).apply(ps, img)
+    np.testing.assert_allclose(
+        np.asarray(a["tokens"]), np.asarray(b["tokens"]), atol=1e-5
+    )

@@ -576,3 +576,26 @@ def test_freeze_te_cli_validation():
     with pytest.raises(SystemExit):
         main(["--dataset", "x", "--datasets-folder", "/tmp/none",
               "--backbone", "resnet18conv4", "--freeze-te", "2"])
+
+
+@pytest.mark.parametrize("backbone,agg,size", [
+    ("vit", "cls", 224), ("cct384", "seqpool", 384),
+])
+def test_train_cli_cls_seqpool_e2e(tmp_path, backbone, agg, size):
+    """cls/seqpool pass straight through to GeoLocalizationNet (a former
+    CLI remap to 'mac' crashed every token-backbone pooled run at init)."""
+    from anyloc_tpu.data.synthetic import build_vg_bench
+    from anyloc_tpu.training.train_cli import main
+
+    build_vg_bench(str(tmp_path / "vg"), n_db=4, n_q=2, size=(size, size))
+    rc = main([
+        "--dataset", "pitts30k", "--datasets-folder", str(tmp_path / "vg"),
+        "--backbone", backbone, "--aggregation", agg,
+        "--resize", str(size), str(size), "--trunc-te", "1",
+        "--epochs", "1", "--queries-per-epoch", "2",
+        "--cache-refresh-every", "2", "--mining", "random",
+        "--train-batch-size", "2", "--neg-num", "1",
+        "--infer-batch-size", "4", "--recall-values", "1",
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
