@@ -705,6 +705,7 @@ class ViT(nn.Module):
         x: jnp.ndarray,
         capture_layer: Optional[int] = None,
         capture_facet: str = "value",
+        embed_only: bool = False,
     ):
         c = self.cfg
         b, h, w, _ = x.shape
@@ -770,6 +771,12 @@ class ViT(nn.Module):
 
         if c.pre_norm:
             x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="norm_pre")(x)
+
+        if embed_only:
+            # Embedded token sequence [B, 1+R+N, D], pre-blocks — the stage-0
+            # input of the pipeline-parallel route (parallel/pp.py), which
+            # applies the blocks functionally with per-stage param shards.
+            return x
 
         facet_out = None
         n_blocks = c.depth if capture_layer is None else (

@@ -12,6 +12,7 @@ from anyloc_tpu.parallel.distributed import (
     sharded_extract_fn,
     top_k_search_sharded,
 )
+from anyloc_tpu.parallel.pp import pipeline_facet_extract, stack_stage_params
 
 __all__ = [
     "get_mesh",
@@ -19,4 +20,6 @@ __all__ = [
     "kmeans_fit_sharded",
     "sharded_extract_fn",
     "top_k_search_sharded",
+    "pipeline_facet_extract",
+    "stack_stage_params",
 ]

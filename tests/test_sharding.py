@@ -240,3 +240,58 @@ def test_tp_split_honored_by_non_dinov2_converters():
     np.testing.assert_allclose(
         np.asarray(a["tokens"]), np.asarray(b["tokens"]), atol=1e-5
     )
+
+
+def test_pipeline_parallel_facet_equality():
+    """GPipe pipeline route (parallel/pp.py): blocks sharded per stage over
+    the model axis, microbatches streamed with ppermute — facets must equal
+    the single-device trunk exactly, including a non-divisible block count
+    (filler slots masked off)."""
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.extractor import init_params
+    from anyloc_tpu.models.vit import ViT, ViTConfig
+    from anyloc_tpu.parallel.mesh import get_mesh
+    from anyloc_tpu.parallel.pp import (
+        pipeline_facet_extract,
+        stack_stage_params,
+        stage_shardings,
+    )
+
+    cfg = ViTConfig(img_size=56, patch_size=14, embed_dim=96, depth=6,
+                    num_heads=4, mlp_type="swiglu_fused",
+                    layerscale_init=1e-5, dtype=jnp.float32)
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((4, 56, 56, 3)), jnp.float32)
+    mesh = get_mesh(n_data=2, n_model=4)
+    for layer, facet in ((5, "value"), (3, "token"), (2, "query")):
+        want = np.asarray(ViT(cfg).apply(
+            params, img, capture_layer=layer, capture_facet=facet))
+        got = np.asarray(pipeline_facet_extract(
+            cfg, params, img, mesh, layer, facet))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    # pre-stacked + device-placed shards: same result, ~1/4 params/device
+    import jax
+
+    from anyloc_tpu.parallel.pp import pipeline_params_bytes_per_device
+    from anyloc_tpu.parallel.tp import params_bytes_per_device
+
+    stacked = stack_stage_params(params, 5, 4)
+    tree, mask, k = stacked
+    staged = jax.tree_util.tree_map(
+        lambda a: a.reshape((4, k) + a.shape[1:]), tree)
+    placed = jax.device_put(staged, stage_shardings(staged, mesh))
+    flat_placed = jax.tree_util.tree_map(
+        lambda a: a.reshape((4 * k,) + a.shape[2:]), placed)
+    got = np.asarray(pipeline_facet_extract(
+        cfg, params, img, mesh, 5, "value",
+        stacked=(flat_placed, mask, k)))
+    want = np.asarray(ViT(cfg).apply(
+        params, img, capture_layer=5, capture_facet="value"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    per_dev = pipeline_params_bytes_per_device(placed)
+    total = sum(l.size * l.dtype.itemsize
+                for l in jax.tree_util.tree_leaves(staged))
+    assert per_dev < 0.35 * total, (per_dev, total)
