@@ -25,7 +25,9 @@ class ResNetConfig:
     stage_sizes: Tuple[int, ...] = (2, 2, 2, 2)
     bottleneck: bool = False
     width: int = 64
-    truncate: str = "conv5"  # "conv4" drops the last stage (dvgl layers_to_crop)
+    # "conv4" drops the last stage (dvgl layers_to_crop=[4]); "conv3" also
+    # drops layer3 (MixVPR backbones/resnet.py:77-80 layers_to_crop=[3,4])
+    truncate: str = "conv5"
     dtype: Any = jnp.float32
     sync_axis: Optional[str] = None  # mesh axis for cross-device BN stats
 
@@ -41,6 +43,13 @@ def resnet50_config(**kw) -> ResNetConfig:
 def resnet101_config(**kw) -> ResNetConfig:
     return ResNetConfig(stage_sizes=(3, 4, 23, 3), bottleneck=True, **kw)
 
+
+
+_TRUNCATE_STAGES = {"conv3": 2, "conv4": 3, "conv5": 4}
+
+
+def _n_stages(truncate: str) -> int:
+    return _TRUNCATE_STAGES[truncate]
 
 class _BN(nn.Module):
     dtype: Any
@@ -129,7 +138,7 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         block = BottleneckBlock if c.bottleneck else BasicBlock
-        n_stages = 3 if c.truncate == "conv4" else 4
+        n_stages = _n_stages(c.truncate)
         for stage in range(n_stages):
             filters = c.width * (2 ** stage)
             for i in range(c.stage_sizes[stage]):
@@ -141,7 +150,7 @@ class ResNet(nn.Module):
     @property
     def out_channels(self) -> int:
         mult = 4 if self.cfg.bottleneck else 1
-        n_stages = 3 if self.cfg.truncate == "conv4" else 4
+        n_stages = _n_stages(self.cfg.truncate)
         return self.cfg.width * (2 ** (n_stages - 1)) * mult
 
 
@@ -226,7 +235,7 @@ def convert_torchvision_resnet(sd: Dict, cfg: ResNetConfig) -> Dict:
 
     params["conv1"] = {"kernel": conv_kernel(sd["conv1.weight"])}
     params["bn1"], stats["bn1"] = bn("bn1")
-    n_stages = 3 if cfg.truncate == "conv4" else 4
+    n_stages = _n_stages(cfg.truncate)
     convs = ["conv1", "conv2"] + (["conv3"] if cfg.bottleneck else [])
     for stage in range(n_stages):
         for i in range(cfg.stage_sizes[stage]):

@@ -99,6 +99,49 @@ class GeMHead(nn.Module):
         return l2_normalize(g, axis=-1)
 
 
+class GeMPool(nn.Module):
+    """Standalone GeM aggregation layer (MixVPR/models/aggregators/gem.py:5-18):
+    clamp -> p-mean over tokens -> flatten -> L2. Learnable scalar p."""
+
+    p_init: float = 3.0
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, N, D] -> [B, D]
+        p = self.param("p", nn.initializers.constant(self.p_init), ())
+        g = jnp.mean(jnp.clip(x, self.eps, None) ** p, axis=1) ** (1.0 / p)
+        return l2_normalize(g, axis=-1)
+
+
+class ConvAP(nn.Module):
+    """ConvAP (arXiv 2210.10239; MixVPR/models/aggregators/convap.py:6-23):
+    1x1 channel projection -> adaptive average pool to (s1, s2) -> flatten
+    (channel-major, matching torch) -> L2. Takes the spatial feature map
+    [B, H, W, C] (channels-last) since the pooling is spatial."""
+
+    out_channels: int = 512
+    s1: int = 2
+    s2: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B,H,W,C] -> [B,s1*s2*Co]
+        b, h, w, _ = x.shape
+        x = nn.Dense(self.out_channels, name="channel_pool")(x)
+        # torch AdaptiveAvgPool2d: cell i covers [floor(i*h/s), ceil((i+1)*h/s))
+        rows = []
+        for i in range(self.s1):
+            h0, h1 = (i * h) // self.s1, -(-((i + 1) * h) // self.s1)
+            cols = []
+            for j in range(self.s2):
+                w0, w1 = (j * w) // self.s2, -(-((j + 1) * w) // self.s2)
+                cols.append(jnp.mean(x[:, h0:h1, w0:w1], axis=(1, 2)))
+            rows.append(jnp.stack(cols, axis=1))  # [B, s2, Co]
+        pooled = jnp.stack(rows, axis=1)  # [B, s1, s2, Co]
+        # torch flattens [B, Co, s1, s2] channel-major
+        flat = pooled.transpose(0, 3, 1, 2).reshape(b, -1)
+        return l2_normalize(flat, axis=-1)
+
+
 class FeatureMixer(nn.Module):
     """One MixVPR mixer block: LayerNorm -> MLP over the token axis + skip."""
 

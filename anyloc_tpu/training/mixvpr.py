@@ -1,34 +1,159 @@
-"""MixVPR inference model (reference MixVPR/mixer_top_k_vpr.py:29-118
-``VPRModel``): ResNet backbone (layers 1-3, i.e. conv4 truncation) feeding the
-MixVPR feature-mixer aggregator."""
+"""MixVPR sub-framework: backbone/aggregator registry + VPRModel.
+
+TPU-native rebuild of the reference's MixVPR inference port:
+  * ``VPRModel`` — MixVPR/mixer_top_k_vpr.py:29-118 (backbone + aggregator
+    composition; default ResNet50(conv4) + MixVPR head);
+  * registry — MixVPR/models/helper.py:6-75 (``get_backbone`` over
+    resnet/efficientnet/swin, ``get_aggregator`` over
+    cosplace/gem/convap/mixvpr with the same config-key assertions).
+
+Backbones are the shared Flax trunks (models/resnet.py,
+models/efficientnet.py, models/swin.py — each parity-tested against a torch
+oracle); aggregation heads live in training/aggregators.py. The reference's
+timm pretrained weights load through the per-family converters
+(convert_torchvision_resnet / convert_hf_efficientnet / convert_hf_swinv2).
+
+The reference's inline SAM/DINO encoder paths (mixer_top_k_vpr.py:90-115,
+batch-1 SamPredictor / ViTExtractor hacks) are served by the first-class
+extractor pipelines here (models/factory.py) instead of being duplicated
+inside VPRModel.
+"""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from anyloc_tpu.models.resnet import ResNet, resnet50_config
-from anyloc_tpu.training.aggregators import MixVPRHead
+from anyloc_tpu.models.efficientnet import EfficientNet, efficientnet_config
+from anyloc_tpu.models.resnet import (
+    ResNet,
+    resnet18_config,
+    resnet50_config,
+    resnet101_config,
+)
+from anyloc_tpu.models.swin import SwinV2, swinv2_base_config
+from anyloc_tpu.training.aggregators import (
+    ConvAP,
+    GeMHead,
+    GeMPool,
+    MixVPRHead,
+)
+
+_RESNET_CONFIGS = {
+    "resnet18": resnet18_config,
+    "resnet50": resnet50_config,
+    "resnet101": resnet101_config,
+}
+
+
+def get_backbone(
+    backbone_arch: str = "resnet50",
+    layers_to_crop: Tuple[int, ...] = (),
+    sync_axis: Optional[str] = None,
+    img_size: int = 256,
+) -> Tuple[nn.Module, int]:
+    """Backbone by name -> (module, out_channels).
+
+    Mirrors MixVPR/models/helper.py:6-37: substring dispatch over
+    resnet* / efficientnet_b* (unknown efficientnet names fall back to b0,
+    helper.py:27-32) / swin*. ``layers_to_crop`` follows the reference's
+    ResNet semantics (4 drops layer4, 3 drops layer3 too,
+    backbones/resnet.py:77-80).
+    """
+    arch = backbone_arch.lower()
+    if "resnet" in arch:
+        maker = _RESNET_CONFIGS.get(arch)
+        if maker is None:
+            raise ValueError(f"unsupported resnet variant: {backbone_arch!r}")
+        if 3 in layers_to_crop and 4 not in layers_to_crop:
+            raise ValueError("cropping layer3 requires cropping layer4 too")
+        truncate = ("conv3" if 3 in layers_to_crop
+                    else "conv4" if 4 in layers_to_crop else "conv5")
+        cfg = maker(truncate=truncate, sync_axis=sync_axis)
+        mod = ResNet(cfg, name="backbone")
+        return mod, mod.out_channels
+    if "efficient" in arch:
+        variant = arch.split("_b")[-1] if "_b" in arch else None
+        variant = f"b{variant}" if variant in tuple("01234567") else "b0"
+        cfg = efficientnet_config(variant, sync_axis=sync_axis)
+        mod = EfficientNet(cfg, name="backbone")
+        return mod, cfg.hidden_dim
+    if "swin" in arch:
+        cfg = swinv2_base_config(img_size=img_size)
+        mod = SwinV2(cfg, name="backbone")
+        return mod, cfg.out_channels
+    raise ValueError(f"unknown backbone arch: {backbone_arch!r}")
+
+
+def get_aggregator(agg_arch: str = "ConvAP",
+                   agg_config: Optional[Dict[str, Any]] = None) -> nn.Module:
+    """Aggregator by name (MixVPR/models/helper.py:39-75), with the
+    reference's required-key checks."""
+    cfg = dict(agg_config or {})
+    arch = agg_arch.lower()
+    if "cosplace" in arch:
+        for key in ("in_dim", "out_dim"):
+            if key not in cfg:
+                raise ValueError(f"cosplace aggregator requires {key!r}")
+        return GeMHead(out_dim=cfg["out_dim"], name="aggregator")
+    if "gem" in arch:
+        return GeMPool(p_init=float(cfg.get("p", 3.0)), name="aggregator")
+    if "convap" in arch:
+        if "in_channels" not in cfg:
+            raise ValueError("convap aggregator requires 'in_channels'")
+        return ConvAP(
+            out_channels=cfg.get("out_channels", 512),
+            s1=cfg.get("s1", 2), s2=cfg.get("s2", 2), name="aggregator",
+        )
+    if "mixvpr" in arch:
+        return MixVPRHead(
+            out_channels=cfg.get("out_channels", 256),
+            out_rows=cfg.get("out_rows", 4),
+            depth=cfg.get("mix_depth", 4),
+            mix_ratio=cfg.get("mlp_ratio", 1),
+            name="aggregator",
+        )
+    raise ValueError(f"unknown aggregator arch: {agg_arch!r}")
 
 
 class VPRModel(nn.Module):
+    """Backbone + aggregation (reference VPRModel). The default matches the
+    reference's MixVPR SOTA config: ResNet50 truncated at conv4 feeding the
+    feature mixer. Spatial aggregators (ConvAP) get the [B, h, w, C] map;
+    token aggregators get [B, h*w, C]."""
+
     backbone: str = "resnet50"
+    agg_arch: str = "mixvpr"
+    agg_config: Optional[Dict[str, Any]] = None
+    layers_to_crop: Tuple[int, ...] = (4,)
+    # legacy MixVPR-head knobs (used when agg_arch == 'mixvpr' and
+    # agg_config is None)
     out_channels: int = 1024
     out_rows: int = 4
     mixer_depth: int = 4
     sync_axis: Optional[str] = None
+    img_size: int = 256
 
     @nn.compact
     def __call__(self, imgs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        cfg = resnet50_config(truncate="conv4", sync_axis=self.sync_axis)
-        fmap = ResNet(cfg, name="backbone")(imgs, train=train)  # [B, h, w, 1024]
+        trunk, _ = get_backbone(self.backbone, self.layers_to_crop,
+                                self.sync_axis, self.img_size)
+        if isinstance(trunk, SwinV2):
+            fmap = trunk(imgs)["fmap"]
+        else:
+            fmap = trunk(imgs, train=train)  # [B, h, w, C]
         b, h, w, d = fmap.shape
-        tokens = fmap.reshape(b, h * w, d)
-        return MixVPRHead(
-            out_channels=self.out_channels,
-            out_rows=self.out_rows,
-            depth=self.mixer_depth,
-            name="aggregator",
-        )(tokens)
+
+        cfg = self.agg_config
+        if cfg is None and self.agg_arch.lower() == "mixvpr":
+            cfg = {"out_channels": self.out_channels,
+                   "out_rows": self.out_rows,
+                   "mix_depth": self.mixer_depth}
+        elif cfg is None:
+            cfg = {"in_channels": d, "in_dim": d, "out_dim": 512}
+        agg = get_aggregator(self.agg_arch, cfg)
+        if isinstance(agg, ConvAP):
+            return agg(fmap)
+        return agg(fmap.reshape(b, h * w, d))
