@@ -301,7 +301,7 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False,
                  return_attn_probs: bool = False, fused_tail=None,
-                 fused_int8_tail=None):
+                 fused_int8_tail=None, attn_fn=None):
         c = self.cfg
         b, n, d = x.shape
         if fused_int8_tail is not None:
@@ -395,7 +395,11 @@ class Attention(nn.Module):
         impl = c.attn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if impl == "stub":
+        if attn_fn is not None:
+            # caller-supplied attention over the head-split tensors — the
+            # sequence-parallel ring (parallel/sp.py) injects itself here
+            out = attn_fn(q, k, v)
+        elif impl == "stub":
             # Diagnostic: skip the attention math entirely (out = v). Only
             # for performance accounting — never a real model config.
             out = v
@@ -548,7 +552,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_qkv: bool = False, qkv_only: bool = False,
-                 return_attn_probs: bool = False):
+                 return_attn_probs: bool = False, attn_fn=None):
         c = self.cfg
         d = x.shape[-1]
         from anyloc_tpu.ops.pallas.attn_proj import MAX_FUSED_TOKENS
@@ -560,6 +564,7 @@ class Block(nn.Module):
 
         use_fused_attn_int8 = (
             c.quant == "int8_full"
+            and attn_fn is None
             and x.shape[1] <= MAX_FUSED_TOKENS
             and not (qkv_only or return_attn_probs or return_qkv)
             and (impl == "pallas" or jax.default_backend() == "cpu")
@@ -593,6 +598,7 @@ class Block(nn.Module):
 
         use_fused_attn = (
             impl == "pallas"
+            and attn_fn is None
             and x.shape[1] <= MAX_FUSED_TOKENS
             # int8 modes quantize proj -> different params / fused routes
             and c.quant not in ("int8", "int8_full")
@@ -616,9 +622,10 @@ class Block(nn.Module):
                 x = Attention(c, name="attn")(h, fused_tail=(gamma1, x))
         else:
             if return_qkv:
-                attn_out, qkv = Attention(c, name="attn")(h, return_qkv=True)
+                attn_out, qkv = Attention(c, name="attn")(
+                    h, return_qkv=True, attn_fn=attn_fn)
             else:
-                attn_out = Attention(c, name="attn")(h)
+                attn_out = Attention(c, name="attn")(h, attn_fn=attn_fn)
             if c.layerscale_init is not None:
                 attn_out = LayerScale(d, c.layerscale_init, name="ls1")(attn_out)
             x = x + attn_out

@@ -12,9 +12,13 @@ from anyloc_tpu.parallel.distributed import (
     sharded_extract_fn,
     top_k_search_sharded,
 )
+from anyloc_tpu.parallel.ep import ep_vlad_aggregate, route_by_domain
 from anyloc_tpu.parallel.pp import pipeline_facet_extract, stack_stage_params
+from anyloc_tpu.parallel.sp import ring_attention, sp_facet_extract
 
 __all__ = [
+    "ep_vlad_aggregate",
+    "route_by_domain",
     "get_mesh",
     "local_mesh",
     "kmeans_fit_sharded",
@@ -22,4 +26,6 @@ __all__ = [
     "top_k_search_sharded",
     "pipeline_facet_extract",
     "stack_stage_params",
+    "ring_attention",
+    "sp_facet_extract",
 ]

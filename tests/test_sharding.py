@@ -295,3 +295,126 @@ def test_pipeline_parallel_facet_equality():
     total = sum(l.size * l.dtype.itemsize
                 for l in jax.tree_util.tree_leaves(staged))
     assert per_dev < 0.35 * total, (per_dev, total)
+
+
+def test_ring_attention_matches_dense(rng):
+    """ring_attention (parallel/sp.py): K/V sharded over the model axis with
+    padded-key masking == dense softmax attention over the valid tokens."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from anyloc_tpu.parallel.mesh import get_mesh
+    from anyloc_tpu.parallel.sp import ring_attention
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    mesh = get_mesh(n_data=1, n_model=8)
+    b, h, t, hd = 2, 3, 11, 4  # 11 tokens -> padded to 16 over 8 shards
+    t_pad = 16
+    q = rng.standard_normal((b, h, t_pad, hd)).astype(np.float32)
+    k = rng.standard_normal((b, h, t_pad, hd)).astype(np.float32)
+    v = rng.standard_normal((b, h, t_pad, hd)).astype(np.float32)
+    mask = np.arange(t_pad) < t
+
+    def fn(ql, kl, vl, ml):
+        return ring_attention(ql, kl, vl, ml, axis_name="model", n_shards=8,
+                              vary_axes=("model",))
+
+    got = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, None, "model"), P(None, None, "model"),
+                  P(None, None, "model"), P("model")),
+        out_specs=P(None, None, "model"),
+    )(q, k, v, jnp.asarray(mask))[:, :, :t]
+
+    s = np.einsum("bhqd,bhkd->bhqk", q[:, :, :t] * hd ** -0.5, k[:, :, :t])
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, v[:, :, :t])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_sequence_parallel_facet_equality():
+    """sp_facet_extract (parallel/sp.py): activations token-sharded over the
+    model axis, ring attention for the global mix — facets must equal the
+    single-device trunk, including a token count that does not divide the
+    axis (17 tokens over 4 shards)."""
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.extractor import init_params
+    from anyloc_tpu.models.vit import ViT, ViTConfig
+    from anyloc_tpu.parallel.mesh import get_mesh
+    from anyloc_tpu.parallel.sp import sp_facet_extract
+
+    cfg = ViTConfig(img_size=56, patch_size=14, embed_dim=96, depth=6,
+                    num_heads=4, mlp_type="swiglu_fused",
+                    layerscale_init=1e-5, dtype=jnp.float32)
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.standard_normal((4, 56, 56, 3)), jnp.float32)
+    mesh = get_mesh(n_data=2, n_model=4)  # 17 tokens -> 20 padded
+    for layer, facet in ((5, "value"), (3, "token"), (2, "query")):
+        want = np.asarray(ViT(cfg).apply(
+            params, img, capture_layer=layer, capture_facet=facet))
+        got = np.asarray(sp_facet_extract(
+            cfg, params, img, mesh, layer, facet))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sp_facet_extract(cfg, params, img, mesh, 3, "cls")
+
+
+def test_expert_parallel_routed_vlad():
+    """ep_vlad_aggregate (parallel/ep.py): expert banks sharded over the
+    model axis, images dispatched with all_to_all — kept images equal the
+    direct per-image VLAD against their routed expert; overflow beyond
+    capacity drops to zeros with kept=False."""
+    import jax.numpy as jnp
+
+    from anyloc_tpu.ops.vlad import vlad_aggregate
+    from anyloc_tpu.parallel.ep import ep_vlad_aggregate, route_by_domain
+    from anyloc_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh(n_data=2, n_model=4)
+    rng = np.random.default_rng(0)
+    e, c, d, b, t = 8, 4, 16, 16, 9
+    experts = jnp.asarray(rng.standard_normal((e, c, d)), jnp.float32)
+    descs = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    route = jnp.asarray(rng.integers(0, e, b), jnp.int32)
+
+    want = np.stack([
+        np.asarray(vlad_aggregate(descs[i][None], experts[int(route[i])])[0])
+        for i in range(b)
+    ])
+
+    # ample capacity: exact, nothing dropped
+    v, kept = ep_vlad_aggregate(descs, route, experts, mesh,
+                                capacity_factor=8.0)
+    assert bool(kept.all())
+    np.testing.assert_allclose(np.asarray(v), want, atol=1e-5)
+
+    # tight capacity: kept entries exact, dropped entries zero
+    v2, kept2 = ep_vlad_aggregate(descs, route, experts, mesh,
+                                  capacity_factor=0.7)
+    k = np.asarray(kept2)
+    assert k.sum() < b  # this seed overflows at least one slot
+    np.testing.assert_allclose(np.asarray(v2)[k], want[k], atol=1e-5)
+    assert np.abs(np.asarray(v2)[~k]).max() == 0.0
+
+    # experts must divide the axis; batch must divide the mesh
+    with pytest.raises(ValueError):
+        ep_vlad_aggregate(descs, route, experts[:6], mesh)
+    with pytest.raises(ValueError):
+        ep_vlad_aggregate(descs[:10], route[:10], experts, mesh)
+
+    # GeM-nearest-domain router (the HF-space domain picker semantics)
+    cents = jnp.abs(jnp.asarray(rng.standard_normal((3, d)), jnp.float32))
+    biased = (jnp.abs(jnp.asarray(
+        rng.standard_normal((5, t, d)), jnp.float32)) * 0.01
+        + cents[1][None, None, :])
+    assert (np.asarray(route_by_domain(biased, cents)) == 1).all()
