@@ -150,7 +150,8 @@ class FeatureMixer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, D, N]
         n = x.shape[-1]
-        h = nn.LayerNorm(name="norm")(x)
+        # torch nn.LayerNorm eps (1e-5), not the flax default (1e-6)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         h = nn.Dense(int(n * self.mix_ratio), name="mix1")(h)
         h = nn.relu(h)
         h = nn.Dense(n, name="mix2")(h)

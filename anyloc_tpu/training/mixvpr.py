@@ -118,6 +118,101 @@ def get_aggregator(agg_arch: str = "ConvAP",
     raise ValueError(f"unknown aggregator arch: {agg_arch!r}")
 
 
+def convert_mixvpr_checkpoint(sd) -> dict:
+    """Published MixVPR checkpoint -> VPRModel params.
+
+    The release (resnet50_MixVPR_4096 etc.) is the lightning module's state
+    dict: ``backbone.model.*`` (timm resnet50 = torchvision naming, cropped
+    at layer4 -> truncate conv4) + ``aggregator.*``
+    (MixVPR/models/aggregators/mixvpr.py:50-56: ``mix.{i}.mix.{0,1,3}``
+    LayerNorm/Linear/Linear, ``channel_proj``, ``row_proj``).
+    """
+    from anyloc_tpu.models.convert import t2np
+    from anyloc_tpu.models.resnet import (
+        convert_torchvision_resnet, resnet50_config,
+    )
+
+    bb_sd = {k[len("backbone.model."):]: v for k, v in sd.items()
+             if k.startswith("backbone.model.")}
+    bb = convert_torchvision_resnet(bb_sd, resnet50_config(truncate="conv4"))
+
+    def lin(src):
+        return {"kernel": t2np(sd[f"{src}.weight"]).T,
+                "bias": t2np(sd[f"{src}.bias"])}
+
+    agg: dict = {}
+    depth = 1 + max(
+        int(k.split(".")[2]) for k in sd if k.startswith("aggregator.mix.")
+    )
+    for i in range(depth):
+        t = f"aggregator.mix.{i}.mix"
+        agg[f"mixer_{i}"] = {
+            "norm": {"scale": t2np(sd[f"{t}.0.weight"]),
+                     "bias": t2np(sd[f"{t}.0.bias"])},
+            "mix1": lin(f"{t}.1"),
+            "mix2": lin(f"{t}.3"),
+        }
+    agg["channel_proj"] = lin("aggregator.channel_proj")
+    agg["row_proj"] = lin("aggregator.row_proj")
+    return {
+        "params": {"backbone": bb["params"], "aggregator": agg},
+        "batch_stats": {"backbone": bb["batch_stats"]},
+    }
+
+
+# CosPlace wraps list(resnet.children())[:-2] in an nn.Sequential, which
+# renumbers the torchvision module names (CosPlace/model/network.py:57-77)
+_COSPLACE_RESNET_IDX = {
+    "0": "conv1", "1": "bn1",
+    "4": "layer1", "5": "layer2", "6": "layer3", "7": "layer4",
+}
+# torchvision vgg16 conv layers inside features[:-2], renumbered 1:1
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def convert_cosplace_checkpoint(sd, backbone: str = "resnet50") -> dict:
+    """Published CosPlace checkpoint -> VPRModel(agg_arch='cosplace') params.
+
+    The release layout (CosPlace/model/network.py:30-41): ``backbone.{i}.*``
+    (a Sequential re-numbering of the torchvision children, full conv5) +
+    ``aggregation.1.p`` (GeM) and ``aggregation.3.{weight,bias}`` (fc).
+    """
+    from anyloc_tpu.models.convert import conv_kernel, t2np
+    from anyloc_tpu.models.resnet import convert_torchvision_resnet
+
+    arch = backbone.lower()
+    if "resnet" in arch:
+        bb_sd = {}
+        for k, v in sd.items():
+            if not k.startswith("backbone."):
+                continue
+            idx, rest = k[len("backbone."):].split(".", 1)
+            bb_sd[f"{_COSPLACE_RESNET_IDX[idx]}.{rest}"] = v
+        cfg = _RESNET_CONFIGS[arch](truncate="conv5")
+        bb = convert_torchvision_resnet(bb_sd, cfg)
+        params_bb, stats_bb = bb["params"], bb["batch_stats"]
+    elif arch == "vgg16":
+        params_bb = {}
+        for i, idx in enumerate(_VGG16_CONV_IDX):
+            params_bb[f"conv_{i}"] = {
+                "kernel": conv_kernel(sd[f"backbone.{idx}.weight"]),
+                "bias": t2np(sd[f"backbone.{idx}.bias"]),
+            }
+        stats_bb = None
+    else:
+        raise ValueError(f"unsupported CosPlace backbone: {backbone!r}")
+
+    agg = {
+        "p": t2np(sd["aggregation.1.p"]).reshape(()),
+        "fc": {"kernel": t2np(sd["aggregation.3.weight"]).T,
+               "bias": t2np(sd["aggregation.3.bias"])},
+    }
+    out = {"params": {"backbone": params_bb, "aggregator": agg}}
+    if stats_bb is not None:
+        out["batch_stats"] = {"backbone": stats_bb}
+    return out
+
+
 class VPRModel(nn.Module):
     """Backbone + aggregation (reference VPRModel). The default matches the
     reference's MixVPR SOTA config: ResNet50 truncated at conv4 feeding the

@@ -201,3 +201,166 @@ def test_vprmodel_agg_combos(rng):
         assert out.shape == (2, dim), (bb, agg)
         np.testing.assert_allclose(
             np.asarray(jnp.linalg.norm(out, axis=-1)), 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Published-checkpoint converters (full e2e oracles on random weights)
+# ---------------------------------------------------------------------------
+
+class _TorchMixVPR(torch.nn.Module):
+    """Reference MixVPR aggregator semantics (mixvpr.py:28-66) as an
+    independent oracle (state-dict layout matches the release)."""
+
+    class _Mixer(torch.nn.Module):
+        """FeatureMixerLayer: residual over a `mix` Sequential (the release
+        key layout is mix.{i}.mix.{0,1,3})."""
+
+        def __init__(self, hw):
+            super().__init__()
+            self.mix = torch.nn.Sequential(
+                torch.nn.LayerNorm(hw),
+                torch.nn.Linear(hw, hw),
+                torch.nn.ReLU(),
+                torch.nn.Linear(hw, hw),
+            )
+
+        def forward(self, x):
+            return x + self.mix(x)
+
+    def __init__(self, in_channels, hw, out_channels, mix_depth, out_rows):
+        super().__init__()
+        self.mix = torch.nn.Sequential(*[
+            self._Mixer(hw) for _ in range(mix_depth)
+        ])
+        self.channel_proj = torch.nn.Linear(in_channels, out_channels)
+        self.row_proj = torch.nn.Linear(hw, out_rows)
+
+    def forward(self, x):  # [B, C, H, W]
+        x = x.flatten(2)
+        x = self.mix(x)
+        x = x.permute(0, 2, 1)
+        x = self.channel_proj(x)
+        x = x.permute(0, 2, 1)
+        x = self.row_proj(x)
+        return torch.nn.functional.normalize(x.flatten(1), p=2, dim=-1)
+
+
+def _synthetic_resnet_sd(rng, stage_sizes, bottleneck, n_stages, scale=0.05):
+    """Shape-true state dict in torchvision resnet naming (torchvision is
+    not installed; the repo-standard synthetic-sd pattern,
+    test_torchvision_resnet_conversion)."""
+    sd = {}
+
+    def add_bn(name, c):
+        sd[f"{name}.weight"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{name}.running_var"] = np.ones(c, np.float32)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    sd["conv1.weight"] = w(64, 3, 7, 7)
+    add_bn("bn1", 64)
+    mult = 4 if bottleneck else 1
+    cin = 64
+    for stage in range(n_stages):
+        f = 64 * 2 ** stage
+        for i in range(stage_sizes[stage]):
+            pre = f"layer{stage + 1}.{i}"
+            c0 = cin if i == 0 else f * mult
+            if bottleneck:
+                sd[f"{pre}.conv1.weight"] = w(f, c0, 1, 1)
+                add_bn(f"{pre}.bn1", f)
+                sd[f"{pre}.conv2.weight"] = w(f, f, 3, 3)
+                add_bn(f"{pre}.bn2", f)
+                sd[f"{pre}.conv3.weight"] = w(f * 4, f, 1, 1)
+                add_bn(f"{pre}.bn3", f * 4)
+            else:
+                sd[f"{pre}.conv1.weight"] = w(f, c0, 3, 3)
+                add_bn(f"{pre}.bn1", f)
+                sd[f"{pre}.conv2.weight"] = w(f, f, 3, 3)
+                add_bn(f"{pre}.bn2", f)
+            if i == 0 and (c0 != f * mult or stage > 0):
+                sd[f"{pre}.downsample.0.weight"] = w(f * mult, c0, 1, 1)
+                add_bn(f"{pre}.downsample.1", f * mult)
+        cin = f * mult
+    return sd
+
+
+def test_convert_mixvpr_checkpoint_e2e(rng):
+    """Release-layout MixVPR state dict (backbone.model.* + aggregator.*)
+    through convert_mixvpr_checkpoint: the converted backbone must drive the
+    REAL torch mixer oracle to the same descriptor as our VPRModel."""
+    from anyloc_tpu.models.resnet import ResNet, resnet50_config
+    from anyloc_tpu.training.mixvpr import VPRModel, convert_mixvpr_checkpoint
+
+    torch.manual_seed(3)
+    agg = _TorchMixVPR(1024, 16, out_channels=8, mix_depth=2,
+                       out_rows=3).eval()
+    bb_sd = _synthetic_resnet_sd(rng, (3, 4, 6), bottleneck=True, n_stages=3)
+    sd = {f"backbone.model.{k}": v for k, v in bb_sd.items()}
+    sd.update({f"aggregator.{k}": v.detach().numpy()
+               for k, v in agg.state_dict().items()})
+    params = convert_mixvpr_checkpoint(sd)
+
+    img = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    # oracle: our (already converter-tested) backbone fmap -> torch mixer
+    fmap = ResNet(resnet50_config(truncate="conv4")).apply(
+        {"params": params["params"]["backbone"],
+         "batch_stats": params["batch_stats"]["backbone"]}, _nhwc(img))
+    with torch.no_grad():
+        expect = agg(torch.from_numpy(
+            np.asarray(fmap).transpose(0, 3, 1, 2))).numpy()
+
+    model = VPRModel(backbone="resnet50", agg_arch="mixvpr",
+                     agg_config={"out_channels": 8, "out_rows": 3,
+                                 "mix_depth": 2})
+    got = np.asarray(model.apply(params, _nhwc(img)))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_convert_cosplace_checkpoint_e2e(rng):
+    """Release-layout CosPlace state dict (Sequential-renumbered backbone.i.*
+    + aggregation.{1.p,3}) through convert_cosplace_checkpoint: converted
+    backbone fmap -> REAL torch L2/GeM/fc/L2 oracle == our VPRModel."""
+    from anyloc_tpu.models.resnet import ResNet, resnet18_config
+    from anyloc_tpu.training.mixvpr import (
+        VPRModel, convert_cosplace_checkpoint,
+    )
+
+    torch.manual_seed(4)
+    p = 2.7
+    fc = torch.nn.Linear(512, 16)
+    bb_sd = _synthetic_resnet_sd(rng, (2, 2, 2, 2), bottleneck=False,
+                                 n_stages=4)
+    # CosPlace's Sequential(children[:-2]) renumbering: conv1->0, bn1->1,
+    # layer1..4 -> 4..7 (model/network.py:57-77)
+    idx = {"conv1": "0", "bn1": "1", "layer1": "4", "layer2": "5",
+           "layer3": "6", "layer4": "7"}
+    sd = {}
+    for k, v in bb_sd.items():
+        head, rest = k.split(".", 1)
+        sd[f"backbone.{idx[head]}.{rest}"] = v
+    sd["aggregation.1.p"] = np.full((1,), p, np.float32)
+    sd["aggregation.3.weight"] = fc.weight.detach().numpy()
+    sd["aggregation.3.bias"] = fc.bias.detach().numpy()
+    params = convert_cosplace_checkpoint(sd, backbone="resnet18")
+
+    img = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    fmap = ResNet(resnet18_config(truncate="conv5")).apply(
+        {"params": params["params"]["backbone"],
+         "batch_stats": params["batch_stats"]["backbone"]}, _nhwc(img))
+    f = torch.from_numpy(np.asarray(fmap).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        f = torch.nn.functional.normalize(f, p=2, dim=1)
+        g = torch.nn.functional.avg_pool2d(
+            f.clamp(min=1e-6).pow(p), (f.size(-2), f.size(-1))
+        ).pow(1.0 / p).flatten(1)
+        expect = torch.nn.functional.normalize(fc(g), p=2, dim=1).numpy()
+
+    model = VPRModel(backbone="resnet18", layers_to_crop=(),
+                     agg_arch="cosplace",
+                     agg_config={"in_dim": 512, "out_dim": 16})
+    got = np.asarray(model.apply(params, _nhwc(img)))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
