@@ -181,7 +181,8 @@ class SwinBlock(nn.Module):
     cfg: SwinConfig
     dim: int
     heads: int
-    resolution: Tuple[int, int]
+    resolution: Tuple[int, int]  # runtime feature-map size (pad/partition)
+    cfg_resolution: Tuple[int, int]  # config-declared size (window geometry)
     shift: bool
     pretrained: int = 0
 
@@ -190,9 +191,16 @@ class SwinBlock(nn.Module):
         c = self.cfg
         h, w = self.resolution
         b, _, ch = x.shape
-        # per-layer window/shift shrink (Swinv2Layer._compute_window_shift)
-        ws = min(c.window_size, h, w)
-        ss = (c.window_size // 2) if (self.shift and min(h, w) > ws) else 0
+        # Window/shift come from the CONFIG resolution, not the runtime one
+        # (Swinv2Layer._compute_window_shift is evaluated at __init__ from
+        # grid_size // 2^stage): a checkpoint keeps its trained window even
+        # when fed smaller inputs — the runtime map is padded instead.
+        # HF collapses the per-dim result to dim 0 (self.window_size =
+        # window_size[0]); mirrored exactly.
+        rh, rw = self.cfg_resolution
+        win = [r if r <= c.window_size else c.window_size for r in (rh, rw)]
+        ws = win[0]
+        ss = (c.window_size // 2) if (self.shift and rh > win[0]) else 0
 
         shortcut = x
         x = x.reshape(b, h, w, ch)
@@ -266,18 +274,27 @@ class SwinV2(nn.Module):
                     dtype=c.dtype, name="patch_embed")(x)
         h, w = x.shape[1], x.shape[2]
         x = x.reshape(b, h * w, c.embed_dim)
+        # HF's Swinv2Embeddings.norm is nn.LayerNorm(embed_dim) with the
+        # DEFAULT eps (1e-5) — it does NOT honor config.layer_norm_eps
+        # (modeling_swinv2.py:235); keep the quirk for checkpoint parity.
         x = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="embed_norm")(x)
 
+        # config-declared per-stage resolutions drive the window geometry
+        # (Swinv2Encoder: grid_size // 2**stage, floor division)
+        cg = c.img_size // ps
+        ch_res, cw_res = cg, cg
         for i, depth in enumerate(c.depths):
             dim = c.embed_dim * 2 ** i
             for j in range(depth):
-                x = SwinBlock(c, dim, c.num_heads[i], (h, w), shift=j % 2 == 1,
+                x = SwinBlock(c, dim, c.num_heads[i], (h, w),
+                              (ch_res, cw_res), shift=j % 2 == 1,
                               pretrained=c.pretrained_window_sizes[i],
                               name=f"stage_{i}_block_{j}")(x)
             if i < len(c.depths) - 1:
                 x = PatchMerging(c, dim, (h, w),
                                  name=f"stage_{i}_merge")(x)
                 h, w = (h + 1) // 2, (w + 1) // 2
+                ch_res, cw_res = ch_res // 2, cw_res // 2
 
         x = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="final_norm")(x)
         return {"tokens": x, "fmap": x.reshape(b, h, w, -1)}

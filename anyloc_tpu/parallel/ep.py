@@ -24,12 +24,12 @@ the ep axis of the framework's dp/tp/pp/sp/ep set (parallel/).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from anyloc_tpu.ops.common import l2_normalize
 from anyloc_tpu.ops.gem import gem_pool
@@ -46,11 +46,6 @@ def route_by_domain(
     g = l2_normalize(gem_pool(descs, p=p, use_abs=True), axis=-1)
     c = l2_normalize(domain_centroids.astype(jnp.float32), axis=-1)
     return jnp.argmax(g @ c.T, axis=-1).astype(jnp.int32)
-
-
-def expert_shardings(experts, mesh: Mesh, expert_axis: str = "model"):
-    """NamedSharding placing the leading expert axis over ``expert_axis``."""
-    return NamedSharding(mesh, P(expert_axis))
 
 
 def ep_vlad_aggregate(
@@ -104,12 +99,16 @@ def ep_vlad_aggregate(
 
     def fn(descs_loc, route_loc, experts_loc):
         # dispatch plan (per data row, everything [B_loc]-local)
+        in_range = (route_loc >= 0) & (route_loc < e_total)
         target = route_loc // e_loc  # chip on the expert axis
         e_local = route_loc % e_loc  # expert slot on that chip
         onehot_t = jax.nn.one_hot(target, n_exp, dtype=jnp.int32)
+        onehot_t = onehot_t * in_range[:, None].astype(jnp.int32)
         pos = jnp.cumsum(onehot_t, axis=0) * onehot_t - onehot_t  # rank
         pos = pos.sum(-1)  # [B_loc] position within the target's buffer
-        kept = pos < capacity
+        # out-of-range routes are dropped (kept=False), same contract as
+        # capacity overflow — a zero descriptor must never read as valid
+        kept = (pos < capacity) & in_range
         # D[b, t, c]: image b occupies slot c of target t's buffer
         disp = (
             onehot_t.astype(bool)[:, :, None]

@@ -29,7 +29,6 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -105,19 +104,11 @@ def ring_attention(
 
 
 def _stack_blocks(params: Dict, n_run: int) -> Dict:
-    """Blocks 0..n_run-1 as one [n_run, ...]-leaved tree for lax.scan."""
-    import flax
+    """Blocks 0..n_run-1 as one [n_run, ...]-leaved tree for lax.scan
+    (pp.py's stage stacker with a single stage: no fillers, no mask)."""
+    from anyloc_tpu.parallel.pp import stack_stage_params
 
-    rows = [
-        flax.traverse_util.flatten_dict(
-            params["params"][f"blocks_{i}"], sep="/"
-        )
-        for i in range(n_run)
-    ]
-    stacked = {
-        key: np.stack([np.asarray(r[key]) for r in rows]) for key in rows[0]
-    }
-    return flax.traverse_util.unflatten_dict(stacked, sep="/")
+    return stack_stage_params(params, n_run, 1)[0]
 
 
 def sp_facet_extract(

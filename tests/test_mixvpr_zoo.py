@@ -364,3 +364,27 @@ def test_convert_cosplace_checkpoint_e2e(rng):
                      agg_config={"in_dim": 512, "out_dim": 16})
     got = np.asarray(model.apply(params, _nhwc(img)))
     np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_swinv2_offsize_input_parity(rng):
+    """Window/shift geometry must come from the CONFIG resolution, not the
+    runtime one (Swinv2Layer._compute_window_shift runs at __init__): a
+    16 px input through a 32 px-config model pads the 2x2 stage-1 map up to
+    the trained window instead of shrinking the window."""
+    from anyloc_tpu.models.swin import SwinV2, SwinConfig, convert_hf_swinv2
+
+    torch.manual_seed(5)
+    hcfg = transformers.Swinv2Config(
+        image_size=32, patch_size=4, embed_dim=16, depths=[2, 2],
+        num_heads=[2, 4], window_size=4,
+    )
+    tm = transformers.Swinv2Model(hcfg, add_pooling_layer=False).eval()
+    cfg = SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+                     num_heads=(2, 4), window_size=4)
+    params = convert_hf_swinv2(tm.state_dict(), cfg)
+
+    img = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(img)).last_hidden_state.numpy()
+    out = SwinV2(cfg).apply(params, _nhwc(img))
+    np.testing.assert_allclose(np.asarray(out["tokens"]), expect, atol=1e-4)

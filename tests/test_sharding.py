@@ -418,3 +418,24 @@ def test_expert_parallel_routed_vlad():
         rng.standard_normal((5, t, d)), jnp.float32)) * 0.01
         + cents[1][None, None, :])
     assert (np.asarray(route_by_domain(biased, cents)) == 1).all()
+
+
+def test_expert_parallel_out_of_range_routes_dropped():
+    """Out-of-range route indices must come back kept=False with zero
+    descriptors (never a zero vector flagged valid)."""
+    import jax.numpy as jnp
+
+    from anyloc_tpu.parallel.ep import ep_vlad_aggregate
+    from anyloc_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh(n_data=2, n_model=4)
+    rng = np.random.default_rng(3)
+    experts = jnp.asarray(rng.standard_normal((8, 4, 16)), jnp.float32)
+    descs = jnp.asarray(rng.standard_normal((16, 9, 16)), jnp.float32)
+    route = np.zeros(16, np.int32)
+    route[3], route[7] = 8, -1  # both out of range for E=8
+    v, kept = ep_vlad_aggregate(descs, jnp.asarray(route), experts, mesh,
+                                capacity_factor=8.0)
+    k = np.asarray(kept)
+    assert not k[3] and not k[7] and k.sum() == 14
+    assert np.abs(np.asarray(v)[[3, 7]]).max() == 0.0
