@@ -74,6 +74,11 @@ class ViTConfig:
     # — the fused qkv facet tensor is reassembled by concatenation. Not
     # combinable with the int8-fused kernel paths (those consume the fused
     # layouts); converters split checkpoint matrices when this is set.
+    remat: bool = False            # jax.checkpoint each block: backward-pass
+    # activation memory drops from O(depth) to O(sqrt-ish) at ~1/3 extra
+    # forward FLOPs — for TRAINING large trunks (ViT/CCT backbones in
+    # GeoLocalizationNet); inference is unaffected (no residency past a
+    # block under jit).
 
     @property
     def head_dim(self) -> int:
@@ -789,8 +794,9 @@ class ViT(nn.Module):
         n_blocks = c.depth if capture_layer is None else (
             capture_layer + 1 if capture_facet == "token" else capture_layer
         )
+        block_cls = nn.remat(Block) if c.remat else Block
         for i in range(n_blocks):
-            x = Block(c, name=f"blocks_{i}")(x)
+            x = block_cls(c, name=f"blocks_{i}")(x)
         if capture_layer is not None:
             if capture_facet == "token":
                 facet_out = x

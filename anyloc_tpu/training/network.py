@@ -129,6 +129,9 @@ class GeoLocalizationNet(nn.Module):
     # (reference --trunc_te; --freeze_te is an optimizer-mask concern here,
     # see train_cli)
     trunc_te: Optional[int] = None
+    # jax.checkpoint each ViT block (backward memory lever for training the
+    # token backbones; no effect on CNN backbones or inference)
+    remat: bool = False
 
     def _backbone(self):
         if self.backbone in _RESNETS:
@@ -176,6 +179,8 @@ class GeoLocalizationNet(nn.Module):
         cfg = hf_vit_config(img_size=imgs.shape[1])
         if self.trunc_te is not None:
             cfg = _dc.replace(cfg, depth=self.trunc_te)
+        if self.remat:
+            cfg = _dc.replace(cfg, remat=True)
         out = ViT(cfg, name="backbone")(imgs)
         if agg_wants_tokens:
             return out["tokens"], None, cfg.embed_dim

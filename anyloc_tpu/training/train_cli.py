@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     p.add_argument("--freeze-te", type=int, default=None, choices=list(range(-1, 14)),
                    help="freeze transformer encoders up to this index "
                         "(optimizer mask)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each vit transformer block "
+                        "(backward-pass memory for large token backbones)")
     p.add_argument("--mining", default="partial",
                    choices=["random", "partial", "full", "msls_weighted"])
     p.add_argument("--neg-samples-num", type=int, default=1000,
@@ -147,6 +150,7 @@ def main(argv=None) -> int:
         netvlad_clusters=args.netvlad_clusters,
         fc_output_dim=args.fc_output_dim,
         trunc_te=args.trunc_te,
+        remat=args.remat,
     )
     variables = model.init(jax.random.PRNGKey(args.seed),
                            jnp.zeros((1, *resize, 3)))

@@ -138,3 +138,40 @@ def test_facet_truncation_is_cheaper():
     )
     perturbed = np.asarray(ViTFacetExtractor(cfg, p2, 1, "value")(img))
     np.testing.assert_array_equal(base, perturbed)
+
+
+def test_remat_gradient_equality(rng):
+    """ViTConfig(remat=True) must be a pure memory/recompute trade: params
+    tree, forward outputs, and gradients all identical to the plain trunk."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.extractor import init_params
+    from anyloc_tpu.models.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=3,
+                    num_heads=2, mlp_type="mlp", layerscale_init=1e-5,
+                    dtype=jnp.float32)
+    rcfg = dataclasses.replace(cfg, remat=True)
+    params = init_params(cfg, seed=0)
+    rparams = init_params(rcfg, seed=0)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(rparams)
+
+    img = jnp.asarray(rng.standard_normal((2, 28, 28, 3)), jnp.float32)
+
+    def loss(model_cfg):
+        def f(p):
+            out = ViT(model_cfg).apply(p, img)
+            return jnp.sum(out["tokens"] ** 2) + jnp.sum(out["cls"] ** 2)
+        return f
+
+    base, gbase = jax.value_and_grad(loss(cfg))(params)
+    rem, grem = jax.value_and_grad(loss(rcfg))(params)
+    np.testing.assert_allclose(float(rem), float(base), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gbase),
+                    jax.tree_util.tree_leaves(grem)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
