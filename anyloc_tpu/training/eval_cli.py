@@ -4,10 +4,18 @@ and run the retrieval evaluation on a dataset; also evaluates off-the-shelf
 GeM models (eval.py:70-79 loads radenovic/naver weights by URL — here any
 local torch resnet+GeM checkpoint path).
 
+``--model-family mixvpr|cosplace`` evaluates the other trained baselines
+instead — the ``MixVPR/mixer_top_k_vpr.py`` and ``CosPlace/test.py`` script
+surfaces — loading their published-release ``.pth`` layouts through
+``convert_mixvpr_checkpoint`` / ``convert_cosplace_checkpoint``.
+
 Usage:
   python -m anyloc_tpu.training.eval_cli --checkpoint ./ckpt/best_checkpoint \
       --backbone resnet18conv4 --aggregation netvlad \
       --dataset gardens --datasets-folder /data/vpr
+  python -m anyloc_tpu.training.eval_cli --model-family mixvpr \
+      --checkpoint resnet50_MixVPR_4096.ckpt --dataset gardens \
+      --datasets-folder /data/vpr
 """
 
 from __future__ import annotations
@@ -51,12 +59,63 @@ def load_model_params(args, model):
     return state["params"] if "params" in state else state
 
 
+def _build_family_model(args):
+    """mixvpr / cosplace: VPRModel composition + release-layout converters."""
+    from anyloc_tpu.training.mixvpr import (
+        VPRModel,
+        convert_cosplace_checkpoint,
+        convert_mixvpr_checkpoint,
+        get_backbone,
+    )
+
+    backbone = args.backbone
+    if backbone == "resnet18conv4":  # dvgl-flavored default doesn't apply
+        backbone = "resnet50"
+    if args.model_family == "mixvpr":
+        model = VPRModel(
+            backbone=backbone, agg_arch="mixvpr",
+            agg_config={"out_channels": args.mix_out_channels,
+                        "out_rows": args.mix_out_rows,
+                        "mix_depth": args.mix_depth},
+        )
+        convert = convert_mixvpr_checkpoint
+    else:  # cosplace
+        _, ch = get_backbone(backbone, layers_to_crop=())
+        model = VPRModel(
+            backbone=backbone, layers_to_crop=(), agg_arch="cosplace",
+            agg_config={"in_dim": ch, "out_dim": args.fc_output_dim},
+        )
+        convert = lambda sd: convert_cosplace_checkpoint(  # noqa: E731
+            sd, backbone=backbone)
+
+    if args.checkpoint is None:
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, *args.resize, 3)))
+    elif args.checkpoint.endswith((".pth", ".pt", ".ckpt")):
+        from anyloc_tpu.models.convert import load_torch_checkpoint
+
+        variables = convert(load_torch_checkpoint(args.checkpoint))
+    else:
+        from anyloc_tpu.utils.checkpoint import load_checkpoint
+
+        state = load_checkpoint(args.checkpoint)
+        variables = state["params"] if "params" in state else state
+    return model, variables
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--model-family", default="dvgl",
+                   choices=["dvgl", "mixvpr", "cosplace"])
     p.add_argument("--backbone", default="resnet18conv4")
     p.add_argument("--aggregation", default="netvlad")
     p.add_argument("--netvlad-clusters", type=int, default=64)
+    p.add_argument("--fc-output-dim", type=int, default=512,
+                   help="cosplace descriptor dim (CosPlace --fc_output_dim)")
+    p.add_argument("--mix-out-channels", type=int, default=1024)
+    p.add_argument("--mix-out-rows", type=int, default=4)
+    p.add_argument("--mix-depth", type=int, default=4)
     p.add_argument("--dataset", required=True)
     p.add_argument("--datasets-folder", required=True)
     p.add_argument("--split", default="test")
@@ -81,13 +140,17 @@ def main(argv=None) -> int:
 
     from anyloc_tpu.data.registry import get_dataset
     from anyloc_tpu.training.evaluate import evaluate
-    from anyloc_tpu.training.network import GeoLocalizationNet
 
-    model = GeoLocalizationNet(
-        backbone=args.backbone, aggregation=args.aggregation,
-        netvlad_clusters=args.netvlad_clusters,
-    )
-    variables = load_model_params(args, model)
+    if args.model_family != "dvgl":
+        model, variables = _build_family_model(args)
+    else:
+        from anyloc_tpu.training.network import GeoLocalizationNet
+
+        model = GeoLocalizationNet(
+            backbone=args.backbone, aggregation=args.aggregation,
+            netvlad_clusters=args.netvlad_clusters,
+        )
+        variables = load_model_params(args, model)
     ds = get_dataset(args.dataset, args.datasets_folder, args.split,
                      img_size=args.resize)
     infer = jax.jit(lambda imgs: model.apply(variables, imgs))

@@ -167,3 +167,28 @@ def test_eval_cli_pca_and_save_descs(tmp_path, rng):
     with pytest.raises(SystemExit):     # pca-dim without folder
         main(["--backbone", "resnet18conv4", "--dataset", "gardens",
               "--datasets-folder", root, "--pca-dim", "4"])
+
+
+def test_eval_cli_mixvpr_and_cosplace_families(tmp_path, rng):
+    """--model-family routes the MixVPR (mixer_top_k_vpr.py) and CosPlace
+    (CosPlace/test.py) evaluation surfaces through the shared eval loop."""
+    from anyloc_tpu.data.synthetic import build_gardens
+    from anyloc_tpu.training.eval_cli import main
+
+    root = build_gardens(str(tmp_path), n_db=6, n_q=3, size=(64, 64))
+    rc = main([
+        "--model-family", "mixvpr", "--mix-out-channels", "8",
+        "--mix-out-rows", "2", "--mix-depth", "1",
+        "--dataset", "gardens", "--datasets-folder", root,
+        "--resize", "64", "64", "--recall-values", "1", "3",
+        "--batch-size", "3",
+    ])
+    assert rc == 0
+    rc = main([
+        "--model-family", "cosplace", "--backbone", "resnet18",
+        "--fc-output-dim", "16",
+        "--dataset", "gardens", "--datasets-folder", root,
+        "--resize", "64", "64", "--recall-values", "1", "3",
+        "--batch-size", "3",
+    ])
+    assert rc == 0
