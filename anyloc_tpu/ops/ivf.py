@@ -1,0 +1,191 @@
+"""IVF (inverted-file) approximate nearest-neighbor index, TPU-native.
+
+The reference retrieves with FAISS ``IndexFlat`` only — exact search
+(utilities.py:390-469). Exact device search here is already fast (a single
+[Q, D] x [D, N] matmul + ``lax.top_k``; docs/PERFORMANCE.md), but at
+serving scale (millions of rows) the full-database matmul stops paying.
+This is the IVF counterpart of FAISS' ``IndexIVFFlat``, designed for the
+MXU and XLA's static shapes instead of CPU posting lists:
+
+  * **fit**: k-means the database rows into ``n_cells`` coarse cells
+    (ops/kmeans.py — itself one XLA program), then bucket rows into a
+    DENSE padded store ``[n_cells, cap, D]`` with a validity mask.
+    Cells are capped at ``cap = ceil(N / n_cells * bucket_factor)``;
+    overflow rows (cluster skew) go to a small EXACT side pool that every
+    query scans, so no row is ever silently unsearchable (FAISS-style
+    "quantizer loss" shows up as recall decay, never as a missing item).
+  * **search**: queries score the cell centroids (one small matmul), take
+    the top ``n_probe`` cells, gather those buckets ([Q, n_probe*cap, D]
+    static shape), score them with one batched matmul, merge with the
+    overflow pool, ``lax.top_k``. Everything under one jit; gathers are
+    contiguous bucket rows (XLA lowers to efficient dynamic-slices).
+
+Recall/speed is the standard IVF dial: n_probe/n_cells. Exactness when
+probing every cell is test-enforced (tests/test_retrieval.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anyloc_tpu.ops.common import EXACT, l2_normalize
+
+
+@dataclasses.dataclass
+class IVFIndex:
+    """Fitted IVF index (host-built, device-searchable)."""
+
+    cells: jnp.ndarray        # [n_cells, D] coarse centroids (normalized if cosine)
+    buckets: jnp.ndarray      # [n_cells, cap, D] padded row store
+    bucket_ids: jnp.ndarray   # [n_cells, cap] int32 original row ids (-1 pad)
+    overflow: jnp.ndarray     # [n_over, D] exact side pool (0-row if none)
+    overflow_ids: jnp.ndarray  # [n_over] int32
+    # "cosine" scores RAW inner product (the exact engine's FAISS
+    # IndexFlatIP semantics; pre-normalize rows for true cosine) with
+    # normalized-centroid cell probing; "l2" scores negative squared L2
+    method: str = "cosine"
+
+    @property
+    def n_cells(self) -> int:
+        return self.cells.shape[0]
+
+    def search(self, qu, k: int, n_probe: int = 8,
+               query_block: int = 64):
+        """(scores [Q, k], indices [Q, k]) over the original row ids.
+
+        ``query_block`` bounds the materialized shortlist
+        ([qb, n_probe*cap, D] per step — the IVF working set); queries are
+        processed in jitted blocks via lax.map.
+        """
+        n_probe = min(n_probe, self.n_cells)
+        qu = jnp.asarray(qu, jnp.float32)
+        qb = min(query_block, qu.shape[0])
+        return _ivf_search(
+            self.cells, self.buckets, self.bucket_ids,
+            self.overflow, self.overflow_ids,
+            qu, k=k, n_probe=n_probe, method=self.method, qb=qb,
+        )
+
+
+def ivf_fit(
+    db,
+    n_cells: Optional[int] = None,
+    *,
+    method: str = "cosine",
+    bucket_factor: float = 2.0,
+    max_iters: int = 25,
+    seed: int = 0,
+) -> IVFIndex:
+    """Build an IVF index over ``db`` [N, D].
+
+    ``n_cells`` defaults to ~sqrt(N) (the FAISS rule of thumb). Bucketing
+    runs on host (one pass of numpy scatter) — fit cost is dominated by the
+    on-device k-means.
+    """
+    from anyloc_tpu.ops.kmeans import kmeans_fit
+
+    db = np.asarray(db, np.float32)
+    n, d = db.shape
+    if n_cells is None:
+        n_cells = max(1, int(np.sqrt(n)))
+    n_cells = min(n_cells, n)
+    dev_db = jnp.asarray(db)
+    if method == "cosine":
+        dev_db = l2_normalize(dev_db, axis=-1)
+    centers, labels = kmeans_fit(
+        jax.random.PRNGKey(seed), dev_db, n_cells,
+        mode="cosine" if method == "cosine" else "euclidean",
+        max_iters=max_iters,
+    )
+    labels = np.asarray(labels)
+    cap = max(1, int(np.ceil(n / n_cells * bucket_factor)))
+
+    buckets = np.zeros((n_cells, cap, d), np.float32)
+    ids = np.full((n_cells, cap), -1, np.int32)
+    fill = np.zeros(n_cells, np.int64)
+    over_rows, over_ids = [], []
+    order = np.argsort(labels, kind="stable")  # bucket-contiguous pass
+    for i in order:
+        c = labels[i]
+        if fill[c] < cap:
+            buckets[c, fill[c]] = db[i]
+            ids[c, fill[c]] = i
+            fill[c] += 1
+        else:
+            over_rows.append(db[i])
+            over_ids.append(i)
+    overflow = (np.stack(over_rows) if over_rows
+                else np.zeros((0, d), np.float32))
+    return IVFIndex(
+        cells=centers,
+        buckets=jnp.asarray(buckets),
+        bucket_ids=jnp.asarray(ids),
+        overflow=jnp.asarray(overflow),
+        overflow_ids=jnp.asarray(np.asarray(over_ids, np.int32)),
+        method=method,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "n_probe", "method", "qb"))
+def _ivf_search(cells, buckets, bucket_ids, overflow, overflow_ids, qu,
+                *, k: int, n_probe: int, method: str, qb: int):
+    nq, d = qu.shape
+    n_cells, cap, _ = buckets.shape
+    n_blocks = -(-nq // qb)
+    pad = n_blocks * qb - nq
+    qu = jnp.pad(qu, ((0, pad), (0, 0)))
+    def block(q):  # q: [qb, D]
+        if method == "cosine":
+            # probe with the normalized query against normalized cells
+            # (assignment geometry); SCORES stay raw inner product — the
+            # exact engine's FAISS IndexFlatIP semantics
+            cell_scores = jnp.einsum(
+                "qd,cd->qc", l2_normalize(q, axis=-1), cells,
+                precision=EXACT)
+        else:
+            cell_scores = -(
+                jnp.sum(q ** 2, -1, keepdims=True)
+                - 2.0 * jnp.einsum("qd,cd->qc", q, cells, precision=EXACT)
+                + jnp.sum(cells ** 2, -1)[None]
+            )
+        _, probe = jax.lax.top_k(cell_scores, n_probe)  # [qb, n_probe]
+        # shortlist gather: [qb, n_probe*cap, D] — the IVF working set
+        cand = buckets[probe].reshape(qb, n_probe * cap, d)
+        cand_ids = bucket_ids[probe].reshape(qb, n_probe * cap)
+
+        if method == "cosine":
+            s = jnp.einsum("qnd,qd->qn", cand, q, precision=EXACT)
+        else:
+            s = -(jnp.sum(cand ** 2, -1)
+                  - 2.0 * jnp.einsum("qnd,qd->qn", cand, q, precision=EXACT)
+                  + jnp.sum(q ** 2, -1)[:, None])
+        s = jnp.where(cand_ids >= 0, s, -jnp.inf)  # mask bucket padding
+
+        if overflow.shape[0]:
+            if method == "cosine":
+                so = jnp.einsum("nd,qd->qn", overflow, q, precision=EXACT)
+            else:
+                so = -(jnp.sum(overflow ** 2, -1)[None]
+                       - 2.0 * jnp.einsum("nd,qd->qn", overflow, q,
+                                          precision=EXACT)
+                       + jnp.sum(q ** 2, -1)[:, None])
+            s = jnp.concatenate([s, so], axis=1)
+            cand_ids = jnp.concatenate(
+                [cand_ids,
+                 jnp.broadcast_to(overflow_ids[None],
+                                  (qb, overflow_ids.shape[0]))],
+                axis=1,
+            )
+        top, pos = jax.lax.top_k(s, k)
+        if method == "l2":
+            top = -top  # exact engine returns POSITIVE squared distances
+        return top, jnp.take_along_axis(cand_ids, pos, axis=1)
+
+    tops, ids = jax.lax.map(block, qu.reshape(n_blocks, qb, d))
+    return tops.reshape(-1, k)[:nq], ids.reshape(-1, k)[:nq]

@@ -237,6 +237,8 @@ def get_top_k_recall(
     sub_sample_qu: int = 1,
     engine: str = "device",
     score_dtype: str = "float32",
+    ivf_index=None,
+    n_probe: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[int, float]]:
     """Drop-in equivalent of the reference's ``get_top_k_recall``
     (utilities.py:390-469): returns (distances [Q, max(top_k)],
@@ -244,9 +246,36 @@ def get_top_k_recall(
 
     ``engine``: "device" (TPU matmul + lax.top_k, database resident in HBM),
     "blocked" (database streamed through the device shard-by-shard — for
-    databases beyond device memory), or "native" (the C++ exact-NN library,
-    anyloc_tpu.native — host-side FAISS stand-in)."""
+    databases beyond device memory), "native" (the C++ exact-NN library,
+    anyloc_tpu.native — host-side FAISS stand-in), or "ivf" (approximate
+    probed search, ops/ivf.py — the IndexIVFFlat counterpart for
+    million-row databases; pass a prebuilt ``ivf_index`` to amortize the
+    fit, and tune ``n_probe``)."""
     del use_gpu
+    if engine == "ivf":
+        from anyloc_tpu.ops.ivf import ivf_fit
+
+        qu = np.asarray(qu, np.float32)
+        if qu.ndim == 1:
+            qu = qu[None, :]
+        if norm_descs:
+            qu = qu / np.maximum(
+                np.linalg.norm(qu, axis=-1, keepdims=True), 1e-12)
+        if ivf_index is None:
+            db = np.asarray(db, np.float32)
+            if norm_descs:
+                db = db / np.maximum(
+                    np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
+            ivf_index = ivf_fit(db, method=method)
+        max_k = min(int(max(top_k)), int(ivf_index.bucket_ids.size
+                                         + ivf_index.overflow.shape[0]))
+        dists, indices = ivf_index.search(qu, max_k, n_probe=n_probe)
+        dists, indices = np.asarray(dists), np.asarray(indices)
+        recalls = compute_recalls(
+            indices, gt_pos, top_k, use_percentage,
+            sub_sample_db, sub_sample_qu
+        )
+        return dists, indices, recalls
     if score_dtype != "float32" and engine != "device":
         # blocked has its own stream_dtype knob; native is host f32 — a
         # silently ignored score_dtype would misreport what ran

@@ -157,3 +157,57 @@ def test_device_bf16_scoring_preserves_ranking(rng, method):
     s0, i0 = top_k_search(db, qu, 5, method)
     s1, i1 = top_k_search(db, qu, 5, method, score_dtype="bfloat16")
     np.testing.assert_array_equal(np.asarray(i0)[:, 0], np.asarray(i1)[:, 0])
+
+
+class TestIVF:
+    """ops/ivf.py — the IndexIVFFlat counterpart (probed approximate
+    search with an exact overflow pool)."""
+
+    @pytest.mark.parametrize("method", ["cosine", "l2"])
+    def test_full_probe_equals_exact(self, rng, method):
+        from anyloc_tpu.ops.ivf import ivf_fit
+        from anyloc_tpu.ops.retrieval import top_k_search
+
+        db = rng.standard_normal((600, 24)).astype(np.float32)
+        qu = db[::30] + 0.01 * rng.standard_normal((20, 24)).astype(np.float32)
+        index = ivf_fit(db, 16, method=method, bucket_factor=1.2, seed=1)
+        # tight bucket_factor forces the overflow pool into play
+        assert index.overflow.shape[0] > 0 or index.bucket_ids.size >= 600
+        s_ivf, i_ivf = index.search(qu, 5, n_probe=16, query_block=8)
+        import jax.numpy as jnp
+
+        s_ex, i_ex = top_k_search(
+            jnp.asarray(db), jnp.asarray(qu), 5, method=method)
+        np.testing.assert_array_equal(np.asarray(i_ivf), np.asarray(i_ex))
+        np.testing.assert_allclose(np.asarray(s_ivf), np.asarray(s_ex),
+                                   atol=1e-5)
+
+    def test_partial_probe_recall(self, rng):
+        from anyloc_tpu.ops.ivf import ivf_fit
+
+        db = rng.standard_normal((1000, 16)).astype(np.float32)
+        qu = db[::50] + 0.005 * rng.standard_normal((20, 16)).astype(np.float32)
+        index = ivf_fit(db, 32, method="l2", seed=2)
+        _, i1 = index.search(qu, 1, n_probe=4)
+        # near-duplicate queries: the home cell is probed first
+        assert (np.asarray(i1)[:, 0] == np.arange(0, 1000, 50)).mean() >= 0.9
+
+    def test_recall_engine_parity(self, rng):
+        """get_top_k_recall(engine='ivf') == the device engine on separated
+        data when probing every cell."""
+        from anyloc_tpu.ops.ivf import ivf_fit
+        from anyloc_tpu.ops.retrieval import get_top_k_recall
+
+        db = rng.standard_normal((300, 16)).astype(np.float32)
+        qu = db[::20] + 0.01 * rng.standard_normal((15, 16)).astype(np.float32)
+        gt = [np.array([i * 20]) for i in range(15)]
+        _, _, r_dev = get_top_k_recall([1, 5], db, qu, gt)
+        dbn = db / np.linalg.norm(db, axis=-1, keepdims=True)
+        index = ivf_fit(dbn, 8, seed=3)
+        _, _, r_ivf = get_top_k_recall(
+            [1, 5], db, qu, gt, engine="ivf", ivf_index=index, n_probe=8)
+        assert r_ivf == r_dev
+        # fit-on-the-fly route
+        _, _, r_fly = get_top_k_recall(
+            [1, 5], db, qu, gt, engine="ivf", n_probe=50)
+        assert r_fly == r_dev
