@@ -65,6 +65,7 @@ from anyloc_tpu.ops.retrieval import get_top_k_recall, top_k_search
 from anyloc_tpu.ops.gem import gem_pool
 from anyloc_tpu.ops.pooling import global_avg_pool, global_max_pool
 from anyloc_tpu.ops.pca import reduce_pca
+from anyloc_tpu.ops.ivf import IVFIndex, ivf_fit
 
 __all__ = [
     "VLAD",
@@ -77,4 +78,6 @@ __all__ = [
     "global_avg_pool",
     "global_max_pool",
     "reduce_pca",
+    "IVFIndex",
+    "ivf_fit",
 ]
