@@ -76,9 +76,9 @@ class ViTConfig:
     # layouts); converters split checkpoint matrices when this is set.
     remat: bool = False            # jax.checkpoint each block: backward-pass
     # activation memory drops from O(depth) to O(sqrt-ish) at ~1/3 extra
-    # forward FLOPs — for TRAINING large trunks (ViT/CCT backbones in
-    # GeoLocalizationNet); inference is unaffected (no residency past a
-    # block under jit).
+    # forward FLOPs — for TRAINING large ViT trunks (e.g. the vit token
+    # backbone in GeoLocalizationNet); inference is unaffected (no
+    # residency past a block under jit).
 
     @property
     def head_dim(self) -> int:

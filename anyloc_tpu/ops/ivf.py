@@ -46,6 +46,7 @@ class IVFIndex:
     bucket_ids: jnp.ndarray   # [n_cells, cap] int32 original row ids (-1 pad)
     overflow: jnp.ndarray     # [n_over, D] exact side pool (0-row if none)
     overflow_ids: jnp.ndarray  # [n_over] int32
+    n_rows: int = 0           # database size (for k clamping)
     # "cosine" scores RAW inner product (the exact engine's FAISS
     # IndexFlatIP semantics; pre-normalize rows for true cosine) with
     # normalized-centroid cell probing; "l2" scores negative squared L2
@@ -62,9 +63,19 @@ class IVFIndex:
         ``query_block`` bounds the materialized shortlist
         ([qb, n_probe*cap, D] per step — the IVF working set); queries are
         processed in jitted blocks via lax.map.
+
+        ``k`` is clamped to the database size and to each query's shortlist
+        (n_probe * cap + overflow) — asking for more than the probes can
+        surface returns that many columns, like the exact engines clamp to N.
         """
         n_probe = min(n_probe, self.n_cells)
         qu = jnp.asarray(qu, jnp.float32)
+        cap = self.buckets.shape[1]
+        shortlist = n_probe * cap + int(self.overflow.shape[0])
+        k = max(1, min(k, self.n_rows or shortlist, shortlist))
+        if qu.shape[0] == 0:
+            return (jnp.zeros((0, k), jnp.float32),
+                    jnp.zeros((0, k), jnp.int32))
         qb = min(query_block, qu.shape[0])
         return _ivf_search(
             self.cells, self.buckets, self.bucket_ids,
@@ -108,27 +119,26 @@ def ivf_fit(
 
     buckets = np.zeros((n_cells, cap, d), np.float32)
     ids = np.full((n_cells, cap), -1, np.int32)
-    fill = np.zeros(n_cells, np.int64)
-    over_rows, over_ids = [], []
-    order = np.argsort(labels, kind="stable")  # bucket-contiguous pass
-    for i in order:
-        c = labels[i]
-        if fill[c] < cap:
-            buckets[c, fill[c]] = db[i]
-            ids[c, fill[c]] = i
-            fill[c] += 1
-        else:
-            over_rows.append(db[i])
-            over_ids.append(i)
-    overflow = (np.stack(over_rows) if over_rows
-                else np.zeros((0, d), np.float32))
+    # vectorized bucketing: rank of each row within its cell via one stable
+    # sort (a Python per-row loop would dominate fit at million-row scale)
+    order = np.argsort(labels, kind="stable")
+    sl = labels[order]
+    starts = np.searchsorted(sl, np.arange(n_cells))
+    rank = np.arange(n) - starts[sl]
+    in_cap = rank < cap
+    rows = order[in_cap]
+    buckets[sl[in_cap], rank[in_cap]] = db[rows]
+    ids[sl[in_cap], rank[in_cap]] = rows
+    over = order[~in_cap]
+    overflow = db[over] if over.size else np.zeros((0, d), np.float32)
     return IVFIndex(
         cells=centers,
         buckets=jnp.asarray(buckets),
         bucket_ids=jnp.asarray(ids),
         overflow=jnp.asarray(overflow),
-        overflow_ids=jnp.asarray(np.asarray(over_ids, np.int32)),
+        overflow_ids=jnp.asarray(over.astype(np.int32)),
         method=method,
+        n_rows=n,
     )
 
 

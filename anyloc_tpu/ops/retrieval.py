@@ -252,6 +252,12 @@ def get_top_k_recall(
     million-row databases; pass a prebuilt ``ivf_index`` to amortize the
     fit, and tune ``n_probe``)."""
     del use_gpu
+    if score_dtype != "float32" and engine == "ivf":
+        # same contract as blocked/native: a silently ignored score_dtype
+        # would misreport what ran
+        raise ValueError(
+            "score_dtype is only supported by the 'device' engine; the ivf "
+            "engine scores in float32")
     if engine == "ivf":
         from anyloc_tpu.ops.ivf import ivf_fit
 
@@ -267,9 +273,9 @@ def get_top_k_recall(
                 db = db / np.maximum(
                     np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
             ivf_index = ivf_fit(db, method=method)
-        max_k = min(int(max(top_k)), int(ivf_index.bucket_ids.size
-                                         + ivf_index.overflow.shape[0]))
-        dists, indices = ivf_index.search(qu, max_k, n_probe=n_probe)
+        # search() itself clamps k to the database size and the shortlist
+        dists, indices = ivf_index.search(
+            qu, int(max(top_k)), n_probe=n_probe)
         dists, indices = np.asarray(dists), np.asarray(indices)
         recalls = compute_recalls(
             indices, gt_pos, top_k, use_percentage,

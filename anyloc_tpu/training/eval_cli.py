@@ -119,7 +119,11 @@ def main(argv=None) -> int:
     p.add_argument("--dataset", required=True)
     p.add_argument("--datasets-folder", required=True)
     p.add_argument("--split", default="test")
-    p.add_argument("--resize", type=int, nargs=2, default=(480, 640))
+    p.add_argument("--resize", type=int, nargs=2, default=None,
+                   help="default: 480 640 (dvgl), or 320 320 for "
+                        "--model-family mixvpr (the release checkpoints' "
+                        "training resolution — the mixer weights are "
+                        "token-count-specific)")
     p.add_argument("--test-method", default="hard_resize")
     p.add_argument("--recall-values", type=int, nargs="*", default=[1, 5, 10, 20])
     p.add_argument("--batch-size", type=int, default=16)
@@ -136,6 +140,9 @@ def main(argv=None) -> int:
     if args.pca_dim is not None and args.pca_dataset_folder is None:
         p.error("specify --pca-dataset-folder when using --pca-dim "
                 "(parser.py:135-136)")
+    if args.resize is None:
+        args.resize = (320, 320) if args.model_family == "mixvpr" \
+            else (480, 640)
     args.resize = tuple(args.resize)
 
     from anyloc_tpu.data.registry import get_dataset

@@ -84,6 +84,13 @@ def get_backbone(
         cfg = swinv2_base_config(img_size=img_size)
         mod = SwinV2(cfg, name="backbone")
         return mod, cfg.out_channels
+    if "vgg" in arch:
+        # not in the MixVPR helper, but the CosPlace release family includes
+        # vgg16 (CosPlace/model/network.py CHANNELS_NUM_IN_LAST_CONV) and
+        # VPRModel doubles as that network's surface
+        from anyloc_tpu.models.resnet import VGG16
+
+        return VGG16(name="backbone"), 512
     raise ValueError(f"unknown backbone arch: {backbone_arch!r}")
 
 

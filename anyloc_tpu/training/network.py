@@ -163,6 +163,12 @@ class GeoLocalizationNet(nn.Module):
             )
         agg_wants_tokens = self.aggregation in ("netvlad", "gem")
         if self.backbone.startswith("cct"):
+            if self.remat:
+                # CCT's blocks are inline (flat param names shared with the
+                # dvgl checkpoint converter) — no checkpointing hook; its
+                # [B, 577, 384] activations don't need one either
+                raise ValueError(
+                    "remat is supported for the 'vit' token backbone only")
             from anyloc_tpu.models.cct import CCT, cct_14_7x2_384
 
             cfg = cct_14_7x2_384(truncate_at=self.trunc_te)

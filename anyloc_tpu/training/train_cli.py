@@ -34,8 +34,8 @@ def main(argv=None) -> int:
                    help="freeze transformer encoders up to this index "
                         "(optimizer mask)")
     p.add_argument("--remat", action="store_true",
-                   help="jax.checkpoint each vit transformer block "
-                        "(backward-pass memory for large token backbones)")
+                   help="jax.checkpoint each transformer block of the 'vit' "
+                        "backbone (backward-pass activation memory)")
     p.add_argument("--mining", default="partial",
                    choices=["random", "partial", "full", "msls_weighted"])
     p.add_argument("--neg-samples-num", type=int, default=1000,
@@ -106,6 +106,8 @@ def main(argv=None) -> int:
         p.error("--trunc-te only applies to cct384 / vit backbones")
     if args.freeze_te is not None and args.backbone not in ("cct384", "vit"):
         p.error("--freeze-te only applies to cct384 / vit backbones")
+    if args.remat and args.backbone != "vit":
+        p.error("--remat only applies to the vit backbone")
     if args.aggregation == "crn" and not args.resume:
         logging.warning(
             "the reference requires CRN to resume from a trained NetVLAD "

@@ -192,3 +192,12 @@ def test_eval_cli_mixvpr_and_cosplace_families(tmp_path, rng):
         "--batch-size", "3",
     ])
     assert rc == 0
+    # vgg16 cosplace release layout is reachable through the same route
+    rc = main([
+        "--model-family", "cosplace", "--backbone", "vgg16",
+        "--fc-output-dim", "16",
+        "--dataset", "gardens", "--datasets-folder", root,
+        "--resize", "64", "64", "--recall-values", "1", "3",
+        "--batch-size", "3",
+    ])
+    assert rc == 0

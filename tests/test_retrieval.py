@@ -211,3 +211,21 @@ class TestIVF:
         _, _, r_fly = get_top_k_recall(
             [1, 5], db, qu, gt, engine="ivf", n_probe=50)
         assert r_fly == r_dev
+
+    def test_k_clamped_and_empty_queries(self, rng):
+        """k beyond the shortlist/database clamps (like the exact engines
+        clamp to N); empty query sets return empty results; non-f32
+        score_dtype is rejected rather than silently ignored."""
+        from anyloc_tpu.ops.ivf import ivf_fit
+        from anyloc_tpu.ops.retrieval import get_top_k_recall
+
+        db = rng.standard_normal((50, 8)).astype(np.float32)
+        index = ivf_fit(db, 4, method="l2", seed=0)
+        qu = db[:3]
+        s, i = index.search(qu, 10_000, n_probe=1)
+        assert s.shape[1] <= 50 and i.shape == s.shape
+        s0, i0 = index.search(np.zeros((0, 8), np.float32), 5)
+        assert s0.shape[0] == 0 and i0.shape[0] == 0
+        with pytest.raises(ValueError):
+            get_top_k_recall([1], db, qu, [np.array([0])] * 3,
+                             engine="ivf", score_dtype="bfloat16")

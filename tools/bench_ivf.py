@@ -32,7 +32,7 @@ def main():
     rng = np.random.default_rng(0)
     db = rng.standard_normal((args.n_db, args.dim)).astype(np.float32)
     db /= np.linalg.norm(db, axis=-1, keepdims=True)
-    qu = db[:: args.n_db // args.n_queries][: args.n_queries].copy()
+    qu = db[:: max(1, args.n_db // args.n_queries)][: args.n_queries].copy()
     qu += 0.05 * rng.standard_normal(qu.shape).astype(np.float32)
 
     t0 = time.perf_counter()
