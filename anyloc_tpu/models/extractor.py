@@ -83,6 +83,41 @@ class ViTFacetExtractor:
             imgs = imgs[None]
         return self._forward(self.params, imgs)
 
+    def extract_multilayer(self, imgs: jnp.ndarray, layers) -> dict:
+        """Facets for several layers in ONE trunk pass (the reference's
+        multi-hook pattern, dino_extractor.py:215-230; feeds
+        pipelines.extras.multilayer_vlad). Returns {layer: [B, N(+1), D]}."""
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        cfg, facet = self.cfg, self.facet
+        skip = (1 if cfg.use_cls_token else 0) + cfg.num_register_tokens
+
+        @jax.jit
+        def fwd(params, imgs):
+            if imgs.dtype == jnp.uint8:
+                from anyloc_tpu.data.transforms import device_normalize
+
+                imgs = device_normalize(imgs)
+            outs = self.model.apply(
+                params, imgs, capture_layers=tuple(layers),
+                capture_facet=facet,
+            )
+            post = {}
+            for li, out in outs.items():
+                if self.use_cls:
+                    if cfg.num_register_tokens:
+                        out = jnp.concatenate(
+                            [out[:, :1], out[:, skip:]], axis=1)
+                else:
+                    out = out[:, skip:]
+                out = out.astype(jnp.float32)
+                if self.norm_descs:
+                    out = l2_normalize(out, axis=-1)
+                post[li] = out
+            return post
+
+        return fwd(self.params, imgs)
+
 
 class DinoV2ExtractFeatures(ViTFacetExtractor):
     """API-parity constructor mirroring utilities.py:223-236:

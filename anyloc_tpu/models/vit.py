@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -718,6 +718,7 @@ class ViT(nn.Module):
         capture_layer: Optional[int] = None,
         capture_facet: str = "value",
         embed_only: bool = False,
+        capture_layers: Optional[Sequence[int]] = None,
     ):
         c = self.cfg
         b, h, w, _ = x.shape
@@ -790,11 +791,39 @@ class ViT(nn.Module):
             # applies the blocks functionally with per-stage param shards.
             return x
 
+        block_cls = nn.remat(Block) if c.remat else Block
+        if capture_layers is not None:
+            # Multi-layer capture in ONE forward — the reference registers
+            # hooks on several layers simultaneously
+            # (dino_extractor.py:215-230; scripts/dino_multilayer_vlad.py)
+            # where separate single-layer passes would cost ~sum(L_i)
+            # blocks instead of max(L_i).
+            if capture_layer is not None:
+                raise ValueError(
+                    "pass either capture_layer or capture_layers, not both")
+            want = sorted(set(int(i) for i in capture_layers))
+            if capture_facet == "attn":
+                raise ValueError("capture_layers supports q/k/v/token facets")
+            outs = {}
+            d = c.embed_dim
+            off = {"query": 0, "key": 1, "value": 2}.get(capture_facet)
+            for i in range(want[-1] + 1):
+                if capture_facet == "token":
+                    x = block_cls(c, name=f"blocks_{i}")(x)
+                    if i in want:
+                        outs[i] = x
+                elif i in want:
+                    # full block WITH the hooked qkv tensor (return_qkv) —
+                    # one extra block tail vs qkv_only, L-1 fewer passes
+                    x, qkv = Block(c, name=f"blocks_{i}")(x, return_qkv=True)
+                    outs[i] = qkv[..., off * d: (off + 1) * d]
+                else:
+                    x = block_cls(c, name=f"blocks_{i}")(x)
+            return outs
         facet_out = None
         n_blocks = c.depth if capture_layer is None else (
             capture_layer + 1 if capture_facet == "token" else capture_layer
         )
-        block_cls = nn.remat(Block) if c.remat else Block
         for i in range(n_blocks):
             x = block_cls(c, name=f"blocks_{i}")(x)
         if capture_layer is not None:

@@ -167,3 +167,24 @@ def test_lseg_vlad_cached_pipeline(tmp_path, rng):
         sub_sample_pixels=2, sub_sample_db_vlad=3,
     )
     assert r2[1] == 1.0
+
+
+def test_extract_multilayer_single_pass(rng):
+    """ViTFacetExtractor.extract_multilayer == per-layer extraction, one
+    trunk pass (feeds multilayer_vlad — dino_multilayer_vlad.py)."""
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.extractor import ViTFacetExtractor, init_params
+    from anyloc_tpu.models.vit import ViTConfig
+
+    cfg = ViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=5,
+                    num_heads=2, mlp_type="mlp", layerscale_init=1e-5,
+                    dtype=jnp.float32)
+    params = init_params(cfg, seed=0)
+    img = jnp.asarray(rng.standard_normal((2, 28, 28, 3)).astype(np.float32))
+    ex = ViTFacetExtractor(cfg, params, layer=4, facet="value")
+    multi = ex.extract_multilayer(img, [1, 4])
+    for layer in (1, 4):
+        single = ViTFacetExtractor(cfg, params, layer=layer, facet="value")(img)
+        np.testing.assert_allclose(np.asarray(multi[layer]),
+                                   np.asarray(single), atol=1e-6)

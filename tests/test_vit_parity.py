@@ -175,3 +175,32 @@ def test_remat_gradient_equality(rng):
                     jax.tree_util.tree_leaves(grem)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_multilayer_capture_single_pass(rng):
+    """capture_layers=[...] (one forward, the reference's multi-hook
+    pattern, dino_extractor.py:215-230) must equal per-layer captures."""
+    import jax.numpy as jnp
+    import pytest
+
+    from anyloc_tpu.models.extractor import init_params
+    from anyloc_tpu.models.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=6,
+                    num_heads=2, mlp_type="mlp", layerscale_init=1e-5,
+                    dtype=jnp.float32)
+    params = init_params(cfg, seed=0)
+    img = jnp.asarray(rng.standard_normal((2, 28, 28, 3)), jnp.float32)
+    for facet in ("value", "key", "token"):
+        multi = ViT(cfg).apply(params, img, capture_layers=[1, 4],
+                               capture_facet=facet)
+        assert sorted(multi) == [1, 4]
+        for layer in (1, 4):
+            single = ViT(cfg).apply(params, img, capture_layer=layer,
+                                    capture_facet=facet)
+            np.testing.assert_array_equal(np.asarray(multi[layer]),
+                                          np.asarray(single))
+    with pytest.raises(ValueError):
+        ViT(cfg).apply(params, img, capture_layer=1, capture_layers=[2])
+    with pytest.raises(ValueError):
+        ViT(cfg).apply(params, img, capture_layers=[2], capture_facet="attn")
