@@ -14,7 +14,11 @@ from anyloc_tpu.parallel.distributed import (
 )
 from anyloc_tpu.parallel.ep import ep_vlad_aggregate, route_by_domain
 from anyloc_tpu.parallel.pp import pipeline_facet_extract, stack_stage_params
-from anyloc_tpu.parallel.sp import ring_attention, sp_facet_extract
+from anyloc_tpu.parallel.sp import (
+    SPFacetExtractor,
+    ring_attention,
+    sp_facet_extract,
+)
 
 __all__ = [
     "ep_vlad_aggregate",
@@ -27,5 +31,6 @@ __all__ = [
     "pipeline_facet_extract",
     "stack_stage_params",
     "ring_attention",
+    "SPFacetExtractor",
     "sp_facet_extract",
 ]

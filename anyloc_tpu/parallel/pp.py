@@ -55,7 +55,8 @@ def stack_stage_params(
         src = p[f"blocks_{i}"] if i < n_run else p["blocks_0"]
         rows.append(flax.traverse_util.flatten_dict(src, sep="/"))
     stacked = {
-        key: np.stack([np.asarray(r[key]) for r in rows]) for key in b0
+        # jnp.stack: also trace-safe (sp.py stacks inside a jitted forward)
+        key: jnp.stack([r[key] for r in rows]) for key in b0
     }
     mask = (np.arange(total) < n_run)
     return (

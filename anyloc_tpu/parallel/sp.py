@@ -189,3 +189,61 @@ def sp_facet_extract(
         return out
     off = {"query": 0, "key": 1, "value": 2}[facet]
     return out[..., off * d: (off + 1) * d]
+
+
+class SPFacetExtractor:
+    """Drop-in extractor (the ``ViTFacetExtractor`` interface: ``_forward``,
+    ``__call__``, ``supports_uint8``) whose trunk runs SEQUENCE-PARALLEL over
+    ``mesh`` — tokens sharded on the sp axis, batch on the data axis. Plugs
+    into ``DescriptorEngine`` and every pipeline unchanged (pass the engine
+    ``mesh=None``: the sharding lives inside this extractor).
+
+    The multi-chip serving route for the long-N demo path (1024 px ViT-G,
+    ~5.3k tokens) when one chip's HBM can't hold the activations.
+    """
+
+    supports_uint8 = True
+
+    def __init__(self, cfg: ViTConfig, params, layer: int,
+                 facet: str = "value", mesh: Mesh = None, *,
+                 use_cls: bool = False, norm_descs: bool = True,
+                 data_axis: str = "data", sp_axis: str = "model") -> None:
+        if mesh is None:
+            raise ValueError("SPFacetExtractor requires a mesh")
+        if cfg.quant is not None:
+            raise ValueError("sequence parallelism requires quant=None")
+        assert facet in ("query", "key", "value", "token"), facet
+        self.cfg, self.params = cfg, params
+        self.layer, self.facet = layer, facet
+        self.use_cls, self.norm_descs = use_cls, norm_descs
+        self.mesh = mesh
+        skip = (1 if cfg.use_cls_token else 0) + cfg.num_register_tokens
+
+        @jax.jit
+        def _forward(params, imgs):
+            if imgs.dtype == jnp.uint8:
+                from anyloc_tpu.data.transforms import device_normalize
+
+                imgs = device_normalize(imgs)
+            out = sp_facet_extract(
+                cfg, params, imgs, mesh, layer, facet,
+                data_axis=data_axis, sp_axis=sp_axis,
+            )
+            if use_cls:
+                if cfg.num_register_tokens:
+                    out = jnp.concatenate([out[:, :1], out[:, skip:]], axis=1)
+            else:
+                out = out[:, skip:]
+            out = out.astype(jnp.float32)
+            if norm_descs:
+                from anyloc_tpu.ops.common import l2_normalize
+
+                out = l2_normalize(out, axis=-1)
+            return out
+
+        self._forward = _forward
+
+    def __call__(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        return self._forward(self.params, imgs)

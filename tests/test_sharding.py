@@ -439,3 +439,39 @@ def test_expert_parallel_out_of_range_routes_dropped():
     k = np.asarray(kept)
     assert not k[3] and not k[7] and k.sum() == 14
     assert np.abs(np.asarray(v)[[3, 7]]).max() == 0.0
+
+
+def test_sp_extractor_matches_single_device(rng):
+    """SPFacetExtractor (engine-compatible interface) == ViTFacetExtractor,
+    float32 and uint8 transfer modes."""
+    import jax.numpy as jnp
+
+    from anyloc_tpu.models.extractor import ViTFacetExtractor, init_params
+    from anyloc_tpu.models.vit import ViTConfig
+    from anyloc_tpu.parallel.mesh import get_mesh
+    from anyloc_tpu.parallel.sp import SPFacetExtractor
+
+    cfg = ViTConfig(img_size=56, patch_size=14, embed_dim=96, depth=4,
+                    num_heads=4, mlp_type="swiglu_fused",
+                    layerscale_init=1e-5, dtype=jnp.float32)
+    params = init_params(cfg, seed=0)
+    mesh = get_mesh(n_data=2, n_model=4)
+    ref = ViTFacetExtractor(cfg, params, 3, "value")
+    sp = SPFacetExtractor(cfg, params, 3, "value", mesh)
+    img = jnp.asarray(rng.standard_normal((4, 56, 56, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(sp(img)), np.asarray(ref(img)),
+                               atol=2e-5)
+    u8 = jnp.asarray(
+        (rng.random((4, 56, 56, 3)) * 255).astype(np.uint8))
+    np.testing.assert_allclose(np.asarray(sp(u8)), np.asarray(ref(u8)),
+                               atol=2e-5)
+
+    import dataclasses
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SPFacetExtractor(cfg, params, 3, "value", None)
+    qcfg = dataclasses.replace(cfg, quant="int8")
+    with _pytest.raises(ValueError):
+        SPFacetExtractor(qcfg, params, 3, "value", mesh)
