@@ -21,16 +21,17 @@ def main():
 
     import jax
 
-    if len(jax.devices()) == 1 and not args.no_virtual:
-        # single-device rig: pin a virtual CPU mesh (env vars alone can be
-        # overridden by site hooks, and XLA_FLAGS only parses at first
-        # backend init — same self-heal as __graft_entry__.dryrun_multichip)
-        from jax.extend.backend import clear_backends
-
-        clear_backends()
+    if not args.no_virtual:
+        # default to a virtual CPU mesh WITHOUT probing the real backend
+        # first: jax.devices() blocks indefinitely when a remote-device
+        # tunnel is down, and a demo should not hang on that. Pin
+        # programmatically (env vars alone can be overridden by site
+        # hooks) — same self-heal as __graft_entry__.dryrun_multichip.
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.devices)
         print(f"virtual {args.devices}-device CPU mesh")
+    elif len(jax.devices()) < 2:
+        raise SystemExit("--no-virtual needs a real multi-device backend")
     import jax.random as jr
 
     from anyloc_tpu.parallel import (
@@ -55,6 +56,39 @@ def main():
     self_match = float(np.mean(scores[:, 0] >= scores[:, 1]))
     print(f"retrieval: top-10 over 50k sharded db; "
           f"exact self-match rate {np.mean(idx[:, 0] >= 0):.2f}")
+
+    # expert parallelism: domain vocabularies sharded over a 2-D mesh,
+    # images routed to their domain's chip (parallel/ep.py)
+    import jax.numpy as jnp
+
+    from anyloc_tpu.parallel import ep_vlad_aggregate, route_by_domain
+
+    mesh2 = get_mesh(n_model=2)
+    n_dom = 4
+    experts = jnp.asarray(
+        rng.standard_normal((n_dom, 32, 256)), jnp.float32)
+    patch = jnp.asarray(
+        rng.standard_normal((len(jax.devices()) * 2, 49, 256)), jnp.float32)
+    domains = jnp.asarray(rng.standard_normal((n_dom, 256)), jnp.float32)
+    route = route_by_domain(patch, domains)
+    vlads, kept = ep_vlad_aggregate(patch, route, experts, mesh2,
+                                    capacity_factor=float(n_dom))
+    print(f"expert-parallel VLAD: {vlads.shape} "
+          f"(routed over {n_dom} domain vocabularies, kept={int(kept.sum())})")
+
+    # sequence parallelism: ring-attention facet extraction (parallel/sp.py)
+    from anyloc_tpu.models.extractor import init_params
+    from anyloc_tpu.models.vit import ViTConfig
+    from anyloc_tpu.parallel import SPFacetExtractor
+
+    cfg = ViTConfig(img_size=56, patch_size=14, embed_dim=96, depth=4,
+                    num_heads=4, dtype=jnp.float32)
+    sp = SPFacetExtractor(cfg, init_params(cfg, seed=0), 3, "value", mesh2)
+    facets = sp(jnp.asarray(
+        rng.standard_normal((mesh2.shape["data"] * 2, 56, 56, 3)),
+        jnp.float32))
+    print(f"sequence-parallel facets: {facets.shape} "
+          f"(tokens ring-sharded over {mesh2.shape['model']} chips)")
 
 
 if __name__ == "__main__":
