@@ -199,3 +199,35 @@ def _ivf_search(cells, buckets, bucket_ids, overflow, overflow_ids, qu,
 
     tops, ids = jax.lax.map(block, qu.reshape(n_blocks, qb, d))
     return tops.reshape(-1, k)[:nq], ids.reshape(-1, k)[:nq]
+
+
+def save_ivf(index: IVFIndex, path: str) -> None:
+    """Persist a fitted index as one .npz (array-native, no pickles — the
+    repo's cache convention; reference FAISS users write_index)."""
+    import numpy as np
+
+    np.savez(
+        path,
+        cells=np.asarray(index.cells),
+        buckets=np.asarray(index.buckets),
+        bucket_ids=np.asarray(index.bucket_ids),
+        overflow=np.asarray(index.overflow),
+        overflow_ids=np.asarray(index.overflow_ids),
+        method=np.asarray(index.method),
+        n_rows=np.asarray(index.n_rows),
+    )
+
+
+def load_ivf(path: str) -> IVFIndex:
+    import numpy as np
+
+    z = np.load(path, allow_pickle=False)
+    return IVFIndex(
+        cells=jnp.asarray(z["cells"]),
+        buckets=jnp.asarray(z["buckets"]),
+        bucket_ids=jnp.asarray(z["bucket_ids"]),
+        overflow=jnp.asarray(z["overflow"]),
+        overflow_ids=jnp.asarray(z["overflow_ids"]),
+        method=str(z["method"]),
+        n_rows=int(z["n_rows"]),
+    )

@@ -229,3 +229,18 @@ class TestIVF:
         with pytest.raises(ValueError):
             get_top_k_recall([1], db, qu, [np.array([0])] * 3,
                              engine="ivf", score_dtype="bfloat16")
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        from anyloc_tpu.ops.ivf import ivf_fit, load_ivf, save_ivf
+
+        db = rng.standard_normal((100, 8)).astype(np.float32)
+        index = ivf_fit(db, 8, seed=0)
+        p = str(tmp_path / "index.npz")
+        save_ivf(index, p)
+        back = load_ivf(p)
+        qu = db[:5]
+        s1, i1 = index.search(qu, 3)
+        s2, i2 = back.search(qu, 3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+        assert back.method == index.method and back.n_rows == 100
