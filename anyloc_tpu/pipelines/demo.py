@@ -32,7 +32,14 @@ def main(argv=None) -> int:
     p.add_argument("--in-dir", required=True, help="directory of images")
     p.add_argument("--out-dir", default=None, help="output dir (default: in-dir)")
     p.add_argument("--domain", default="indoor",
-                   choices=["aerial", "indoor", "urban"])
+                   choices=["aerial", "indoor", "urban", "auto"],
+                   help="'auto' routes each image to the GeM-nearest domain "
+                        "among every cached vocabulary (the HF space's "
+                        "domain projector made automatic, "
+                        "hf_imgs_vlad_clusters.py:257-356); centroids come "
+                        "from <vocab-root>/gem_centroids.npz when present "
+                        "(build_gem_centroids), else each domain's mean "
+                        "VLAD center")
     p.add_argument("--cache-dir", default="./cache")
     p.add_argument("--model", default="dinov2_vitg14")
     p.add_argument("--layer", type=int, default=31)
@@ -54,11 +61,37 @@ def main(argv=None) -> int:
     from anyloc_tpu.models.extractor import DinoV2ExtractFeatures
     from anyloc_tpu.ops.vlad import VLAD
 
-    vdir = vocab_dir(args.cache_dir, args.model, args.layer, args.facet,
-                     args.num_clusters, args.domain)
-    vlad = VLAD(args.num_clusters, cache_dir=vdir)
-    vlad.fit(None)  # load-only (raises if no cached vocabulary)
-    print(f"Loaded vocabulary: {vdir}")
+    if args.domain == "auto":
+        root = os.path.dirname(vocab_dir(
+            args.cache_dir, args.model, args.layer, args.facet,
+            args.num_clusters, "x"))
+        domains = sorted(
+            d for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if glob.glob(os.path.join(root, d, "c_centers.*"))
+        )
+        if not domains:
+            raise FileNotFoundError(f"no cached domain vocabularies in {root}")
+        vlads = {}
+        for d in domains:
+            v = VLAD(args.num_clusters, cache_dir=os.path.join(root, d))
+            v.fit(None)
+            vlads[d] = v
+        cents_path = os.path.join(root, "gem_centroids.npz")
+        if os.path.exists(cents_path):
+            z = np.load(cents_path)
+            centroids = np.stack([z[d] for d in domains])
+            src = cents_path
+        else:
+            centroids = np.stack(
+                [np.asarray(v.c_centers).mean(0) for v in vlads.values()])
+            src = "mean VLAD centers (no gem_centroids.npz)"
+        print(f"auto-domain over {domains}; centroids: {src}")
+    else:
+        vdir = vocab_dir(args.cache_dir, args.model, args.layer, args.facet,
+                         args.num_clusters, args.domain)
+        vlad = VLAD(args.num_clusters, cache_dir=vdir)
+        vlad.fit(None)  # load-only (raises if no cached vocabulary)
+        print(f"Loaded vocabulary: {vdir}")
 
     extractor = DinoV2ExtractFeatures(
         args.model, args.layer, args.facet, checkpoint=args.checkpoint,
@@ -78,16 +111,54 @@ def main(argv=None) -> int:
         arr = preprocess_image(img, max_edge=args.max_img_size,
                                crop_multiple=14)
         descs = extractor(jnp.asarray(arr[None]))
+        picked = ""
+        if args.domain == "auto":
+            from anyloc_tpu.parallel.ep import route_by_domain
+
+            d = domains[int(route_by_domain(descs, jnp.asarray(centroids))[0])]
+            use_vlad = vlads[d]
+            picked = f" [{d}]"
+        else:
+            use_vlad = vlad
         # aggregate on device — at demo resolution the patch tensor is
         # ~33 MB/image (5.3k tokens x 1536 f32); only the 49152-dim global
         # descriptor crosses the link
-        gd = np.asarray(vlad.aggregate(descs)[0])
+        gd = np.asarray(use_vlad.aggregate(descs)[0])
         out = os.path.join(
             out_dir, os.path.splitext(os.path.basename(path))[0] + ".npy"
         )
         np.save(out, gd)
-        print(f"{os.path.basename(path)} -> {out} ({gd.shape[0]}-dim)")
+        print(f"{os.path.basename(path)} -> {out} ({gd.shape[0]}-dim){picked}")
     return 0
+
+
+
+def build_gem_centroids(extractor, domain_images, out_path: str,
+                        max_edge: int = 448) -> dict:
+    """Build ``gem_centroids.npz`` for ``--domain auto``: per domain, the
+    mean GeM descriptor over representative (database/map) images — the
+    functional analogue of the HF space's cached per-dataset GeM projections
+    (hf_imgs_vlad_clusters.py:257-356).
+
+    ``domain_images``: {domain: [image paths]}. Returns {domain: [D]}.
+    """
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from anyloc_tpu.data.transforms import preprocess_image
+    from anyloc_tpu.ops.gem import gem_pool
+
+    cents = {}
+    for domain, paths in domain_images.items():
+        gems = []
+        for path in paths:
+            arr = preprocess_image(Image.open(path).convert("RGB"),
+                                   max_edge=max_edge, crop_multiple=14)
+            descs = extractor(jnp.asarray(arr[None]))
+            gems.append(np.asarray(gem_pool(descs, use_abs=True))[0])
+        cents[domain] = np.mean(gems, axis=0)
+    np.savez(out_path, **cents)
+    return cents
 
 
 if __name__ == "__main__":

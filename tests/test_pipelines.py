@@ -234,3 +234,65 @@ def test_vlad_cache_key_tracks_vocabulary(gardens_root, tmp_path, engine):
     assert not np.allclose(g1, g2)  # second call must NOT serve v1's cache
     g1_again = np.asarray(e.extract_vlads_dataset(ds, v1, "db", verbose=False))
     np.testing.assert_allclose(g1_again, g1, atol=1e-6)  # cache hit correct
+
+
+def test_demo_cli_auto_domain(tmp_path):
+    """--domain auto: per-image GeM routing across every cached domain
+    vocabulary (the HF-space domain projector made automatic), with
+    gem_centroids.npz when present and the mean-VLAD-center fallback."""
+    from PIL import Image
+
+    from anyloc_tpu.models.extractor import ViTFacetExtractor, init_params
+    from anyloc_tpu.models.vit import ViTConfig
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines.demo import (
+        build_gem_centroids, main as demo_main, vocab_dir,
+    )
+
+    rng = np.random.default_rng(3)
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            (rng.random((70, 84, 3)) * 255).astype(np.uint8)
+        ).save(in_dir / f"p{i}.jpg", quality=95)
+
+    for dom, seed in (("indoor", 0), ("urban", 1)):
+        vdir = vocab_dir(str(tmp_path / "cache"), "dinov2_vits14", 5,
+                         "value", 4, dom)
+        VLAD(4, cache_dir=vdir).fit(
+            rng.standard_normal((150, 384)).astype(np.float32))
+
+    args = [
+        "--in-dir", str(in_dir), "--out-dir", str(tmp_path / "out"),
+        "--cache-dir", str(tmp_path / "cache"), "--model", "dinov2_vits14",
+        "--layer", "5", "--facet", "value", "--num-clusters", "4",
+        "--max-img-size", "84", "--domain", "auto",
+    ]
+    # mean-VLAD-center fallback route
+    assert demo_main(args) == 0
+    assert sorted(p.name for p in (tmp_path / "out").iterdir()) == [
+        "p0.npy", "p1.npy"]
+
+    # gem_centroids.npz route (built by the faithful helper)
+    import jax.numpy as jnp
+
+    cfg = ViTConfig(img_size=70, patch_size=14, embed_dim=32, depth=6,
+                    num_heads=2, mlp_type="mlp", layerscale_init=1e-5,
+                    dtype=jnp.float32)
+    ex = ViTFacetExtractor(cfg, init_params(cfg, seed=1), 5, "value")
+    import os
+
+    root = os.path.dirname(vocab_dir(
+        str(tmp_path / "cache"), "dinov2_vits14", 5, "value", 4, "x"))
+    cents = build_gem_centroids(
+        ex, {"indoor": [str(in_dir / "p0.jpg")],
+             "urban": [str(in_dir / "p1.jpg")]},
+        os.path.join(root, "gem_centroids.npz"))
+    assert set(cents) == {"indoor", "urban"}
+    # centroid dim must match the DEMO model's facet dim for routing; the
+    # tiny test trunk differs, so rebuild with matching dim
+    np.savez(os.path.join(root, "gem_centroids.npz"),
+             indoor=rng.standard_normal(384).astype(np.float32),
+             urban=rng.standard_normal(384).astype(np.float32))
+    assert demo_main(args) == 0
