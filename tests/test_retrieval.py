@@ -244,3 +244,26 @@ class TestIVF:
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
         assert back.method == index.method and back.n_rows == 100
+
+
+def test_blocked_engine_memmap_db(rng, tmp_path):
+    """engine='blocked' with an np.memmap database: the streaming search
+    reads shard slices straight off disk (no full-db RAM materialization) —
+    the beyond-RAM composition the engine's docstring promises."""
+    from anyloc_tpu.ops.retrieval import get_top_k_recall, top_k_search
+
+    import jax.numpy as jnp
+
+    db = rng.standard_normal((500, 16)).astype(np.float32)
+    path = tmp_path / "db.npy"
+    np.save(path, db)
+    mm = np.load(path, mmap_mode="r")
+    assert isinstance(mm, np.memmap)
+    qu = db[::50] + 0.01 * rng.standard_normal((10, 16)).astype(np.float32)
+    gt = [np.array([i * 50]) for i in range(10)]
+    d_b, i_b, r_b = get_top_k_recall([1, 5], mm, qu, gt, engine="blocked")
+    _, i_ex = top_k_search(jnp.asarray(
+        db / np.linalg.norm(db, axis=-1, keepdims=True)),
+        jnp.asarray(qu / np.linalg.norm(qu, axis=-1, keepdims=True)), 5)
+    np.testing.assert_array_equal(i_b, np.asarray(i_ex))
+    assert r_b[1] == 1.0
