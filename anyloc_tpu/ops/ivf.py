@@ -101,6 +101,8 @@ def ivf_fit(
     """
     from anyloc_tpu.ops.kmeans import kmeans_fit
 
+    if method not in ("cosine", "l2"):
+        raise ValueError(f"method must be 'cosine' or 'l2', got {method!r}")
     db = np.asarray(db, np.float32)
     n, d = db.shape
     if n_cells is None:
