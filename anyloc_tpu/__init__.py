@@ -60,7 +60,7 @@ def _enable_persistent_compile_cache() -> None:
 _enable_persistent_compile_cache()
 
 from anyloc_tpu.ops.vlad import VLAD, vlad_aggregate
-from anyloc_tpu.ops.kmeans import KMeans, kmeans_fit
+from anyloc_tpu.ops.kmeans import KMeans, kmeans_fit, kmeans_fit_streamed
 from anyloc_tpu.ops.retrieval import get_top_k_recall, top_k_search
 from anyloc_tpu.ops.gem import gem_pool
 from anyloc_tpu.ops.pooling import global_avg_pool, global_max_pool
@@ -72,6 +72,7 @@ __all__ = [
     "vlad_aggregate",
     "KMeans",
     "kmeans_fit",
+    "kmeans_fit_streamed",
     "get_top_k_recall",
     "top_k_search",
     "gem_pool",

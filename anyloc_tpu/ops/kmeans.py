@@ -121,3 +121,62 @@ class KMeans:
     def fit_predict(self, descs) -> jnp.ndarray:
         self.fit(descs)
         return self.predict(descs)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "mode"))
+def _shard_stats(shard, centers, n_clusters: int, mode: str):
+    """Per-shard Lloyd statistics: (sums [C, D], counts [C])."""
+    labels = assign_labels(shard, centers, mode)
+    onehot = jax.nn.one_hot(labels, n_clusters, dtype=jnp.float32)
+    sums = jnp.dot(onehot.T, shard.astype(jnp.float32),
+                   preferred_element_type=jnp.float32, precision=EXACT)
+    return sums, jnp.sum(onehot, axis=0)
+
+
+def kmeans_fit_streamed(
+    key: jax.Array,
+    descs,
+    n_clusters: int,
+    mode: str = "cosine",
+    max_iters: int = 100,
+    shard_rows: int = 100_000,
+) -> Tuple[jnp.ndarray, np.ndarray]:
+    """Lloyd iterations over a descriptor set BEYOND device memory.
+
+    The fit-side sibling of the blocked retrieval engine: ``descs`` stays on
+    host (any array-like incl. ``np.memmap``) and streams through the device
+    in ``shard_rows`` slices per iteration; only the [C, D] sums / [C]
+    counts accumulate on device. Same init (k distinct sampled rows, the
+    given key) and update rule (mean, empty clusters keep their center) as
+    ``kmeans_fit`` — on data that fits, the two agree to float-sum
+    reordering. Global-vocabulary builds (multi-dataset patch sets that can
+    exceed HBM at ViT-G dims) are the target.
+
+    Returns (centers [C, D] on device, labels [N] on host).
+    """
+    n, _ = descs.shape
+    init_idx = np.asarray(
+        jax.random.choice(key, n, shape=(n_clusters,), replace=False))
+    centers = jnp.asarray(
+        np.ascontiguousarray(descs[init_idx]), jnp.float32)
+
+    def shards():
+        for lo in range(0, n, shard_rows):
+            yield jnp.asarray(np.ascontiguousarray(
+                descs[lo: lo + shard_rows]), jnp.float32)
+
+    for _ in range(max_iters):
+        sums = jnp.zeros((n_clusters, centers.shape[1]), jnp.float32)
+        counts = jnp.zeros((n_clusters,), jnp.float32)
+        for shard in shards():
+            s, c = _shard_stats(shard, centers, n_clusters, mode)
+            sums = sums + s
+            counts = counts + c
+        new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+        centers = jnp.where(counts[:, None] > 0, new_centers, centers)
+
+    labels = np.concatenate([
+        np.asarray(assign_labels(shard, centers, mode))
+        for shard in shards()
+    ]) if n else np.zeros((0,), np.int32)
+    return centers, labels

@@ -62,3 +62,32 @@ def test_kmeans_empty_cluster_stability(rng):
     x = np.repeat(rng.standard_normal((3, 8)).astype(np.float32), 20, axis=0)
     centers, labels = kmeans_fit(jax.random.PRNGKey(0), x, 8, max_iters=10)
     assert np.all(np.isfinite(np.asarray(centers)))
+
+
+def test_kmeans_streamed_matches_in_memory(rng, tmp_path):
+    """kmeans_fit_streamed (beyond-HBM Lloyd, host-resident descriptors)
+    == kmeans_fit on data that fits: same init, same trajectory up to
+    float-sum reordering — identical centers/labels on separated blobs.
+    Also composes with np.memmap input."""
+    import jax
+    import jax.numpy as jnp
+
+    from anyloc_tpu.ops.kmeans import kmeans_fit, kmeans_fit_streamed
+
+    blobs = np.concatenate([
+        rng.standard_normal((120, 16)).astype(np.float32) * 0.05 + mu
+        for mu in (np.eye(16)[i] * 4 for i in range(4))
+    ])
+    rng.shuffle(blobs)
+    key = jax.random.PRNGKey(7)
+    for mode in ("cosine", "euclidean"):
+        c_ref, l_ref = kmeans_fit(key, jnp.asarray(blobs), 4, mode=mode,
+                                  max_iters=10)
+        path = tmp_path / f"descs_{mode}.npy"
+        np.save(path, blobs)
+        mm = np.load(path, mmap_mode="r")
+        c_st, l_st = kmeans_fit_streamed(key, mm, 4, mode=mode,
+                                         max_iters=10, shard_rows=70)
+        np.testing.assert_allclose(np.asarray(c_st), np.asarray(c_ref),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(l_st, np.asarray(l_ref))
