@@ -203,13 +203,17 @@ def _ivf_search(cells, buckets, bucket_ids, overflow, overflow_ids, qu,
     return tops.reshape(-1, k)[:nq], ids.reshape(-1, k)[:nq]
 
 
+def _npz_path(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_ivf(index: IVFIndex, path: str) -> None:
     """Persist a fitted index as one .npz (array-native, no pickles — the
-    repo's cache convention; reference FAISS users write_index)."""
-    import numpy as np
-
+    repo's cache convention; reference FAISS users write_index). The
+    ``.npz`` suffix is added if missing (np.savez appends it anyway;
+    load_ivf normalizes the same way so a suffix-less path round-trips)."""
     np.savez(
-        path,
+        _npz_path(path),
         cells=np.asarray(index.cells),
         buckets=np.asarray(index.buckets),
         bucket_ids=np.asarray(index.bucket_ids),
@@ -221,9 +225,7 @@ def save_ivf(index: IVFIndex, path: str) -> None:
 
 
 def load_ivf(path: str) -> IVFIndex:
-    import numpy as np
-
-    z = np.load(path, allow_pickle=False)
+    z = np.load(_npz_path(path), allow_pickle=False)
     return IVFIndex(
         cells=jnp.asarray(z["cells"]),
         buckets=jnp.asarray(z["buckets"]),

@@ -50,17 +50,18 @@ def assign_labels(descs: jnp.ndarray, centers: jnp.ndarray, mode: str = "cosine"
     return jnp.argmax(_similarity(descs, centers, mode), axis=-1)
 
 
+def _update_centers(sums, counts, centers):
+    """Mean update; empty clusters keep their previous center (fpk
+    re-samples; keeping the old center is deterministic and equivalent for
+    our convergence criterion). Shared by the in-memory and streamed fits."""
+    new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+    return jnp.where(counts[:, None] > 0, new_centers, centers)
+
+
 def _lloyd_step(descs, centers, mode):
     """One Lloyd iteration. Returns (new_centers, shift)."""
-    n_clusters = centers.shape[0]
-    labels = assign_labels(descs, centers, mode)
-    onehot = jax.nn.one_hot(labels, n_clusters, dtype=descs.dtype)  # [N, C]
-    sums = jnp.dot(onehot.T, descs, preferred_element_type=jnp.float32, precision=EXACT)  # [C, D]
-    counts = jnp.sum(onehot, axis=0)  # [C]
-    new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
-    # Empty clusters keep their previous center (fpk re-samples; keeping the old
-    # center is deterministic and equivalent for our convergence criterion).
-    new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
+    sums, counts = _shard_stats(descs, centers, centers.shape[0], mode)
+    new_centers = _update_centers(sums, counts, centers)
     shift = jnp.max(jnp.linalg.norm(new_centers - centers, axis=-1))
     return new_centers, shift
 
@@ -172,8 +173,7 @@ def kmeans_fit_streamed(
             s, c = _shard_stats(shard, centers, n_clusters, mode)
             sums = sums + s
             counts = counts + c
-        new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
-        centers = jnp.where(counts[:, None] > 0, new_centers, centers)
+        centers = _update_centers(sums, counts, centers)
 
     labels = np.concatenate([
         np.asarray(assign_labels(shard, centers, mode))

@@ -36,10 +36,9 @@ def main(argv=None) -> int:
                    help="'auto' routes each image to the GeM-nearest domain "
                         "among every cached vocabulary (the HF space's "
                         "domain projector made automatic, "
-                        "hf_imgs_vlad_clusters.py:257-356); centroids come "
-                        "from <vocab-root>/gem_centroids.npz when present "
-                        "(build_gem_centroids), else each domain's mean "
-                        "VLAD center")
+                        "hf_imgs_vlad_clusters.py:257-356); requires "
+                        "<vocab-root>/gem_centroids.npz (build it once with "
+                        "pipelines.demo.build_gem_centroids)")
     p.add_argument("--cache-dir", default="./cache")
     p.add_argument("--model", default="dinov2_vitg14")
     p.add_argument("--layer", type=int, default=31)
@@ -77,15 +76,28 @@ def main(argv=None) -> int:
             v.fit(None)
             vlads[d] = v
         cents_path = os.path.join(root, "gem_centroids.npz")
-        if os.path.exists(cents_path):
-            z = np.load(cents_path)
-            centroids = np.stack([z[d] for d in domains])
-            src = cents_path
-        else:
-            centroids = np.stack(
-                [np.asarray(v.c_centers).mean(0) for v in vlads.values()])
-            src = "mean VLAD centers (no gem_centroids.npz)"
-        print(f"auto-domain over {domains}; centroids: {src}")
+        if not os.path.exists(cents_path):
+            # routing compares GeM image descriptors; VLAD centers live in a
+            # different statistic (signed, near-zero-mean) — there is no
+            # honest fallback, so require the real centroid file
+            raise FileNotFoundError(
+                f"--domain auto needs {cents_path}; build it once from "
+                "representative map images with "
+                "anyloc_tpu.pipelines.demo.build_gem_centroids")
+        z = np.load(cents_path)
+        stale = [d for d in domains if d not in z.files]
+        if stale:
+            raise KeyError(
+                f"gem_centroids.npz has no centroid for cached domain(s) "
+                f"{stale}; rebuild it with build_gem_centroids")
+        centroids = np.stack([z[d] for d in domains])
+        dim = next(iter(vlads.values())).desc_dim
+        if dim is not None and centroids.shape[1] != dim:
+            raise ValueError(
+                f"gem_centroids dim {centroids.shape[1]} != the "
+                f"vocabulary's descriptor dim {dim} — built with a "
+                "different trunk?")
+        print(f"auto-domain over {domains}; centroids: {cents_path}")
     else:
         vdir = vocab_dir(args.cache_dir, args.model, args.layer, args.facet,
                          args.num_clusters, args.domain)

@@ -1,7 +1,11 @@
-"""Multi-chip example: sharded vocabulary k-means + database-sharded
-retrieval over a device mesh. Runs on a real pod; on a single-device
-machine it builds itself an 8-device virtual CPU mesh (pass --devices N
-to change the count, --no-virtual to stay on the real device layout).
+"""Multi-chip example: sharded vocabulary k-means, database-sharded
+retrieval, expert-parallel routed VLAD and sequence-parallel extraction
+over a device mesh.
+
+Defaults to a VIRTUAL 8-device CPU mesh (--devices N changes the count) so
+the demo runs anywhere without probing a possibly-unreachable accelerator
+(jax.devices() blocks when a remote-device tunnel is down). On a real pod,
+pass ``--no-virtual`` to run on the actual device layout.
 """
 
 import argparse

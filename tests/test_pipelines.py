@@ -269,10 +269,9 @@ def test_demo_cli_auto_domain(tmp_path):
         "--layer", "5", "--facet", "value", "--num-clusters", "4",
         "--max-img-size", "84", "--domain", "auto",
     ]
-    # mean-VLAD-center fallback route
-    assert demo_main(args) == 0
-    assert sorted(p.name for p in (tmp_path / "out").iterdir()) == [
-        "p0.npy", "p1.npy"]
+    # auto requires gem_centroids.npz (VLAD centers are not GeM-comparable)
+    with pytest.raises(FileNotFoundError):
+        demo_main(args)
 
     # gem_centroids.npz route (built by the faithful helper)
     import jax.numpy as jnp
@@ -292,7 +291,17 @@ def test_demo_cli_auto_domain(tmp_path):
     assert set(cents) == {"indoor", "urban"}
     # centroid dim must match the DEMO model's facet dim for routing; the
     # tiny test trunk differs, so rebuild with matching dim
+    # wrong-dim centroids fail fast with a clear message
+    with pytest.raises(ValueError):
+        demo_main(args)
     np.savez(os.path.join(root, "gem_centroids.npz"),
              indoor=rng.standard_normal(384).astype(np.float32),
              urban=rng.standard_normal(384).astype(np.float32))
     assert demo_main(args) == 0
+    assert sorted(p.name for p in (tmp_path / "out").iterdir()) == [
+        "p0.npy", "p1.npy"]
+    # stale centroid file (missing a cached domain) fails fast too
+    np.savez(os.path.join(root, "gem_centroids.npz"),
+             indoor=rng.standard_normal(384).astype(np.float32))
+    with pytest.raises(KeyError):
+        demo_main(args)
