@@ -388,3 +388,46 @@ def test_swinv2_offsize_input_parity(rng):
         expect = tm(torch.from_numpy(img)).last_hidden_state.numpy()
     out = SwinV2(cfg).apply(params, _nhwc(img))
     np.testing.assert_allclose(np.asarray(out["tokens"]), expect, atol=1e-4)
+
+
+def test_swinv2_nonsquare_input_parity(rng):
+    """Non-square inputs: runtime window padding + odd-dimension patch
+    merging must match HF (24x40 through a 32-px config: 6x10 grid, odd
+    merge to 3x5, stage-1 padding to the window)."""
+    from anyloc_tpu.models.swin import SwinV2, SwinConfig, convert_hf_swinv2
+
+    torch.manual_seed(9)
+    hcfg = transformers.Swinv2Config(
+        image_size=32, patch_size=4, embed_dim=16, depths=[2, 2],
+        num_heads=[2, 4], window_size=4)
+    tm = transformers.Swinv2Model(hcfg, add_pooling_layer=False).eval()
+    cfg = SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+                     num_heads=(2, 4), window_size=4)
+    params = convert_hf_swinv2(tm.state_dict(), cfg)
+    img = rng.standard_normal((2, 3, 24, 40)).astype(np.float32)
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(img)).last_hidden_state.numpy()
+    out = SwinV2(cfg).apply(params, _nhwc(img))
+    np.testing.assert_allclose(np.asarray(out["tokens"]), expect, atol=1e-4)
+
+
+def test_efficientnet_odd_input_parity(rng):
+    """Odd spatial size exercises the TF asymmetric stride-2 pads."""
+    from anyloc_tpu.models.efficientnet import (
+        EfficientNet, EfficientNetConfig, convert_hf_efficientnet,
+    )
+
+    torch.manual_seed(10)
+    cfg = EfficientNetConfig(width_coefficient=1.0, depth_coefficient=1.0,
+                             **_EN_STAGES)
+    hcfg = transformers.EfficientNetConfig(
+        width_coefficient=1.0, depth_coefficient=1.0, hidden_dim=1280,
+        **{k: list(v) for k, v in _EN_STAGES.items()})
+    tm = transformers.EfficientNetModel(hcfg).eval()
+    params = convert_hf_efficientnet(tm.state_dict(), cfg)
+    img = rng.standard_normal((1, 3, 57, 45)).astype(np.float32)
+    with torch.no_grad():
+        expect = tm(torch.from_numpy(img)).last_hidden_state.numpy()
+    got = np.asarray(
+        EfficientNet(cfg).apply(params, _nhwc(img))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, expect, atol=2e-4)
