@@ -189,6 +189,23 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_radar(args) -> int:
+    """paper_utils/radar_chart.py surface: the paper's published per-domain
+    R@1 aggregates (viz.PAPER_RADAR_R1), optionally merged with the user's
+    own method rows from a JSON file {"name": [8 values]}."""
+    from anyloc_tpu.viz import PAPER_RADAR_R1, radar_chart
+
+    data = dict(PAPER_RADAR_R1)
+    if args.extra:
+        import json
+
+        with open(args.extra) as f:
+            data.update(json.load(f))
+    out = radar_chart(data, output_path=args.out)
+    print(out)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -228,9 +245,14 @@ def main(argv=None) -> int:
     d.add_argument("--model", default="dinov2_vitg14")
     d.add_argument("--layer", type=int, default=31)
     d.add_argument("--facet", default="value")
+    ra = sub.add_parser("radar", help="paper radar chart "
+                        "(published per-domain R@1 aggregates)")
+    ra.add_argument("--out", default="radar_chart.png")
+    ra.add_argument("--extra", default=None,
+                    help="JSON of extra method rows {name: [8 R@1 values]}")
     args = p.parse_args(argv)
     return {"clusters": cmd_clusters, "domain": cmd_domain,
-            "report": cmd_report}[args.cmd](args)
+            "report": cmd_report, "radar": cmd_radar}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -125,3 +125,17 @@ def test_stage_timer_and_flops(rng):
     f = flops_of(lambda a: a @ a, x)
     if f is not None:
         assert f >= 2 * 64 * 64 * 64 * 0.5  # within 2x of the exact count
+
+
+def test_viz_cli_radar(tmp_path):
+    """radar subcommand (paper_utils/radar_chart.py surface) with an extra
+    user method row."""
+    import json
+
+    from anyloc_tpu.pipelines.viz_cli import main
+
+    extra = tmp_path / "mine.json"
+    extra.write_text(json.dumps({"Ours": [80, 95, 88, 65, 78, 36, 78, 69]}))
+    out = tmp_path / "radar.png"
+    rc = main(["radar", "--out", str(out), "--extra", str(extra)])
+    assert rc == 0 and out.exists() and out.stat().st_size > 0
