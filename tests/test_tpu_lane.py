@@ -278,3 +278,21 @@ def test_fused_block_int8_on_tpu(data):
         num_heads=h, ln1=ln, ln2=ln,
     )
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+@requires_tpu
+def test_ivf_engine_on_tpu(data):
+    """IVF probed search (shortlist gathers + batched matmuls) on the real
+    chip: full probe must equal the exact device engine."""
+    import numpy as np
+
+    from anyloc_tpu.ops.ivf import ivf_fit
+    from anyloc_tpu.ops.retrieval import top_k_search
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((2048, 128)).astype(np.float32)
+    qu = db[::128] + 0.01 * rng.standard_normal((16, 128)).astype(np.float32)
+    index = ivf_fit(db, 16, seed=1)
+    s_ivf, i_ivf = index.search(qu, 5, n_probe=16, query_block=16)
+    _, i_ex = top_k_search(jnp.asarray(db), jnp.asarray(qu), 5)
+    np.testing.assert_array_equal(np.asarray(i_ivf), np.asarray(i_ex))
