@@ -29,6 +29,9 @@ def main():
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--engines", nargs="*",
                    default=["device", "blocked"])
+    p.add_argument("--n-cells", type=int, default=None,
+                   help="ivf engine: coarse cells (default ~sqrt(N))")
+    p.add_argument("--n-probe", type=int, default=16)
     p.add_argument("--stream-dtype", default="float32",
                    choices=["float32", "bfloat16", "int8"],
                    help="blocked-engine streaming dtype (bandwidth knob)")
@@ -78,6 +81,27 @@ def main():
                                     stream_dtype=args.stream_dtype)
         dt = time.perf_counter() - t0
         results[f"blocked_{args.stream_dtype}"] = args.n_qu / dt
+    if "ivf" in args.engines:
+        from anyloc_tpu.ops.ivf import ivf_fit
+
+        index = ivf_fit(db, args.n_cells, bucket_factor=2.0)
+        iters = 10
+
+        def ivf_once(pert):
+            s, i = index.search(qu + pert, args.k, n_probe=args.n_probe,
+                                query_block=min(256, args.n_qu))
+            return float(jnp.sum(s[:, 0]))
+
+        ivf_once(0.0)  # compile + warm
+        best = 0.0
+        for r in range(3):
+            t0 = time.perf_counter()
+            acc = 0.0
+            for it in range(iters):
+                acc += ivf_once((r * iters + it) * 1e-6)
+            dt = time.perf_counter() - t0
+            best = max(best, args.n_qu * iters / dt)
+        results[f"ivf_p{args.n_probe}"] = best
     if "native" in args.engines:
         from anyloc_tpu import native
 
