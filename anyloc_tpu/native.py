@@ -53,6 +53,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.recall_at_k.argtypes = [i64p, i64, i64, i64p, i64p, i64p, i64, i64,
                                 i64, i64p]
     lib.recall_at_k.restype = None
+    lib.ivf_search_mt.argtypes = [f32p, i64, i64, f32p, i64, i64p, i64p,
+                                  f32p, i64, i64, i64, ctypes.c_int,
+                                  f32p, i64p, ctypes.c_int]
+    lib.ivf_search_mt.restype = None
     _lib = lib
     return _lib
 
@@ -205,6 +209,64 @@ def nn_search(
     idx = np.empty((qu.shape[0], k), np.int64)
     lib.nn_search_mt(db, db.shape[0], db.shape[1], qu, qu.shape[0], k,
                      0 if method == "cosine" else 1, scores, idx, n_threads)
+    return scores, idx
+
+
+def ivf_build(db: np.ndarray, n_cells: Optional[int] = None,
+              n_iters: int = 20, seed: int = 0,
+              method: str = "cosine") -> Tuple[np.ndarray, np.ndarray]:
+    """Host IVF build: vectorized numpy Lloyd (BLAS matmuls) -> (cells
+    [n_cells, d], CSR (indptr [n_cells+1], rows [n_db])). The inverted-file
+    structure FAISS IndexIVFFlat uses, for the host search path."""
+    db = np.ascontiguousarray(db, np.float32)
+    n, d = db.shape
+    if n_cells is None:
+        n_cells = max(1, int(np.sqrt(n)))
+    n_cells = min(n_cells, n)
+    rng = np.random.default_rng(seed)
+    pts = db
+    if method == "cosine":
+        pts = db / np.maximum(np.linalg.norm(db, axis=1, keepdims=True), 1e-12)
+    cells = pts[rng.choice(n, n_cells, replace=False)].copy()
+    for _ in range(n_iters):
+        if method == "cosine":
+            cn = cells / np.maximum(
+                np.linalg.norm(cells, axis=1, keepdims=True), 1e-12)
+            labels = np.argmax(pts @ cn.T, axis=1)
+        else:
+            d2 = -2.0 * (pts @ cells.T) + np.sum(cells ** 2, 1)[None]
+            labels = np.argmin(d2, axis=1)
+        counts = np.bincount(labels, minlength=n_cells).astype(np.float64)
+        sums = np.zeros((n_cells, d), np.float64)
+        np.add.at(sums, labels, pts)
+        nz = counts > 0
+        cells[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+    order = np.argsort(labels, kind="stable").astype(np.int64)
+    indptr = np.zeros(n_cells + 1, np.int64)
+    np.cumsum(np.bincount(labels, minlength=n_cells), out=indptr[1:])
+    return cells, (indptr, order)
+
+
+def ivf_search(
+    db: np.ndarray, qu: np.ndarray, k: int, cells: np.ndarray,
+    csr: Tuple[np.ndarray, np.ndarray], n_probe: int = 8,
+    method: str = "cosine", n_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host IVF probed search (native, threaded). Conventions match
+    nn_search; full probe (n_probe >= n_cells) equals exact search."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native nnsearch unavailable (no g++?)")
+    db = np.ascontiguousarray(db, np.float32)
+    qu = np.ascontiguousarray(qu, np.float32)
+    cells = np.ascontiguousarray(cells, np.float32)
+    indptr, rows = (np.ascontiguousarray(a, np.int64) for a in csr)
+    k = min(k, db.shape[0])
+    scores = np.empty((qu.shape[0], k), np.float32)
+    idx = np.empty((qu.shape[0], k), np.int64)
+    lib.ivf_search_mt(db, db.shape[0], db.shape[1], cells, cells.shape[0],
+                      indptr, rows, qu, qu.shape[0], k, n_probe,
+                      0 if method == "cosine" else 1, scores, idx, n_threads)
     return scores, idx
 
 

@@ -183,4 +183,118 @@ void recall_at_k(const int64_t* retrieved, int64_t n_qu, int64_t max_k,
     }
 }
 
+// IVF probed search — the host counterpart of FAISS IndexIVFFlat (and of
+// the device engine in anyloc_tpu/ops/ivf.py). The inverted file is a CSR
+// posting list (cell_indptr [n_cells+1], cell_rows: db row ids ordered by
+// cell); for each query the top n_probe cells by centroid score are scanned
+// exactly with the same bounded heap as nn_search. Queries split across
+// threads; output is thread-count-invariant.
+void ivf_search_mt(const float* db, int64_t n_db, int64_t d,
+                   const float* cells, int64_t n_cells,
+                   const int64_t* cell_indptr, const int64_t* cell_rows,
+                   const float* qu, int64_t n_qu, int64_t k, int64_t n_probe,
+                   int metric, float* out_scores, int64_t* out_idx,
+                   int n_threads) {
+    if (n_probe > n_cells) n_probe = n_cells;
+    std::vector<float> cell_norms, db_norms;
+    if (metric == 1) {
+        cell_norms.resize(n_cells);
+        for (int64_t c = 0; c < n_cells; ++c) {
+            const float* row = cells + c * d;
+            float s = 0.f;
+            for (int64_t j = 0; j < d; ++j) s += row[j] * row[j];
+            cell_norms[c] = s;
+        }
+        db_norms.resize(n_db);
+        for (int64_t i = 0; i < n_db; ++i) {
+            const float* row = db + i * d;
+            float s = 0.f;
+            for (int64_t j = 0; j < d; ++j) s += row[j] * row[j];
+            db_norms[i] = s;
+        }
+    }
+    auto worker = [&](int64_t q_begin, int64_t q_end) {
+        std::vector<HeapEntryMax> cell_heap;
+        std::vector<HeapEntryMax> heap;
+        for (int64_t q = q_begin; q < q_end; ++q) {
+            const float* qrow = qu + q * d;
+            // 1) score centroids, keep top n_probe (bounded heap)
+            cell_heap.clear();
+            for (int64_t c = 0; c < n_cells; ++c) {
+                const float* crow = cells + c * d;
+                float dot = 0.f;
+                for (int64_t j = 0; j < d; ++j) dot += qrow[j] * crow[j];
+                const float s = (metric == 0) ? dot
+                                              : (2.f * dot - cell_norms[c]);
+                if ((int64_t)cell_heap.size() < n_probe) {
+                    cell_heap.push_back({s, c});
+                    std::push_heap(cell_heap.begin(), cell_heap.end());
+                } else if (s > cell_heap.front().score) {
+                    std::pop_heap(cell_heap.begin(), cell_heap.end());
+                    cell_heap.back() = {s, c};
+                    std::push_heap(cell_heap.begin(), cell_heap.end());
+                }
+            }
+            // 2) exact scan of the probed cells' posting lists
+            heap.clear();
+            for (const auto& ce : cell_heap) {
+                const int64_t c = ce.idx;
+                for (int64_t p = cell_indptr[c]; p < cell_indptr[c + 1]; ++p) {
+                    const int64_t i = cell_rows[p];
+                    const float* row = db + i * d;
+                    float dot = 0.f;
+                    for (int64_t j = 0; j < d; ++j) dot += qrow[j] * row[j];
+                    const float s = (metric == 0) ? dot
+                                                  : (2.f * dot - db_norms[i]);
+                    if ((int64_t)heap.size() < k) {
+                        heap.push_back({s, i});
+                        std::push_heap(heap.begin(), heap.end());
+                    } else if (s > heap.front().score) {
+                        std::pop_heap(heap.begin(), heap.end());
+                        heap.back() = {s, i};
+                        std::push_heap(heap.begin(), heap.end());
+                    }
+                }
+            }
+            std::sort(heap.begin(), heap.end(),
+                      [](const HeapEntryMax& a, const HeapEntryMax& b) {
+                          if (a.score != b.score) return a.score > b.score;
+                          return a.idx < b.idx;  // FAISS tie-break
+                      });
+            float qnorm = 0.f;
+            if (metric == 1)
+                for (int64_t j = 0; j < d; ++j) qnorm += qrow[j] * qrow[j];
+            for (int64_t r = 0; r < k; ++r) {
+                if (r < (int64_t)heap.size()) {
+                    out_scores[q * k + r] =
+                        (metric == 0) ? heap[r].score
+                                      : (qnorm - heap[r].score);
+                    out_idx[q * k + r] = heap[r].idx;
+                } else {  // fewer candidates than k
+                    out_scores[q * k + r] =
+                        (metric == 0) ? -HUGE_VALF : HUGE_VALF;
+                    out_idx[q * k + r] = -1;
+                }
+            }
+        }
+    };
+    if (n_threads <= 0) {
+        n_threads = (int)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 1;
+    }
+    if (n_threads > n_qu) n_threads = (int)(n_qu > 0 ? n_qu : 1);
+    if (n_threads <= 1) {
+        worker(0, n_qu);
+        return;
+    }
+    std::vector<std::thread> workers;
+    const int64_t per = (n_qu + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t q0 = t * per, q1 = std::min<int64_t>(n_qu, q0 + per);
+        if (q0 >= q1) break;
+        workers.emplace_back(worker, q0, q1);
+    }
+    for (auto& w : workers) w.join();
+}
+
 }  // extern "C"

@@ -63,3 +63,32 @@ def test_native_in_retrieval_path(rng):
     _, idx, recalls = get_top_k_recall([1, 5], db, qu, gt, engine="native")
     assert recalls[1] == 1.0
     np.testing.assert_array_equal(idx[:, 0], np.arange(5))
+
+
+def test_native_ivf_search(rng):
+    """Host IVF (FAISS IndexIVFFlat counterpart, native/nnsearch.cpp):
+    full probe == exact nn_search (both metrics, CSR posting lists);
+    thread-count-invariant; k > candidates pads with -1."""
+    from anyloc_tpu import native
+
+    if not native.available():
+        pytest.skip("no native lib")
+    db = rng.standard_normal((1200, 24)).astype(np.float32)
+    qu = db[::60] + 0.01 * rng.standard_normal((20, 24)).astype(np.float32)
+    for method in ("cosine", "l2"):
+        cells, csr = native.ivf_build(db, 16, method=method, seed=1)
+        assert csr[0][-1] == 1200 and np.sort(csr[1]).tolist() == list(range(1200))
+        s_full, i_full = native.ivf_search(db, qu, 5, cells, csr,
+                                           n_probe=16, method=method)
+        s_ex, i_ex = native.nn_search(db, qu, 5, method=method)
+        np.testing.assert_array_equal(i_full, i_ex)
+        np.testing.assert_allclose(s_full, s_ex, atol=1e-5)
+        # thread-count invariance
+        s1, i1 = native.ivf_search(db, qu, 5, cells, csr, n_probe=4,
+                                   method=method, n_threads=1)
+        s4, i4 = native.ivf_search(db, qu, 5, cells, csr, n_probe=4,
+                                   method=method, n_threads=4)
+        np.testing.assert_array_equal(i1, i4)
+    # shortlist smaller than k: -1 padding
+    _, ipad = native.ivf_search(db, qu, 1000, cells, csr, n_probe=1)
+    assert (ipad == -1).any()
