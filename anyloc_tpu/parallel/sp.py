@@ -132,6 +132,8 @@ def sp_facet_extract(
     """
     if facet not in ("query", "key", "value", "token"):
         raise ValueError(f"sp route supports q/k/v/token, got {facet}")
+    if not 0 <= layer < cfg.depth:
+        raise ValueError(f"layer {layer} out of range [0, {cfg.depth})")
     if cfg.quant is not None:
         raise ValueError(
             "sequence parallelism uses the unfused block path; run with "
