@@ -11,6 +11,7 @@ LocalArgs + main()) with subcommands over the shared PipelineArgs config:
   clip-top-k          CLIP global-descriptor retrieval
   patch-clip          CLIP crops -> VLAD
   demo                demo/anyloc_vlad_generate.py equivalent
+  serve               HTTP daemon: /describe + /search over a loaded vocab/db
   viz                 cluster-assignment overlays + GeM t-SNE domain projector
   train               dvgl-style triplet training (trained baselines)
   eval                checkpoint / off-the-shelf model evaluation
@@ -58,6 +59,10 @@ def main(argv=None):
         from anyloc_tpu.pipelines.viz_cli import main as viz_main
 
         return viz_main(rest)
+    if cmd == "serve":
+        from anyloc_tpu.pipelines.serve_http import main as serve_main
+
+        return serve_main(rest)
     if cmd == "train":
         from anyloc_tpu.training.train_cli import main as train_main
 

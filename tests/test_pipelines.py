@@ -305,3 +305,73 @@ def test_demo_cli_auto_domain(tmp_path):
              indoor=rng.standard_normal(384).astype(np.float32))
     with pytest.raises(KeyError):
         demo_main(args)
+
+
+def test_serve_http_e2e(tmp_path):
+    """HTTP daemon (pipelines/serve_http.py): /health, /describe, /search
+    end-to-end over a cached vocabulary + tiny database."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines import serve_http
+
+    rng = np.random.default_rng(7)
+    vdir = tmp_path / "vocab"
+    VLAD(4, cache_dir=str(vdir)).fit(
+        rng.standard_normal((120, 384)).astype(np.float32))
+    db = rng.standard_normal((20, 4 * 384)).astype(np.float32)
+    np.save(tmp_path / "db.npy", db)
+
+    import argparse
+
+    args = argparse.Namespace(
+        model="dinov2_vits14", layer=5, facet="value", num_clusters=4,
+        vocab_dir=str(vdir), checkpoint=None, quant=None, max_img_size=84,
+        db=str(tmp_path / "db.npy"), ivf=False, n_probe=4,
+        host="127.0.0.1", port=0,
+    )
+    server = serve_http.build_server(args)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["db_rows"] == 20
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            (rng.random((70, 84, 3)) * 255).astype(np.uint8)
+        ).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/describe", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            gd = json.loads(r.read())["descriptor"]
+        assert len(gd) == 4 * 384
+        np.testing.assert_allclose(np.linalg.norm(gd), 1.0, atol=1e-4)
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search?k=3", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["ids"]) == 3 and len(out["scores"]) == 3
+
+        # errors surface as JSON 400s, the server keeps running
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/describe", data=b"not an image",
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "error" in json.loads(e.read())
+    finally:
+        server.shutdown()
