@@ -228,19 +228,31 @@ def ivf_build(db: np.ndarray, n_cells: Optional[int] = None,
     if method == "cosine":
         pts = db / np.maximum(np.linalg.norm(db, axis=1, keepdims=True), 1e-12)
     cells = pts[rng.choice(n, n_cells, replace=False)].copy()
-    for _ in range(n_iters):
+
+    def assign(c):
         if method == "cosine":
-            cn = cells / np.maximum(
-                np.linalg.norm(cells, axis=1, keepdims=True), 1e-12)
-            labels = np.argmax(pts @ cn.T, axis=1)
-        else:
-            d2 = -2.0 * (pts @ cells.T) + np.sum(cells ** 2, 1)[None]
-            labels = np.argmin(d2, axis=1)
+            cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True),
+                                1e-12)
+            return np.argmax(pts @ cn.T, axis=1)
+        d2 = -2.0 * (pts @ c.T) + np.sum(c ** 2, 1)[None]
+        return np.argmin(d2, axis=1)
+
+    for _ in range(n_iters):
+        labels = assign(cells)
         counts = np.bincount(labels, minlength=n_cells).astype(np.float64)
         sums = np.zeros((n_cells, d), np.float64)
         np.add.at(sums, labels, pts)
         nz = counts > 0
         cells[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+    # final assignment with the FINAL centroids (a stale assignment would
+    # place rows in cells the search-time probe never ranks first)
+    labels = assign(cells)
+    if method == "cosine":
+        # unit-norm centroids: ivf_search_mt probes by raw q.c; normalizing
+        # makes that ranking equal the assignment geometry argmax q^.c^
+        cells = (cells / np.maximum(
+            np.linalg.norm(cells, axis=1, keepdims=True), 1e-12)
+        ).astype(np.float32)
     order = np.argsort(labels, kind="stable").astype(np.int64)
     indptr = np.zeros(n_cells + 1, np.int64)
     np.cumsum(np.bincount(labels, minlength=n_cells), out=indptr[1:])

@@ -116,6 +116,12 @@ def ivf_fit(
         mode="cosine" if method == "cosine" else "euclidean",
         max_iters=max_iters,
     )
+    if method == "cosine":
+        # store UNIT-NORM centroids: probing ranks cells by q^.c, and raw
+        # k-means means have varying norms that would bias the ranking away
+        # from the assignment geometry (argmax q^.c^) — rows could sit in
+        # cells the probe never ranks first
+        centers = l2_normalize(centers, axis=-1)
     labels = np.asarray(labels)
     cap = max(1, int(np.ceil(n / n_cells * bucket_factor)))
 

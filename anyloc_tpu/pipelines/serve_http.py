@@ -54,6 +54,7 @@ class _Service:
         self.vlad.fit(None)  # load-only
         self.lock = threading.Lock()  # one device user at a time
         self.db = None
+        self.db_dev = None
         self.index = None
         if args.db:
             self.db = np.load(args.db).astype(np.float32)
@@ -61,6 +62,9 @@ class _Service:
                 from anyloc_tpu.ops.ivf import ivf_fit
 
                 self.index = ivf_fit(self.db, method="cosine")
+            else:
+                # device-resident once — the daemon's point is resident state
+                self.db_dev = jnp.asarray(self.db)
 
     def describe(self, image_bytes: bytes) -> np.ndarray:
         from PIL import Image
@@ -75,9 +79,9 @@ class _Service:
             return np.asarray(self.vlad.aggregate(descs)[0])
 
     def search(self, image_bytes: bytes, k: int):
-        gd = self.describe(image_bytes)
-        if self.db is None:
+        if self.db is None:  # check BEFORE paying a trunk forward
             raise ValueError("no database loaded (--db)")
+        gd = self.describe(image_bytes)
         with self.lock:
             if self.index is not None:
                 s, i = self.index.search(gd[None], k,
@@ -86,7 +90,7 @@ class _Service:
                 from anyloc_tpu.ops.retrieval import top_k_search
 
                 s, i = top_k_search(
-                    self.jnp.asarray(self.db), self.jnp.asarray(gd[None]),
+                    self.db_dev, self.jnp.asarray(gd[None]),
                     min(k, self.db.shape[0]))
         return np.asarray(s)[0], np.asarray(i)[0]
 
@@ -119,9 +123,14 @@ def make_handler(svc: _Service):
             else:
                 self._reply(404, {"error": "unknown path"})
 
+        MAX_BODY = 64 * 1024 * 1024  # one image; a daemon must not OOM
+
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > self.MAX_BODY:
+                    self._reply(413, {"error": f"body too large ({n} bytes)"})
+                    return
                 data = self.rfile.read(n)
                 path, _, query = self.path.partition("?")
                 if path == "/describe":

@@ -86,9 +86,14 @@ def main():
 
         index = ivf_fit(db, args.n_cells, bucket_factor=2.0)
         iters = 10
+        quj = jnp.asarray(qu)  # device-resident, like the device engine
 
         def ivf_once(pert):
-            s, i = index.search(qu + pert, args.k, n_probe=args.n_probe,
+            # perturbation happens ON DEVICE (no host add / re-upload);
+            # unlike the device engine's in-jit fori_loop this still pays
+            # one dispatch+sync per iteration — ivf numbers are a mild
+            # UNDERestimate relative to that harness
+            s, i = index.search(quj + pert, args.k, n_probe=args.n_probe,
                                 query_block=min(256, args.n_qu))
             return float(jnp.sum(s[:, 0]))
 
