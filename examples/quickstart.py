@@ -22,7 +22,15 @@ def main():
     p.add_argument("--model", default="dinov2_vits14")
     p.add_argument("--layer", type=int, default=11)
     p.add_argument("--clusters", type=int, default=32)
+    p.add_argument("--cpu", action="store_true",
+                   help="pin the CPU backend (e.g. when the TPU tunnel is "
+                        "unreachable — jax.devices() blocks on a dead one)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from anyloc_tpu.config import PipelineArgs
     from anyloc_tpu.pipelines import run_vlad_pipeline
