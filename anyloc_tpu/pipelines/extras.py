@@ -8,11 +8,15 @@
     (scripts/dino_vlad_contrastive_train.py:344-381) with its InfoNCE-ish
     loss;
   * joint PCA projection across datasets (scripts/joint_pca_project.py) and
-    recall-over-PCA-dim sweeps (scripts/pca_downsample_experiment.py).
+    recall-over-PCA-dim sweeps (scripts/pca_downsample_experiment.py);
+  * the repo-root examples/ scripts: image-level CLIP VPR with sequence
+    clustering (examples/trivial_vpr_with_clip.py) and residual-enhanced
+    retrieval (examples/vpr_residuals.py).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -228,3 +232,122 @@ def lseg_vlad(
         list(top_k_vals), db_vlads, qu_vlads, soft_positives,
         sub_sample_db=sub_sample_db, sub_sample_qu=sub_sample_qu,
     )
+# ---------------------------------------------------------------------------
+# examples/ scripts (reference repo root)
+# ---------------------------------------------------------------------------
+
+def sequence_clusters(
+    descs: np.ndarray,
+    n_clusters: int = 10,
+    use_pca: bool = False,
+    n_components: int = 256,
+    seed: int = 0,
+) -> np.ndarray:
+    """Cosine k-means clustering of per-image global descriptors
+    (examples/trivial_vpr_with_clip.py:94-121): optional PCA reduction,
+    then fpk-style cosine k-means; returns the per-image cluster labels
+    used to bucket a sequence into per-cluster folders."""
+    from anyloc_tpu.ops.kmeans import kmeans_fit
+
+    x = jnp.asarray(np.asarray(descs, np.float32))
+    if use_pca:
+        rank = min(n_components, *x.shape)
+        mean, comps, scale = pca_fit(x, rank)
+        x = pca_transform(x, mean, comps, scale)
+    _, labels = kmeans_fit(jax.random.PRNGKey(seed), x, n_clusters, mode="cosine")
+    return np.asarray(labels)
+
+
+def group_images_by_cluster(
+    imgfiles: Sequence[str], labels: np.ndarray, save_dir: str
+) -> Dict[int, List[str]]:
+    """Bucket a natsorted image sequence into per-cluster directories
+    (examples/trivial_vpr_with_clip.py:118-131, minus the cv2 re-encode:
+    files are copied byte-identical). Returns {cluster: [dst paths]}."""
+    import shutil
+
+    labels = np.asarray(labels)
+    if len(imgfiles) != len(labels):
+        raise ValueError(f"{len(imgfiles)} images vs {len(labels)} labels")
+    out: Dict[int, List[str]] = {}
+    for k in sorted(set(int(l) for l in labels)):
+        os.makedirs(os.path.join(save_dir, str(k)), exist_ok=True)
+    for f, l in zip(imgfiles, labels):
+        dst = os.path.join(save_dir, str(int(l)), os.path.basename(f))
+        shutil.copyfile(f, dst)
+        out.setdefault(int(l), []).append(dst)
+    return out
+
+
+def trivial_clip_vpr(
+    imgfiles: Sequence[str],
+    encode_fn,
+    stride: int = 1,
+    feat_dir: Optional[str] = None,
+    n_clusters: int = 10,
+    use_pca: bool = False,
+    n_components: int = 256,
+    save_dir: Optional[str] = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Image-level CLIP VPR over a directory sequence
+    (examples/trivial_vpr_with_clip.py end to end): stride-subsample the
+    (natsorted) file list, encode each image to one L2-normalized global
+    descriptor via ``encode_fn(path) -> [1, D]`` (e.g. a ClipWrapper image
+    encode), optionally cache features as per-image ``.npy`` files, then
+    cosine-k-means-cluster the sequence (optionally after PCA) and bucket
+    the images into per-cluster folders. Returns (descs [N, D], labels [N])."""
+    files = list(imgfiles)[::stride]
+    descs = []
+    for f in files:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        cached = (
+            os.path.join(feat_dir, stem + ".npy") if feat_dir is not None else None
+        )
+        if cached is not None and os.path.exists(cached):
+            v = np.load(cached)
+        else:
+            v = np.asarray(encode_fn(f), np.float32).reshape(1, -1)
+            v = v / max(float(np.linalg.norm(v)), 1e-12)
+            if cached is not None:
+                os.makedirs(feat_dir, exist_ok=True)
+                np.save(cached, v)
+        descs.append(v)
+    descs = np.concatenate(descs, axis=0)
+    labels = sequence_clusters(
+        descs, n_clusters=n_clusters, use_pca=use_pca,
+        n_components=n_components, seed=seed,
+    )
+    if save_dir is not None:
+        group_images_by_cluster(files, labels, save_dir)
+    return descs, labels
+
+
+def residual_vpr(
+    db_descs: np.ndarray,
+    qu_descs: np.ndarray,
+    soft_positives,
+    cluster_sizes: Sequence[int] = (4, 8, 16, 32, 64),
+    top_k: Sequence[int] = (1, 5, 10, 15, 20),
+    seed: int = 0,
+) -> Dict[int, Dict[int, float]]:
+    """Residual-enhanced retrieval sweep (examples/vpr_residuals.py end to
+    end): L2-normalize the global descriptors (load_descriptors :24-27),
+    fit cosine k-means on the DATABASE side per cluster count (:95-97),
+    expand both sides with the residual-concat descriptor
+    (get_enhanced_residual_vector :31-48 == ops.pca.concat_desc_dists_clusters,
+    utilities.py:590-619), inner-product top-k, any-hit accuracy (:60-78 —
+    identically Recall@K). Returns {n_clusters: {k: recall}}."""
+    from anyloc_tpu.ops.kmeans import kmeans_fit
+    from anyloc_tpu.ops.pca import concat_desc_dists_clusters
+
+    db = l2_normalize(jnp.asarray(np.asarray(db_descs, np.float32)), axis=-1)
+    qu = l2_normalize(jnp.asarray(np.asarray(qu_descs, np.float32)), axis=-1)
+    out: Dict[int, Dict[int, float]] = {}
+    for c in cluster_sizes:
+        centers, _ = kmeans_fit(jax.random.PRNGKey(seed), db, c, mode="cosine")
+        edb = np.asarray(concat_desc_dists_clusters(centers, db))
+        eq = np.asarray(concat_desc_dists_clusters(centers, qu))
+        _, _, recalls = get_top_k_recall(list(top_k), edb, eq, soft_positives)
+        out[int(c)] = recalls
+    return out

@@ -188,3 +188,105 @@ def test_extract_multilayer_single_pass(rng):
         single = ViTFacetExtractor(cfg, params, layer=layer, facet="value")(img)
         np.testing.assert_allclose(np.asarray(multi[layer]),
                                    np.asarray(single), atol=1e-6)
+# --- appended to tests/test_extras.py ---
+
+
+class TestExamplesScripts:
+    """examples/trivial_vpr_with_clip.py + examples/vpr_residuals.py routes."""
+
+    def _mk_imgs(self, tmp_path, n=8):
+        from PIL import Image
+
+        files = []
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            p = tmp_path / f"img_{i:03d}.jpg"
+            Image.fromarray(
+                rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+            ).save(p)
+            files.append(str(p))
+        return files
+
+    def test_trivial_clip_vpr_clusters_and_buckets(self, tmp_path):
+        from anyloc_tpu.pipelines.extras import trivial_clip_vpr
+
+        files = self._mk_imgs(tmp_path, n=8)
+        rng = np.random.default_rng(1)
+        # two well-separated descriptor groups -> clustering must split them
+        base = rng.normal(size=(2, 16)).astype(np.float32) * 10
+
+        def encode(path):
+            i = int(path.split("_")[-1].split(".")[0])
+            return base[i % 2] + rng.normal(size=16).astype(np.float32) * 0.01
+
+        feat_dir = str(tmp_path / "feats")
+        save_dir = str(tmp_path / "buckets")
+        descs, labels = trivial_clip_vpr(
+            files, encode, feat_dir=feat_dir, n_clusters=2, save_dir=save_dir
+        )
+        assert descs.shape == (8, 16)
+        # descriptors are L2-normalized like the reference (:83)
+        np.testing.assert_allclose(np.linalg.norm(descs, axis=1), 1.0, atol=1e-5)
+        # the two synthetic groups land in distinct clusters
+        assert len(set(labels[::2])) == 1 and len(set(labels[1::2])) == 1
+        assert labels[0] != labels[1]
+        # feature cache written and bucketed copies exist
+        assert len(list((tmp_path / "feats").glob("*.npy"))) == 8
+        bucketed = sorted((tmp_path / "buckets").rglob("*.jpg"))
+        assert len(bucketed) == 8
+        # cache round-trip: rerun with a crashing encoder (must hit cache)
+        def boom(path):  # pragma: no cover - must not be called
+            raise AssertionError("cache miss")
+
+        descs2, _ = trivial_clip_vpr(
+            files, boom, feat_dir=feat_dir, n_clusters=2
+        )
+        np.testing.assert_allclose(descs2, descs, atol=0)
+
+    def test_trivial_clip_vpr_stride_and_pca(self, tmp_path):
+        from anyloc_tpu.pipelines.extras import trivial_clip_vpr
+
+        files = self._mk_imgs(tmp_path, n=8)
+        rng = np.random.default_rng(2)
+
+        def encode(path):
+            return rng.normal(size=32).astype(np.float32)
+
+        descs, labels = trivial_clip_vpr(
+            files, encode, stride=2, n_clusters=2, use_pca=True, n_components=3
+        )
+        assert descs.shape == (4, 32) and labels.shape == (4,)
+
+    def test_residual_vpr_recovers_matches(self):
+        from anyloc_tpu.pipelines.extras import residual_vpr
+
+        rng = np.random.default_rng(3)
+        db = rng.normal(size=(20, 24)).astype(np.float32)
+        qu = db[:10] + rng.normal(size=(10, 24)).astype(np.float32) * 0.01
+        gt = [[i] for i in range(10)]
+        out = residual_vpr(db, qu, gt, cluster_sizes=(2, 4), top_k=(1, 5))
+        assert set(out) == {2, 4}
+        for c in out:
+            assert out[c][1] == 1.0  # near-duplicates must retrieve @1
+            assert out[c][5] >= out[c][1]
+
+    def test_residual_vpr_matches_torch_oracle(self):
+        """The enhanced vector equals the reference's
+        get_enhanced_residual_vector (examples/vpr_residuals.py:31-48)."""
+        import torch
+
+        from anyloc_tpu.ops.pca import concat_desc_dists_clusters
+
+        rng = np.random.default_rng(4)
+        descs = rng.normal(size=(6, 8)).astype(np.float32)
+        cents = rng.normal(size=(3, 8)).astype(np.float32)
+
+        td, tc = torch.from_numpy(descs), torch.from_numpy(cents)
+        res = torch.zeros(6, 8 * 3)
+        for c in range(3):
+            cur = td - tc[c]
+            res[:, c * 8 : (c + 1) * 8] = torch.nn.functional.normalize(cur, p=2.0)
+        res = torch.nn.functional.normalize(res, p=2.0, dim=-1)
+
+        ours = np.asarray(concat_desc_dists_clusters(cents, descs))
+        np.testing.assert_allclose(ours, res.numpy(), atol=1e-5)

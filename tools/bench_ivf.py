@@ -7,9 +7,13 @@ consumed via a dependent scalar; iters >= 20 amortize the tunnel RPC).
 """
 
 import argparse
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main():
