@@ -251,8 +251,11 @@ def sequence_clusters(
 
     x = jnp.asarray(np.asarray(descs, np.float32))
     if use_pca:
-        rank = min(n_components, *x.shape)
-        mean, comps, scale = pca_fit(x, rank)
+        # No silent clamping: pca_fit raises when n_components exceeds
+        # min(n_samples, n_features), matching sklearn / the reference —
+        # a requested 256-dim projection must not silently become 8-dim
+        # on a short sequence.
+        mean, comps, scale = pca_fit(x, n_components)
         x = pca_transform(x, mean, comps, scale)
     _, labels = kmeans_fit(jax.random.PRNGKey(seed), x, n_clusters, mode="cosine")
     return np.asarray(labels)
@@ -279,6 +282,16 @@ def group_images_by_cluster(
     return out
 
 
+def _natural_key(path: str):
+    """natsort-style key: split the basename into (text, int) runs so
+    ``img_2`` sorts before ``img_10`` (the reference natsorts the glob
+    before striding, examples/trivial_vpr_with_clip.py)."""
+    import re
+
+    name = os.path.basename(path)
+    return [int(t) if t.isdigit() else t.lower() for t in re.split(r"(\d+)", name)]
+
+
 def trivial_clip_vpr(
     imgfiles: Sequence[str],
     encode_fn,
@@ -289,30 +302,50 @@ def trivial_clip_vpr(
     n_components: int = 256,
     save_dir: Optional[str] = None,
     seed: int = 0,
+    cache_tag: str = "",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Image-level CLIP VPR over a directory sequence
-    (examples/trivial_vpr_with_clip.py end to end): stride-subsample the
-    (natsorted) file list, encode each image to one L2-normalized global
-    descriptor via ``encode_fn(path) -> [1, D]`` (e.g. a ClipWrapper image
-    encode), optionally cache features as per-image ``.npy`` files, then
+    (examples/trivial_vpr_with_clip.py end to end): natural-sort the file
+    list (the reference natsorts the glob), stride-subsample it, encode
+    each image to one L2-normalized global descriptor via
+    ``encode_fn(path) -> [1, D]`` (e.g. a ClipWrapper image encode),
+    optionally cache features as per-image ``.npy`` files, then
     cosine-k-means-cluster the sequence (optionally after PCA) and bucket
-    the images into per-cluster folders. Returns (descs [N, D], labels [N])."""
-    files = list(imgfiles)[::stride]
+    the images into per-cluster folders. Returns (descs [N, D], labels [N]).
+
+    Cache staleness: cache files are keyed by image basename stem plus
+    ``cache_tag`` and are never invalidated (the reference clears its
+    feat_dir before extraction instead). When switching encoders, or when
+    two image directories share basename stems, pass a distinct
+    ``cache_tag`` (e.g. the encoder name) or a fresh ``feat_dir`` —
+    otherwise stale vectors are silently reused. A cached vector whose
+    dimension disagrees with the other vectors of the run is re-encoded."""
+    files = sorted(imgfiles, key=_natural_key)[::stride]
     descs = []
+    seen_dim: Optional[int] = None
+    tag = f".{cache_tag}" if cache_tag else ""
     for f in files:
         stem = os.path.splitext(os.path.basename(f))[0]
         cached = (
-            os.path.join(feat_dir, stem + ".npy") if feat_dir is not None else None
+            os.path.join(feat_dir, stem + tag + ".npy")
+            if feat_dir is not None
+            else None
         )
         if cached is not None and os.path.exists(cached):
             v = np.load(cached)
+            if seen_dim is not None and v.size != seen_dim:
+                v = None  # stale cache (dim mismatch) -> re-encode below
         else:
+            v = None
+        if v is None:
             v = np.asarray(encode_fn(f), np.float32).reshape(1, -1)
             v = v / max(float(np.linalg.norm(v)), 1e-12)
             if cached is not None:
                 os.makedirs(feat_dir, exist_ok=True)
                 np.save(cached, v)
-        descs.append(v)
+        if seen_dim is None:
+            seen_dim = v.size
+        descs.append(v.reshape(1, -1))
     descs = np.concatenate(descs, axis=0)
     labels = sequence_clusters(
         descs, n_clusters=n_clusters, use_pca=use_pca,
