@@ -77,8 +77,18 @@ def convert_dinov2(sd: Dict, cfg: ViTConfig) -> Dict:
         p["norm"] = ln_params(sd, "norm")
     for i in range(cfg.depth):
         pre = f"blocks.{i}"
-        if f"{pre}.norm1.weight" not in sd and f"blocks.0.{i}.norm1.weight" in sd:
-            pre = f"blocks.0.{i}"  # chunked giant checkpoints nest one level
+        if f"{pre}.norm1.weight" not in sd:
+            # chunked checkpoints (dinov2 block_chunks>0) nest one level:
+            # blocks.{chunk}.{i} where i stays the GLOBAL block index (the
+            # BlockChunk pads leading slots with parameter-free Identity)
+            for chunk in range(cfg.depth):
+                cand = f"blocks.{chunk}.{i}"
+                if f"{cand}.norm1.weight" in sd:
+                    pre = cand
+                    break
+            else:
+                raise KeyError(f"block {i}: no 'blocks.{i}.*' or chunked "
+                               f"'blocks.<c>.{i}.*' keys in state dict")
         qkv = dense_params(sd, f"{pre}.attn.qkv")
         if cfg.tp_split:
             # split the fused [D, 3D] matrix into the three shardable towers
