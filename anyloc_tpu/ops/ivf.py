@@ -57,12 +57,17 @@ class IVFIndex:
         return self.cells.shape[0]
 
     def search(self, qu, k: int, n_probe: int = 8,
-               query_block: int = 64):
+               query_block: int = 64, max_workset_mb: int = 1024):
         """(scores [Q, k], indices [Q, k]) over the original row ids.
 
         ``query_block`` bounds the materialized shortlist
         ([qb, n_probe*cap, D] per step — the IVF working set); queries are
-        processed in jitted blocks via lax.map.
+        processed in jitted blocks via lax.map. The block is additionally
+        auto-clamped so that shortlist gather stays under
+        ``max_workset_mb`` — with a skewed database ``cap`` can be large
+        (bucket_factor x mean cell size), and qb * n_probe * cap * D * 4
+        bytes otherwise scales past HBM (256 queries x 16 probes x
+        cap 1954 x 512d = 16 GB, a measured OOM on v5e).
 
         ``k`` is clamped to the database size and to each query's shortlist
         (n_probe * cap + overflow) — asking for more than the probes can
@@ -71,12 +76,15 @@ class IVFIndex:
         n_probe = min(n_probe, self.n_cells)
         qu = jnp.asarray(qu, jnp.float32)
         cap = self.buckets.shape[1]
+        d = self.buckets.shape[2]
         shortlist = n_probe * cap + int(self.overflow.shape[0])
         k = max(1, min(k, self.n_rows or shortlist, shortlist))
         if qu.shape[0] == 0:
             return (jnp.zeros((0, k), jnp.float32),
                     jnp.zeros((0, k), jnp.int32))
-        qb = min(query_block, qu.shape[0])
+        row_bytes = n_probe * cap * d * 4
+        qb_budget = max(1, (max_workset_mb << 20) // max(1, row_bytes))
+        qb = min(query_block, qu.shape[0], qb_budget)
         return _ivf_search(
             self.cells, self.buckets, self.bucket_ids,
             self.overflow, self.overflow_ids,

@@ -18,9 +18,17 @@ Run:
 
 The first request pays the jit compile (persistent-cached across restarts);
 shapes are bucketed by the demo preprocessing (center-crop to the patch
-grid), so repeat resolutions hit the compiled program. Requests are served
-sequentially (batch-1) — front a load balancer and scale with dp
-(parallel/) for fleet throughput.
+grid), so repeat resolutions hit the compiled program.
+
+Concurrent requests COALESCE into one device batch: handler threads
+preprocess + enqueue, a single dispatcher thread drains same-shape groups
+(up to --max-batch, padded to a power-of-two bucket so compile count stays
+bounded) and runs one trunk forward + VLAD for the whole group — the trunk
+is ~10x more efficient at batch 16-32 than batch 1, so under load the
+daemon rides the engine's batched operating point instead of serializing
+batch-1 dispatches (measured: docs/SERVING.md). ``GET /stats`` reports the
+realized mean batch size. Scale across chips with dp (parallel/) behind a
+load balancer.
 """
 
 from __future__ import annotations
@@ -29,10 +37,121 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+
+class _Request:
+    """One in-flight request parked on the batch queue."""
+
+    __slots__ = ("arr", "kind", "k", "event", "result", "error")
+
+    def __init__(self, arr, kind: str, k: int = 0) -> None:
+        self.arr = arr          # preprocessed [H, W, 3] f32
+        self.kind = kind        # "describe" | "search"
+        self.k = k
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[Exception] = None
+
+
+class _Batcher:
+    """Coalesces concurrent requests into single device batches.
+
+    One dispatcher thread owns ALL device work (trunk + VLAD + search):
+    it drains the queue, groups requests by preprocessed shape (XLA needs
+    static shapes; mixed resolutions batch within their own bucket), pads
+    the group to a power-of-two batch <= max_batch (bounded compile count)
+    and distributes per-request results. When the device is busy, arrivals
+    accumulate naturally; ``window_s`` additionally lets an idle dispatcher
+    linger for followers of the first request before launching.
+    """
+
+    def __init__(self, svc: "_Service", max_batch: int, window_s: float) -> None:
+        self.svc = svc
+        self.max_batch = max(1, max_batch)
+        self.window_s = max(0.0, window_s)
+        self.cv = threading.Condition()
+        self.queue: list = []
+        self.n_requests = 0
+        self.n_batches = 0
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, req: _Request) -> _Request:
+        with self.cv:
+            self.queue.append(req)
+            self.cv.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req
+
+    def _take_group(self) -> list:
+        with self.cv:
+            while not self.queue:
+                self.cv.wait()
+            shape = self.queue[0].arr.shape
+            same = lambda: [r for r in self.queue if r.arr.shape == shape]  # noqa: E731
+            if self.window_s > 0 and len(same()) < self.max_batch:
+                deadline = time.monotonic() + self.window_s
+                while len(same()) < self.max_batch:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self.cv.wait(timeout=left)
+            group = same()[: self.max_batch]
+            for r in group:
+                self.queue.remove(r)
+            self.n_requests += len(group)
+            self.n_batches += 1
+        return group
+
+    def _run(self) -> None:
+        while True:
+            group = self._take_group()
+            try:
+                self._process(group)
+            except Exception as e:  # per-request surfacing, daemon survives
+                for r in group:
+                    r.error = e
+            finally:
+                for r in group:
+                    r.event.set()
+
+    def _process(self, group: list) -> None:
+        svc = self.svc
+        n = len(group)
+        # pad to a power-of-two bucket (repeat the last image) so the trunk
+        # compiles O(log max_batch) programs per resolution, not one per n
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        batch = np.stack([r.arr for r in group]
+                         + [group[-1].arr] * (bucket - n))
+        descs = svc.extractor(svc.jnp.asarray(batch))
+        vlads = np.asarray(svc.vlad.aggregate(descs))[:n]
+        searches = [(i, r) for i, r in enumerate(group) if r.kind == "search"]
+        if searches:
+            kmax = min(max(r.k for _, r in searches), svc.db.shape[0])
+            qu = vlads[[i for i, _ in searches]]
+            if svc.index is not None:
+                s, idx = svc.index.search(qu, kmax,
+                                          n_probe=svc.args.n_probe)
+            else:
+                from anyloc_tpu.ops.retrieval import top_k_search
+
+                s, idx = top_k_search(svc.db_dev, svc.jnp.asarray(qu), kmax)
+            s, idx = np.asarray(s), np.asarray(idx)
+            for row, (i, r) in enumerate(searches):
+                kk = min(r.k, kmax)
+                r.result = (s[row, :kk], idx[row, :kk])
+        for i, r in enumerate(group):
+            if r.kind == "describe":
+                r.result = vlads[i]
 
 
 class _Service:
@@ -52,7 +171,6 @@ class _Service:
         )
         self.vlad = VLAD(args.num_clusters, cache_dir=args.vocab_dir)
         self.vlad.fit(None)  # load-only
-        self.lock = threading.Lock()  # one device user at a time
         self.db = None
         self.db_dev = None
         self.index = None
@@ -65,34 +183,36 @@ class _Service:
             else:
                 # device-resident once — the daemon's point is resident state
                 self.db_dev = jnp.asarray(self.db)
+        self.batcher = _Batcher(
+            self,
+            max_batch=getattr(args, "max_batch", 16),
+            window_s=getattr(args, "batch_window_ms", 5.0) / 1e3,
+        )
 
-    def describe(self, image_bytes: bytes) -> np.ndarray:
+    def _preprocess(self, image_bytes: bytes) -> np.ndarray:
         from PIL import Image
 
         from anyloc_tpu.data.transforms import preprocess_image
 
         img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
-        arr = preprocess_image(img, max_edge=self.args.max_img_size,
-                               crop_multiple=14)
-        with self.lock:
-            descs = self.extractor(self.jnp.asarray(arr[None]))
-            return np.asarray(self.vlad.aggregate(descs)[0])
+        if getattr(self.args, "img_size", 0):
+            # fixed serving resolution: every request lands in ONE shape
+            # bucket, so any concurrent pair can share a device batch
+            return preprocess_image(
+                img, size_hw=(self.args.img_size, self.args.img_size),
+                crop_multiple=14)
+        return preprocess_image(img, max_edge=self.args.max_img_size,
+                                crop_multiple=14)
+
+    def describe(self, image_bytes: bytes) -> np.ndarray:
+        req = _Request(self._preprocess(image_bytes), "describe")
+        return self.batcher.submit(req).result
 
     def search(self, image_bytes: bytes, k: int):
         if self.db is None:  # check BEFORE paying a trunk forward
             raise ValueError("no database loaded (--db)")
-        gd = self.describe(image_bytes)
-        with self.lock:
-            if self.index is not None:
-                s, i = self.index.search(gd[None], k,
-                                         n_probe=self.args.n_probe)
-            else:
-                from anyloc_tpu.ops.retrieval import top_k_search
-
-                s, i = top_k_search(
-                    self.db_dev, self.jnp.asarray(gd[None]),
-                    min(k, self.db.shape[0]))
-        return np.asarray(s)[0], np.asarray(i)[0]
+        req = _Request(self._preprocess(image_bytes), "search", k=k)
+        return self.batcher.submit(req).result
 
 
 def make_handler(svc: _Service):
@@ -109,7 +229,8 @@ def make_handler(svc: _Service):
             pass
 
         def do_GET(self):
-            if self.path.split("?")[0] == "/health":
+            path = self.path.split("?")[0]
+            if path == "/health":
                 self._reply(200, {
                     "status": "ok",
                     "model": svc.args.model,
@@ -119,6 +240,16 @@ def make_handler(svc: _Service):
                     "quant": svc.args.quant,
                     "db_rows": 0 if svc.db is None else int(svc.db.shape[0]),
                     "engine": "ivf" if svc.index is not None else "device",
+                    "max_batch": svc.batcher.max_batch,
+                })
+            elif path == "/stats":
+                b = svc.batcher
+                with b.cv:
+                    n_req, n_bat = b.n_requests, b.n_batches
+                self._reply(200, {
+                    "requests": n_req,
+                    "batches": n_bat,
+                    "mean_batch": (n_req / n_bat) if n_bat else 0.0,
                 })
             else:
                 self._reply(404, {"error": "unknown path"})
@@ -169,6 +300,15 @@ def main(argv=None) -> int:
     p.add_argument("--quant", default=None,
                    choices=["int8", "int8_fused", "int8_full"])
     p.add_argument("--max-img-size", type=int, default=640)
+    p.add_argument("--img-size", type=int, default=0,
+                   help="fixed square serving resolution (0 = variable, "
+                        "demo-style max-edge). Fixed puts every request in "
+                        "one shape bucket so any concurrent pair batches.")
+    p.add_argument("--max-batch", type=int, default=16,
+                   help="max concurrent requests coalesced per device batch")
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="idle dispatcher lingers this long for followers "
+                        "of the first queued request")
     p.add_argument("--db", default=None,
                    help=".npy of database descriptors enabling /search")
     p.add_argument("--ivf", action="store_true",

@@ -375,3 +375,95 @@ def test_serve_http_e2e(tmp_path):
             assert e.code == 400 and "error" in json.loads(e.read())
     finally:
         server.shutdown()
+
+
+def test_serve_http_batched_dispatch(tmp_path):
+    """Concurrent requests coalesce into one device batch (the round-3
+    serving upgrade): N parallel /search requests with a generous batch
+    window must (a) return the same results as sequential batch-1 serving,
+    (b) actually share device batches (/stats mean_batch > 1), and
+    (c) respect the fixed --img-size shape bucket."""
+    import io
+    import json
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines import serve_http
+
+    rng = np.random.default_rng(11)
+    vdir = tmp_path / "vocab"
+    VLAD(4, cache_dir=str(vdir)).fit(
+        rng.standard_normal((120, 384)).astype(np.float32))
+    db = rng.standard_normal((20, 4 * 384)).astype(np.float32)
+    np.save(tmp_path / "db.npy", db)
+
+    import argparse
+
+    def make_args(max_batch, window_ms):
+        return argparse.Namespace(
+            model="dinov2_vits14", layer=5, facet="value", num_clusters=4,
+            vocab_dir=str(vdir), checkpoint=None, quant=None,
+            max_img_size=84, img_size=84, max_batch=max_batch,
+            batch_window_ms=window_ms, db=str(tmp_path / "db.npy"),
+            ivf=False, n_probe=4, host="127.0.0.1", port=0,
+        )
+
+    imgs = []
+    for i in range(6):
+        buf = io.BytesIO()
+        Image.fromarray(
+            (rng.random((90, 77, 3)) * 255).astype(np.uint8)
+        ).save(buf, format="PNG")  # lossless: both servers see equal bytes
+        imgs.append(buf.getvalue())
+
+    def run_server(args, fn):
+        server = serve_http.build_server(args)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            return fn(port)
+        finally:
+            server.shutdown()
+
+    def search_one(port, data):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search?k=4", data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    def get_json(port, path):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/{path}", timeout=30) as r:
+            return json.loads(r.read())
+
+    # sequential reference: batch-1 server
+    def sequential(port):
+        return [search_one(port, d) for d in imgs]
+
+    ref = run_server(make_args(1, 0.0), sequential)
+
+    # batched server: warm the compile first (one request), then fire the
+    # rest in parallel under a generous window so they coalesce
+    def batched(port):
+        search_one(port, imgs[0])
+        with ThreadPoolExecutor(len(imgs)) as ex:
+            outs = list(ex.map(lambda d: search_one(port, d), imgs))
+        stats = get_json(port, "stats")
+        assert get_json(port, "health")["max_batch"] == 8
+        return outs, stats
+
+    outs, stats = run_server(make_args(8, 500.0), batched)
+    for got, want in zip(outs, ref):
+        assert got["ids"] == want["ids"]
+        # batching changes matmul shapes -> reduction order; scores drift
+        # ~1e-4 while the ranking (ids, asserted exactly) is unchanged
+        np.testing.assert_allclose(got["scores"], want["scores"],
+                                   rtol=2e-3, atol=2e-3)
+    # 7 requests total; the 6 parallel ones must have shared batches
+    assert stats["requests"] == 7
+    assert stats["batches"] < 7, f"no coalescing happened: {stats}"

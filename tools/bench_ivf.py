@@ -56,6 +56,13 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--sweep", action="store_true",
                    help="sweep n_probe in {1,2,4,8,16,32,64}: recall + qps")
+    p.add_argument("--qbatch-sweep", action="store_true",
+                   help="sweep the QUERY batch {1,4,16,64,256} at fixed "
+                        "--n-probe: exact vs ivf qps per regime. The "
+                        "engines cross over: exact amortizes one db scan "
+                        "over the whole batch (MXU-bound), ivf pays a "
+                        "per-query gather (bandwidth-bound), so ivf wins "
+                        "the low-latency single-query regime only.")
     p.add_argument("--uniform", action="store_true",
                    help="uniform random db instead of the clustered default")
     args = p.parse_args()
@@ -94,6 +101,31 @@ def main():
         qps = args.n_queries / dt
         print(f"{label}: {qps:,.0f} qps   ({acc:.3f})")
         return qps
+
+    if args.qbatch_sweep:
+        print(f"{'q_batch':>8} {'exact qps':>10} {'ivf qps':>10} "
+              f"(n_probe={args.n_probe})")
+        for qb in (1, 4, 16, 64, 256):
+            if qb > args.n_queries:
+                continue
+            quj_b = quj[:qb]
+
+            def timed_q(fn):
+                out = fn(quj_b)
+                jax.block_until_ready(out)
+                iters = max(args.iters, 256 // qb)
+                t0 = time.perf_counter()
+                acc = 0.0
+                for i in range(iters):
+                    s, _ = fn(quj_b + i * 1e-6)
+                    acc += float(jnp.max(s))
+                return qb / ((time.perf_counter() - t0) / iters)
+
+            e = timed_q(lambda q: top_k_search(dbj, q, args.k))
+            v = timed_q(lambda q: index.search(
+                q, args.k, n_probe=args.n_probe, query_block=qb))
+            print(f"{qb:>8} {e:>10,.0f} {v:>10,.0f}")
+        return
 
     # exact ground truth (top-k sets for recall@k, top-1 for agreement)
     _, ie = top_k_search(dbj, quj, args.k)

@@ -1,0 +1,115 @@
+"""Serving daemon load test: batched dispatch vs batch-1 (run on the chip).
+
+Measures end-to-end qps of pipelines/serve_http.py under N concurrent HTTP
+clients, with request coalescing enabled (--max-batch 16) vs disabled
+(--max-batch 1). The VERDICT round-2 bar: batched >= 3x batch-1.
+
+  python tools/bench_serving.py --model dinov2_vits14 --layer 5
+  python tools/bench_serving.py --model dinov2_vitg14 --layer 31 \
+      --img-size 224 --quant int8_full --requests 128 --clients 32
+
+Random-init weights (throughput only — serving math is weight-agnostic);
+vocabulary + database are synthesized on the fly.
+"""
+
+import argparse
+import io
+import json
+import pathlib
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def run_load(port: int, imgs, clients: int):
+    def post(data):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search?k=5", data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    post(imgs[0])  # warm the compile outside the timed window
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(clients) as ex:
+        outs = list(ex.map(post, imgs))
+    dt = time.perf_counter() - t0
+    assert all(len(o["ids"]) == 5 for o in outs)
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    return len(imgs) / dt, stats
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="dinov2_vits14")
+    p.add_argument("--layer", type=int, default=5)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--quant", default=None)
+    p.add_argument("--requests", type=int, default=64)
+    p.add_argument("--clients", type=int, default=16)
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--db-rows", type=int, default=10000)
+    args = p.parse_args()
+
+    from PIL import Image
+
+    from anyloc_tpu.models.registry import MODEL_CONFIGS
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines import serve_http
+
+    dim = MODEL_CONFIGS[args.model].embed_dim
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    vdir = pathlib.Path(tmp) / "vocab"
+    VLAD(32, cache_dir=str(vdir)).fit(
+        rng.standard_normal((2000, dim)).astype(np.float32))
+    db = rng.standard_normal((args.db_rows, 32 * dim)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=-1, keepdims=True)
+    np.save(pathlib.Path(tmp) / "db.npy", db)
+
+    imgs = []
+    for _ in range(args.requests):
+        buf = io.BytesIO()
+        Image.fromarray(
+            (rng.random((args.img_size, args.img_size, 3)) * 255
+             ).astype(np.uint8)
+        ).save(buf, format="JPEG")
+        imgs.append(buf.getvalue())
+
+    def serve_args(max_batch):
+        return argparse.Namespace(
+            model=args.model, layer=args.layer, facet="value",
+            num_clusters=32, vocab_dir=str(vdir), checkpoint=None,
+            quant=args.quant, max_img_size=args.img_size,
+            img_size=args.img_size, max_batch=max_batch,
+            batch_window_ms=5.0, db=str(pathlib.Path(tmp) / "db.npy"),
+            ivf=False, n_probe=8, host="127.0.0.1", port=0,
+        )
+
+    results = {}
+    for mb in (1, args.max_batch):
+        server = serve_http.build_server(serve_args(mb))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            qps, stats = run_load(port, imgs, args.clients)
+        finally:
+            server.shutdown()
+        results[mb] = qps
+        print(f"max_batch={mb:>3}: {qps:7.1f} qps  "
+              f"(mean realized batch {stats['mean_batch']:.1f} over "
+              f"{stats['batches']} batches)")
+    print(f"speedup: {results[args.max_batch] / results[1]:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
