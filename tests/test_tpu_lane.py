@@ -296,3 +296,27 @@ def test_ivf_engine_on_tpu(data):
     s_ivf, i_ivf = index.search(qu, 5, n_probe=16, query_block=16)
     _, i_ex = top_k_search(jnp.asarray(db), jnp.asarray(qu), 5)
     np.testing.assert_array_equal(np.asarray(i_ivf), np.asarray(i_ex))
+
+
+@requires_tpu
+def test_roofline_kernels_at_ceiling():
+    """The per-kernel roofline proof (round-3 verdict item 1): the fused
+    int8 halves and the in-trunk block must sustain their RECORDED ceilings
+    at the flagship 308 px shape every round — a Mosaic/XLA toolchain
+    regression (or a win) surfaces here as a number. Ceilings + tolerance
+    live in tools/roofline.py; docs/PERFORMANCE.md '308 px roofline'."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import roofline
+
+    # iters must match the recorded-ceiling conditions (100): the axon
+    # tunnel's per-dispatch overhead (~15 ms/run call) inflates short runs
+    # — at iters=50 the mlp half reads 225 TF/s vs its true 254+.
+    rows = roofline.measure(n=485, iters=100)
+    for name, r in rows.items():
+        assert r["vs_ceiling"] >= 1 - roofline.DEFAULT_TOL, (
+            f"{name}: {r['tfs']:.1f} TF/s vs recorded ceiling "
+            f"{r['ceiling_tfs']:.1f} ({r['vs_ceiling']:.1%})"
+        )
