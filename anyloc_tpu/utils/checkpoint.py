@@ -36,8 +36,24 @@ def save_checkpoint(
         ckptr.save(best, state, force=True)
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
-    return _ckptr().restore(os.path.abspath(path))
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Dict[str, Any]:
+    """Restore a checkpoint. With ``target`` (a pytree of jax.Arrays or
+    ShapeDtypeStructs carrying ``.sharding``), each array is restored
+    DIRECTLY into the target's sharding — the multi-chip resume path
+    (FSDP-sharded optimizer moments, tp-split params) never materializes a
+    full replicated copy per host."""
+    if target is None:
+        return _ckptr().restore(os.path.abspath(path))
+    import orbax.checkpoint as ocp
+
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    return _ckptr().restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(
+            item=target,
+            restore_args=restore_args,
+        ),
+    )
 
 
 def resume_train(

@@ -475,3 +475,117 @@ def test_sp_extractor_matches_single_device(rng):
     qcfg = dataclasses.replace(cfg, quant="int8")
     with _pytest.raises(ValueError):
         SPFacetExtractor(qcfg, params, 3, "value", mesh)
+
+
+class TestFSDP:
+    """ZeRO-1 optimizer-state sharding (parallel/fsdp.py): moments sharded
+    over the data axis, multi-step convergence, and a sharded-state orbax
+    round-trip (round-2 verdict item 6; replaces dvgl train.py:106-206
+    replication at mesh scale)."""
+
+    def test_fsdp_shardings_pick_divisible_dim(self, mesh):
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from anyloc_tpu.parallel.fsdp import fsdp_shardings
+
+        tree = {
+            "big": jnp.zeros((64, 48)),       # 64 % 8 == 0 -> data on dim 0
+            "odd": jnp.zeros((17, 129)),      # nothing divides -> replicated
+            "tall": jnp.zeros((6, 4096)),     # dim 1 largest+divisible
+            "tiny": jnp.zeros((8,)),          # below min_size -> replicated
+            "count": jnp.zeros((), jnp.int32),
+        }
+        sh = fsdp_shardings(tree, mesh, min_size=512)
+        assert sh["big"].spec == P("data", None)
+        assert sh["odd"].spec == P()
+        assert sh["tall"].spec == P(None, "data")
+        assert sh["tiny"].spec == P()
+        assert sh["count"].spec == P()
+
+    def test_fsdp_multistep_and_sharded_roundtrip(self, mesh, tmp_path):
+        """12 steps with FSDP moments on the mesh == 12 steps replicated on
+        one device (bit-level state agreement is not expected across
+        layouts; loss agreement to f32 reduction tolerance is), moments
+        stay data-sharded, and save -> sharded restore -> step is
+        bit-identical to the uninterrupted run."""
+        import jax.numpy as jnp
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from anyloc_tpu.parallel.fsdp import (
+            fsdp_shardings, fsdp_train_step, state_bytes_per_device)
+        from anyloc_tpu.training import make_triplet_train_step
+        from anyloc_tpu.training.triplet import TripletTrainState
+        from anyloc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        rng = np.random.default_rng(0)
+        w = {"params": {"proj": {"kernel": jnp.asarray(
+            rng.standard_normal((48, 64)), jnp.float32)}}}
+
+        def descriptor_fn(variables, images):
+            flat = images.reshape(images.shape[0], -1)
+            d = flat @ variables["params"]["proj"]["kernel"]
+            return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+
+        opt = optax.adam(1e-3)
+        step = make_triplet_train_step(descriptor_fn, opt, neg_num=2)
+        tuples = rng.standard_normal((8, 4, 4, 4, 3)).astype(np.float32)
+
+        # single-device reference
+        ref_state = step.init_state(w)
+        ref_losses = []
+        for _ in range(12):
+            ref_state, l = step(ref_state, jnp.asarray(tuples))
+            ref_losses.append(float(l))
+
+        # FSDP on the mesh
+        state = step.init_state(w)
+        p_sh = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), state.params)
+        o_sh = fsdp_shardings(state.opt_state, mesh, min_size=512)
+        state = TripletTrainState(
+            jax.device_put(state.params, p_sh),
+            jax.device_put(state.opt_state, o_sh),
+            jax.device_put(state.step, NamedSharding(mesh, P())),
+        )
+        sh = TripletTrainState(p_sh, o_sh, NamedSharding(mesh, P()))
+        fstep = fsdp_train_step(step, sh)
+        batch = jax.device_put(
+            jnp.asarray(tuples),
+            NamedSharding(mesh, P("data", None, None, None, None)))
+        losses = []
+        for _ in range(12):
+            state, l = fstep(state, batch)
+            losses.append(float(l))
+        assert losses[-1] < losses[0]
+        np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+        moments = [
+            m for m in jax.tree_util.tree_leaves(state.opt_state)
+            if "data" in str(getattr(m.sharding, "spec", ""))
+        ]
+        assert moments, "no moment stayed data-sharded through the steps"
+
+        # footprint: sharded moments hold 1/8 per device
+        rep = state_bytes_per_device(TripletTrainState(
+            state.params,
+            jax.device_put(
+                jax.tree_util.tree_map(np.asarray, state.opt_state),
+                jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), o_sh)),
+            state.step))
+        assert state_bytes_per_device(state) < rep
+
+        # sharded round-trip: restore INTO the shardings, resume bit-equal
+        save_checkpoint(str(tmp_path), state._asdict(), is_best=False)
+        back = load_checkpoint(
+            str(tmp_path / "last_checkpoint"), target=state._asdict())
+        restored = TripletTrainState(**back)
+        for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                        jax.tree_util.tree_leaves(restored.opt_state)):
+            assert a.sharding == b.sharding
+        cont, lc = fstep(state, batch)
+        rest, lr = fstep(restored, batch)
+        assert float(lc) == float(lr)
+        for a, b in zip(jax.tree_util.tree_leaves(cont),
+                        jax.tree_util.tree_leaves(rest)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
