@@ -173,13 +173,42 @@ def make_extractor(
             dtype=dtype, seed=seed,
         )
     if model_type.startswith("lseg"):
-        raise NotImplementedError(
-            "The LSeg MODEL needs the external LSeg package + checkpoint — "
-            "the reference runs it in a separate conda env too "
-            "(scripts/lseg_ablations_env.sh) and its lseg_vlad.py script only "
-            "consumes pre-computed .npy pixel-descriptor caches. That full "
-            "pipeline IS implemented here: "
-            "anyloc_tpu.pipelines.extras.lseg_vlad(db_cache_dir, "
-            "query_cache_dir, ...)"
+        # The reference cannot do this in-repo at all: scripts/lseg_vlad.py
+        # only consumes .npy caches produced by the external lang-seg env
+        # (scripts/lseg_ablations_env.sh). Here the encoder itself runs
+        # (models/lseg.py); descriptors = dense pixel features in CLIP text
+        # space, flattened to the standard [B, N, D] patch layout so
+        # pipelines.extras.lseg_vlad can run end-to-end from images.
+        from anyloc_tpu.models.lseg import (LSegEncoder, convert_lseg,
+                                             lseg_config)
+
+        cfg = lseg_config(dtype=dtype)
+        enc = LSegEncoder(cfg)
+        if checkpoint:
+            import torch
+
+            sd = torch.load(checkpoint, map_location="cpu",
+                            weights_only=False)
+            sd = sd.get("state_dict", sd)
+            params = convert_lseg(sd, cfg)
+        else:
+            s = cfg.backbone.img_size
+            params = enc.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3), jnp.float32)
+            )
+
+        apply = jax.jit(
+            lambda p, imgs: enc.apply(p, imgs, normalize=norm_descs)
         )
+
+        class _LSeg:
+            backbone_cfg = cfg.backbone
+            lseg_cfg = cfg
+
+            def __call__(self, imgs):
+                feats = apply(params, jnp.asarray(imgs))
+                b, h, w, d = feats.shape
+                return feats.reshape(b, h * w, d)
+
+        return _LSeg()
     raise KeyError(f"Unknown model family for '{model_type}'")

@@ -72,11 +72,14 @@ def test_image_utils(rng):
     assert arr.dtype == np.float32
 
 
-def test_lseg_gate():
+def test_factory_unknown_family():
+    """LSeg lost its NotImplementedError gate (it is a real family now —
+    models/lseg.py, routed + numerically tested in tests/test_lseg.py);
+    unknown names still fail loudly."""
     from anyloc_tpu.models.factory import make_extractor
 
-    with pytest.raises(NotImplementedError, match="LSeg"):
-        make_extractor("lseg_vit_l16")
+    with pytest.raises(KeyError, match="Unknown model family"):
+        make_extractor("not_a_family")
 
 
 def test_resize_tensor_bilinear_matches_torch():
