@@ -136,15 +136,24 @@ class _Batcher:
         vlads = np.asarray(svc.vlad.aggregate(descs))[:n]
         searches = [(i, r) for i, r in enumerate(group) if r.kind == "search"]
         if searches:
+            # shape-stable search: the query block is padded to the full
+            # bucket and k rounds up to a power of two, so compiled search
+            # programs are O(log max_batch x log k), all pre-warmable —
+            # a per-group-size/k shape would compile in-band under load
             kmax = min(max(r.k for _, r in searches), svc.db.shape[0])
-            qu = vlads[[i for i, _ in searches]]
+            kpad = 8
+            while kpad < kmax:
+                kpad *= 2
+            kpad = min(kpad, svc.db.shape[0])
+            rows = [i for i, _ in searches]
+            qu = vlads[(rows + [0] * (bucket - len(rows)))[:bucket]]
             if svc.index is not None:
-                s, idx = svc.index.search(qu, kmax,
+                s, idx = svc.index.search(qu, kpad,
                                           n_probe=svc.args.n_probe)
             else:
                 from anyloc_tpu.ops.retrieval import top_k_search
 
-                s, idx = top_k_search(svc.db_dev, svc.jnp.asarray(qu), kmax)
+                s, idx = top_k_search(svc.db_dev, svc.jnp.asarray(qu), kpad)
             s, idx = np.asarray(s), np.asarray(idx)
             for row, (i, r) in enumerate(searches):
                 kk = min(r.k, kmax)
@@ -188,13 +197,60 @@ class _Service:
             max_batch=getattr(args, "max_batch", 16),
             window_s=getattr(args, "batch_window_ms", 5.0) / 1e3,
         )
+        if getattr(args, "img_size", 0) and getattr(args, "warm", True):
+            self._warm_buckets()
+
+    def _warm_buckets(self) -> None:
+        """Compile every power-of-two batch bucket at the fixed serving
+        resolution BEFORE accepting traffic. Without this the first live
+        group of each size pays a ViT-G compile inside someone's request
+        (measured: coalescing ran 0.32x batch-1 with in-band compiles,
+        19x after warming — docs/SERVING.md)."""
+        size = self.args.img_size - self.args.img_size % 14
+        dt = (np.uint8 if getattr(self.args, "transfer_dtype", "float32")
+              == "uint8" else np.float32)
+        b = 1
+        while b <= self.batcher.max_batch:
+            batch = np.zeros((b, size, size, 3), dt)
+            descs = self.extractor(self.jnp.asarray(batch))
+            vlads = self.vlad.aggregate(descs)
+            if self.db_dev is not None:
+                from anyloc_tpu.ops.retrieval import top_k_search
+
+                # k=8 matches the live path's power-of-two k padding
+                s, _ = top_k_search(self.db_dev, self.jnp.asarray(
+                    np.asarray(vlads)), min(8, self.db.shape[0]))
+                np.asarray(s)
+            else:
+                np.asarray(vlads)
+            b *= 2
 
     def _preprocess(self, image_bytes: bytes) -> np.ndarray:
         from PIL import Image
 
-        from anyloc_tpu.data.transforms import preprocess_image
+        from anyloc_tpu.data.transforms import (center_crop_multiple,
+                                                 preprocess_image,
+                                                 resize_tensor_bilinear)
 
         img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        if getattr(self.args, "transfer_dtype", "float32") == "uint8":
+            # low-bandwidth transfer: resized uint8 over the wire to the
+            # device, normalization on-device in the extractor (1/4 the
+            # host->device bytes; deviation from the f32 path is the 8-bit
+            # rounding of resized values — same bounded drift as the
+            # engine's uint8 mode, cosine > 0.999 test-enforced)
+            arr = np.asarray(img, np.float32)
+            if getattr(self.args, "img_size", 0):
+                size = (self.args.img_size, self.args.img_size)
+            else:
+                me = self.args.max_img_size
+                h, w = arr.shape[:2]
+                sc = min(1.0, me / max(h, w))
+                size = (int(h * sc), int(w * sc))
+            if arr.shape[:2] != size:
+                arr = resize_tensor_bilinear(arr, size)
+            arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+            return center_crop_multiple(arr, 14)
         if getattr(self.args, "img_size", 0):
             # fixed serving resolution: every request lands in ONE shape
             # bucket, so any concurrent pair can share a device batch
@@ -306,6 +362,15 @@ def main(argv=None) -> int:
                         "one shape bucket so any concurrent pair batches.")
     p.add_argument("--max-batch", type=int, default=16,
                    help="max concurrent requests coalesced per device batch")
+    p.add_argument("--transfer-dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="host->device batch format; uint8 sends 1/4 the "
+                        "bytes and normalizes on-device (bounded 8-bit "
+                        "rounding drift, the engines' production mode)")
+    p.add_argument("--no-warm", dest="warm", action="store_false",
+                   help="skip pre-compiling the power-of-two batch buckets "
+                        "at startup (fixed --img-size only; warming keeps "
+                        "compiles out of live requests)")
     p.add_argument("--batch-window-ms", type=float, default=5.0,
                    help="idle dispatcher lingers this long for followers "
                         "of the first queued request")

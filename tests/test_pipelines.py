@@ -467,3 +467,68 @@ def test_serve_http_batched_dispatch(tmp_path):
     # 7 requests total; the 6 parallel ones must have shared batches
     assert stats["requests"] == 7
     assert stats["batches"] < 7, f"no coalescing happened: {stats}"
+
+
+def test_serve_http_uint8_transfer(tmp_path):
+    """--transfer-dtype uint8 (the low-bandwidth production mode): the
+    daemon sends resized uint8 to the device and normalizes on-device;
+    retrieval ids must match the f32-transfer server, with warm buckets on
+    (warming compiles every live shape)."""
+    import argparse
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines import serve_http
+
+    rng = np.random.default_rng(12)
+    vdir = tmp_path / "vocab"
+    VLAD(4, cache_dir=str(vdir)).fit(
+        rng.standard_normal((120, 384)).astype(np.float32))
+    db = rng.standard_normal((20, 4 * 384)).astype(np.float32)
+    np.save(tmp_path / "db.npy", db)
+
+    def make_args(transfer):
+        return argparse.Namespace(
+            model="dinov2_vits14", layer=5, facet="value", num_clusters=4,
+            vocab_dir=str(vdir), checkpoint=None, quant=None,
+            max_img_size=84, img_size=84, max_batch=2,
+            batch_window_ms=0.0, db=str(tmp_path / "db.npy"),
+            ivf=False, n_probe=4, host="127.0.0.1", port=0,
+            transfer_dtype=transfer, warm=True,
+        )
+
+    imgs = []
+    for i in range(3):
+        buf = io.BytesIO()
+        Image.fromarray(
+            (rng.random((84, 84, 3)) * 255).astype(np.uint8)
+        ).save(buf, format="PNG")
+        imgs.append(buf.getvalue())
+
+    def run_server(args):
+        server = serve_http.build_server(args)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            outs = []
+            for d in imgs:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/search?k=3", data=d,
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    outs.append(json.loads(r.read()))
+            return outs
+        finally:
+            server.shutdown()
+
+    f32 = run_server(make_args("float32"))
+    u8 = run_server(make_args("uint8"))
+    for a, b in zip(f32, u8):
+        assert a["ids"] == b["ids"], (a, b)
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=5e-3)

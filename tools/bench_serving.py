@@ -57,15 +57,29 @@ def main():
     p.add_argument("--clients", type=int, default=16)
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--db-rows", type=int, default=10000)
+    p.add_argument("--transfer-dtype", default="uint8",
+                   choices=["float32", "uint8"])
+    p.add_argument("--single", type=int, default=None,
+                   help="internal: run ONE config (this max_batch) and "
+                        "print a JSON result line")
     args = p.parse_args()
+
+    if args.single is None:
+        # The DRIVER process must not touch the TPU: the axon tunnel is
+        # single-client, so a parent holding the device deadlocks the
+        # measuring subprocesses (observed: child stuck at backend init).
+        # Vocabulary/db setup below runs jax — pin this process to CPU.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from PIL import Image
 
-    from anyloc_tpu.models.registry import MODEL_CONFIGS
+    from anyloc_tpu.models import registry
     from anyloc_tpu.ops.vlad import VLAD
     from anyloc_tpu.pipelines import serve_http
 
-    dim = MODEL_CONFIGS[args.model].embed_dim
+    dim = registry.get(args.model).config().embed_dim
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="bench_serving_")
     vdir = pathlib.Path(tmp) / "vocab"
@@ -91,11 +105,12 @@ def main():
             quant=args.quant, max_img_size=args.img_size,
             img_size=args.img_size, max_batch=max_batch,
             batch_window_ms=5.0, db=str(pathlib.Path(tmp) / "db.npy"),
-            ivf=False, n_probe=8, host="127.0.0.1", port=0,
+            ivf=False, n_probe=8, host="127.0.0.1", port=0, warm=True,
+            transfer_dtype=args.transfer_dtype,
         )
 
-    results = {}
-    for mb in (1, args.max_batch):
+    if args.single is not None:
+        mb = args.single
         server = serve_http.build_server(serve_args(mb))
         port = server.server_address[1]
         t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -104,10 +119,35 @@ def main():
             qps, stats = run_load(port, imgs, args.clients)
         finally:
             server.shutdown()
-        results[mb] = qps
-        print(f"max_batch={mb:>3}: {qps:7.1f} qps  "
-              f"(mean realized batch {stats['mean_batch']:.1f} over "
-              f"{stats['batches']} batches)")
+        print(json.dumps({"max_batch": mb, "qps": qps,
+                          "mean_batch": stats["mean_batch"],
+                          "batches": stats["batches"]}))
+        return
+
+    # one subprocess per config: two resident ViT-G engines + databases in
+    # one process exceed v5e HBM (measured: the second server's dispatcher
+    # dies mid-compile and clients see connection resets)
+    import subprocess
+
+    results = {}
+    for mb in (1, args.max_batch):
+        cmd = [sys.executable, __file__, "--single", str(mb)]
+        for flag in ("model", "layer", "img_size", "quant", "requests",
+                     "clients", "max_batch", "db_rows", "transfer_dtype"):
+            v = getattr(args, flag)
+            if v is not None:
+                cmd += [f"--{flag.replace('_', '-')}", str(v)]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600)
+        last = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not last:
+            print(out.stdout, out.stderr, sep="\n")
+            raise RuntimeError(f"single run max_batch={mb} failed")
+        r = json.loads(last[-1])
+        results[mb] = r["qps"]
+        print(f"max_batch={mb:>3}: {r['qps']:7.1f} qps  "
+              f"(mean realized batch {r['mean_batch']:.1f} over "
+              f"{r['batches']} batches)")
     print(f"speedup: {results[args.max_batch] / results[1]:.2f}x")
 
 
