@@ -97,6 +97,35 @@ def run_sweep(
             row = dict(point)
             row.update({k: v for k, v in results.items()
                         if not k.startswith("Qual-")})
+            # reference run-naming convention: the group is the domain (or
+            # dataset) and the run name encodes the full config — this is
+            # what makes the CSV line up with the reference's exported
+            # ablation tables (*_ablations.sh:86-88, configs.py:80-91)
+            from anyloc_tpu.utils.logging_utils import (MetricsLogger,
+                                                         run_name_for)
+
+            group = point.get("domain", largs.prog.vg_dataset_name)
+            run_name = run_name_for(
+                pipeline,
+                largs.extractor.model_type,
+                layer=largs.extractor.desc_layer,
+                facet=largs.extractor.desc_facet,
+                clusters=largs.vlad.num_clusters,
+                dataset=largs.prog.vg_dataset_name,
+                domain=point.get("domain"),
+            )
+            row["wandb_group"], row["run_name"] = group, run_name
+            if largs.prog.use_wandb:
+                ml = MetricsLogger(
+                    use_wandb=True, project=largs.prog.wandb_proj,
+                    entity=largs.prog.wandb_entity, group=group,
+                    run_name=run_name, config=point)
+                # per-k recall logged as steps (the reference's pattern,
+                # dino_v2_global_vocab_vlad.py:596-599)
+                for k in sorted(
+                        int(c[2:]) for c in results if c.startswith("R@")):
+                    ml.log({"Recall": results[f"R@{k}"]}, step=k)
+                ml.finish()
             rows.append(row)
             if verbose:
                 r1 = results.get("R@1")
@@ -164,6 +193,13 @@ def main(argv=None) -> int:
                    help="start from a published ablation grid "
                         "(reference *_ablations.sh axes); explicit --grid.* "
                         "values override its entries")
+    p.add_argument("--plot", nargs="?", const="auto", default=None,
+                   metavar="X_COL",
+                   help="after the sweep, regenerate a paper_utils-style "
+                        "ablation figure from the CSV (one command: sweep "
+                        "-> CSV -> figure). Value = the swept column for "
+                        "the x-axis; bare --plot picks the grid axis with "
+                        "the most values. Output: <out>.png")
     args, rest = p.parse_known_args(argv)
     from anyloc_tpu.config import parse_args
 
@@ -176,6 +212,18 @@ def main(argv=None) -> int:
         if vals:
             grid[key] = vals
     run_sweep(args.pipeline, grid, base, args.out)
+    if args.plot:
+        x_col = args.plot
+        if x_col == "auto":
+            multi = [k for k in grid if len(grid[k]) > 1] or list(grid)
+            x_col = max(multi, key=lambda k: len(grid[k]))
+        from anyloc_tpu.viz import ablation_plot
+
+        png = os.path.splitext(args.out)[0] + ".png"
+        ablation_plot({args.pipeline: args.out}, x_col=x_col,
+                      output_path=png,
+                      title=f"{args.pipeline} ablation: R@1 vs {x_col}")
+        print(f"figure: {png}")
     return 0
 
 

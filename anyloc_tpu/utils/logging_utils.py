@@ -52,6 +52,42 @@ def setup_logging(
     sys.excepthook = exception_handler
 
 
+def run_name_for(
+    pipeline: str,
+    model: str,
+    layer=None,
+    facet=None,
+    clusters=None,
+    dataset=None,
+    domain=None,
+) -> str:
+    """The reference's wandb run-name convention — the scheme its exported
+    ablation CSVs (paper_utils/data/ablations/*) are keyed by, so sweep
+    outputs here line up with those tables row-for-row
+    (configs.py:80-91 + *_ablations.sh, e.g.
+    dino_v2_global_vocab_vlad_ablations.sh:86-88):
+
+      vlad              DINO_V2_VLAD/l{L}_{facet}_c{C}/{dataset}/{model}
+      global-vocab-vlad DINO_V2_VLAD_GLOBAL_VOCAB/l{L}_{facet}_c{C}/{domain}/{dataset}/{model}
+      gem               DINO_V2_GeM/l{L}_{facet}/{dataset}/{model}
+
+    (The DINO_V2_* prefixes are kept verbatim for table alignment even for
+    other trunk families — the reference does the same for e.g.
+    DINO_V1_VLAD_GLOBAL_VOCAB.)"""
+    fam = "DINO_V1" if model.startswith("dino_") else "DINO_V2"
+    if pipeline in ("vlad", "global-vocab-vlad"):
+        model_id = f"l{layer}_{facet}_c{clusters}"
+        if pipeline == "global-vocab-vlad":
+            model_id = f"{model_id}/{domain}"
+            return f"{fam}_VLAD_GLOBAL_VOCAB/{model_id}/{dataset}/{model}"
+        return f"{fam}_VLAD/{model_id}/{dataset}/{model}"
+    if pipeline == "gem":
+        return f"{fam}_GeM/l{layer}_{facet}/{dataset}/{model}"
+    if pipeline == "global-vpr":
+        return f"{fam}_GLOBAL/{dataset}/{model}"
+    return f"{pipeline}/{dataset}/{model}"
+
+
 class MetricsLogger:
     """WandB-compatible metrics sink: logs to wandb when available and
     enabled, always accumulates locally (list of dicts) for CSV/json dumps —

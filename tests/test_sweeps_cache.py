@@ -129,3 +129,58 @@ def test_sweep_presets_match_published_grids():
         S.run_sweep = orig
     assert captured["desc_facet"] == ["query", "key", "value", "token"]
     assert captured["dataset"] == ["gardens"]
+
+
+def test_run_name_convention():
+    """Reference wandb naming scheme verbatim (configs.py:80-91 +
+    *_ablations.sh wandb_name templates) so sweep CSVs align with the
+    exported ablation tables."""
+    from anyloc_tpu.utils.logging_utils import run_name_for
+
+    assert run_name_for(
+        "global-vocab-vlad", "dinov2_vitg14", layer=31, facet="value",
+        clusters=32, dataset="baidu_datasets", domain="indoor",
+    ) == "DINO_V2_VLAD_GLOBAL_VOCAB/l31_value_c32/indoor/baidu_datasets/dinov2_vitg14"
+    assert run_name_for(
+        "vlad", "dinov2_vitg14", layer=31, facet="value", clusters=32,
+        dataset="Oxford",
+    ) == "DINO_V2_VLAD/l31_value_c32/Oxford/dinov2_vitg14"
+    assert run_name_for(
+        "gem", "dinov2_vitg14", layer=31, facet="value", dataset="gardens",
+    ) == "DINO_V2_GeM/l31_value/gardens/dinov2_vitg14"
+    # DINO v1 family prefix (DINO_V1_VLAD_GLOBAL_VOCAB template)
+    assert run_name_for(
+        "global-vocab-vlad", "dino_vits8", layer=9, facet="key",
+        clusters=128, dataset="gardens", domain="urban",
+    ).startswith("DINO_V1_VLAD_GLOBAL_VOCAB/l9_key_c128/urban/")
+
+
+def test_sweep_to_csv_to_figure(tmp_path):
+    """ONE command regenerates a paper_utils-style ablation figure from a
+    sweep (round-2 verdict item 8): sweeps.main --plot produces CSV with
+    run_name/wandb_group columns + the PNG."""
+    import csv
+
+    from anyloc_tpu.sweeps import main as sweeps_main
+
+    root = build_gardens(str(tmp_path / "data"), n_db=8, n_q=4, size=(70, 70))
+    out = str(tmp_path / "ablation.csv")
+    rc = sweeps_main([
+        "--pipeline", "vlad", "--out", out, "--plot",
+        "--grid.num-clusters", "2", "4",
+        "--prog.data-vg-dir", root,
+        "--prog.vg-dataset-name", "gardens",
+        "--bd-args.resize", "70", "70",
+        "--extractor.model-type", "dinov2_vits14",
+        "--extractor.desc-layer", "3",
+        "--extractor.dtype", "float32",
+        "--extractor.batch-size", "4",
+    ])
+    assert rc == 0
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert rows[0]["run_name"].startswith("DINO_V2_VLAD/l3_")
+    assert rows[0]["wandb_group"] == "gardens"
+    png = str(tmp_path / "ablation.png")
+    assert os.path.exists(png) and os.path.getsize(png) > 1000
