@@ -66,6 +66,7 @@ from anyloc_tpu.ops.gem import gem_pool
 from anyloc_tpu.ops.pooling import global_avg_pool, global_max_pool
 from anyloc_tpu.ops.pca import reduce_pca
 from anyloc_tpu.ops.ivf import IVFIndex, ivf_fit
+from anyloc_tpu.ops.pq import PQIndex, pq_fit
 
 __all__ = [
     "VLAD",
@@ -81,4 +82,6 @@ __all__ = [
     "reduce_pca",
     "IVFIndex",
     "ivf_fit",
+    "PQIndex",
+    "pq_fit",
 ]

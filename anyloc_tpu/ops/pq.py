@@ -1,0 +1,271 @@
+"""Product-quantization (PQ) compressed search, TPU-native.
+
+The reference retrieves with FAISS ``IndexFlat`` only (utilities.py:390-469)
+— exact search over the full-precision database. This repo already covers
+that regime (ops/retrieval.py device/blocked/sharded engines, ops/ivf.py
+probed ANN); what none of those can do is hold a database that does not fit
+HBM even compressed to int8: the SOTA 49152-dim descriptor at 10M rows is
+2 TB f32, and even PCA-512 f32 is 20 GB. PQ is the classic answer (FAISS
+``IndexPQ`` / the PQ half of ``IndexIVFPQ``, Jegou et al. TPAMI 2011):
+split D into M subspaces, k-means each to 256 codewords, store each row as
+M uint8 codes (e.g. 512d -> 64 B/row: 10M rows = 640 MB on-chip), and
+score queries against codes via per-subspace lookup tables (asymmetric
+distance, ADC).
+
+ADC is a gather workload on CPU/GPU (SIMD shuffles / shared-memory LUTs).
+TPUs hate gathers — so the scan here is reformulated for the MXU with NO
+gather at all:
+
+  * tables: one einsum ``[Qb, M, ds] x [M, C, ds] -> [M, C, Qb]`` (tiny).
+  * scan:  codes one-hot-expand on the VPU (an iota compare) to
+    ``[nb, M*C]`` and hit the flattened tables with ONE matmul
+    ``[nb, M*C] @ [M*C, Qb]`` per database chunk — contraction M*C
+    (16384 for PQ64) keeps the MXU deep, and the one-hot rows select
+    exactly the M table entries ADC would have gathered.
+
+Chunks merge through a running top-k (same pattern as the streaming
+engine), so HBM holds only the uint8 codes plus one [nb, Qb] score block.
+
+Regime guidance (docs/PERFORMANCE.md "PQ"): exact search wins wherever the
+database fits HBM at a usable dtype; PQ is the single-chip route past that
+(~>2M rows at 512d f32 on v5e), trading the standard quantization-recall
+dial (M, and PCA width) for a ~30x memory cut.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anyloc_tpu.ops.common import EXACT
+
+
+@dataclasses.dataclass
+class PQIndex:
+    """Fitted PQ index. Search state is the codebooks + uint8 codes only —
+    the original vectors are NOT kept (that is the point)."""
+
+    codebooks: jnp.ndarray   # [M, C, ds] f32 per-subspace centroids
+    codes: jnp.ndarray       # [N, M] uint8 database codes (device)
+    # "cosine" scores the raw inner product <q, decode(code)> (the exact
+    # engine's FAISS IndexFlatIP semantics; pre-normalize rows for true
+    # cosine); "l2" scores -||q - decode(code)||^2 (+ ||q||^2, constant
+    # per query — ranking-equivalent)
+    method: str = "l2"
+
+    @property
+    def n_rows(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def n_codes(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.codebooks.shape[0] * self.codebooks.shape[2]
+
+    def search(self, qu, k: int, query_block: int = 256,
+               db_block: int = 8192, score_dtype: str = "float32",
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """ADC top-k. qu [Q, D] -> (scores [Q, k], indices [Q, k]).
+
+        Scores are the asymmetric PQ approximation of the exact engine's
+        (higher is better; for "l2" they are -||q-x̂||^2 + ||q||^2 —
+        identical ranking, shifted value). ``score_dtype`` is the operand
+        dtype of the one-hot matmul: "float32" reproduces the ADC table
+        sums exactly; "bfloat16" rounds each table entry to bf16 before the
+        sum (~1e-2 relative) on the fast MXU path.
+        """
+        qu = jnp.asarray(qu, jnp.float32)
+        n, d = self.n_rows, self.dim
+        if qu.ndim != 2 or qu.shape[1] != d:
+            raise ValueError(f"queries must be [Q, {d}], got {qu.shape}")
+        k = max(1, min(k, n))
+        if qu.shape[0] == 0:
+            return (jnp.zeros((0, k), jnp.float32),
+                    jnp.zeros((0, k), jnp.int32))
+        nb = int(min(db_block, max(1, n)))
+        qb = int(min(query_block, qu.shape[0]))
+        outs, idxs = [], []
+        for q0 in range(0, qu.shape[0], qb):
+            blk = qu[q0:q0 + qb]
+            pad = qb - blk.shape[0]
+            if pad:  # last block pads up so every block shares one program
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((pad, d), jnp.float32)], axis=0)
+            s, i = _pq_search_block(
+                self.codebooks, self.codes, blk, k=k, nb=nb,
+                method=self.method, score_dtype=score_dtype)
+            outs.append(s[:qb - pad] if pad else s)
+            idxs.append(i[:qb - pad] if pad else i)
+        return jnp.concatenate(outs, axis=0), jnp.concatenate(idxs, axis=0)
+
+    def decode(self, rows: Optional[np.ndarray] = None) -> np.ndarray:
+        """Reconstructed vectors x̂ [*, D] for ``rows`` (default: all) —
+        the reconstruction PQ scores against; tests + reranking."""
+        codes = np.asarray(self.codes)
+        if rows is not None:
+            codes = codes[np.asarray(rows)]
+        cb = np.asarray(self.codebooks)  # [M, C, ds]
+        out = cb[np.arange(self.m)[None, :], codes.astype(np.int64)]
+        return out.reshape(codes.shape[0], -1)
+
+
+@partial(jax.jit, static_argnames=("k", "nb", "method", "score_dtype"))
+def _pq_search_block(codebooks, codes, qu, *, k, nb, method, score_dtype):
+    m, c, ds = codebooks.shape
+    n = codes.shape[0]
+    qb = qu.shape[0]
+    # ADC tables [M, C, Qb]: similarity of every query subvector to every
+    # codeword; flattened to [M*C, Qb] the one-hot matmul sums exactly the
+    # M entries classic ADC gathers per row
+    qsub = qu.reshape(qb, m, ds)
+    t = jnp.einsum("qmd,mcd->mcq", qsub, codebooks,
+                   precision=EXACT, preferred_element_type=jnp.float32)
+    if method == "l2":
+        c2 = jnp.sum(codebooks * codebooks, axis=-1)      # [M, C]
+        t = 2.0 * t - c2[:, :, None]
+    elif method != "cosine":
+        raise ValueError(f"Unknown method: {method}")
+    t_flat = t.reshape(m * c, qb)
+    # "bfloat16": bf16 operands (the fast MXU path) — and, as important,
+    # a bf16 one-hot block, halving the HBM round-trip of the scan's only
+    # large intermediate. XLA:CPU has no bf16 dot thunk, so tests emulate
+    # with rounded-to-bf16 values in an f32 dot (same table rounding, same
+    # single-pass semantics). "float32" forces exact multi-pass scoring
+    # for oracle parity.
+    if score_dtype == "bfloat16":
+        dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        t_flat, prec = t_flat.astype(jnp.bfloat16).astype(dt), None
+    elif score_dtype == "float32":
+        dt, prec = jnp.float32, EXACT
+    else:
+        raise ValueError(f"Unknown score_dtype: {score_dtype}")
+    code_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+    nb = min(nb, n)
+    n_chunks = -(-n // nb)
+
+    def body(i, carry):
+        best_s, best_i = carry
+        start = i * nb
+        # the final chunk's start clamps back so the slice stays in
+        # bounds; rows re-scored from the previous chunk mask to -inf
+        base = jnp.minimum(start, n - nb)
+        cc = jax.lax.dynamic_slice(codes, (base, 0), (nb, m))
+        # one-hot [nb, M, C] -> [nb, M*C]: exactly one 1 per (row, m), so
+        # the matmul against the flattened tables sums the M ADC entries
+        oh = (cc.astype(jnp.int32)[:, :, None] == code_iota).astype(dt)
+        s = jnp.dot(oh.reshape(nb, m * c), t_flat,
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                        # [nb, Qb]
+        ids = base + jnp.arange(nb, dtype=jnp.int32)
+        s = jnp.where((ids >= start)[None, :], s.T, -jnp.inf)  # [Qb, nb]
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids[None, :], (qb, nb))], axis=1)
+        best_s, sel = jax.lax.top_k(cat_s, k)
+        return best_s, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((qb, k), -jnp.inf, jnp.float32),
+            jnp.zeros((qb, k), jnp.int32))
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def pq_fit(
+    db,
+    m: int,
+    *,
+    n_codes: int = 256,
+    method: str = "l2",
+    max_iters: int = 25,
+    seed: int = 0,
+    train_rows: int = 1 << 18,
+    encode_block: int = 1 << 16,
+) -> PQIndex:
+    """Train per-subspace codebooks and encode ``db`` [N, D] (numpy or
+    memmap; D must divide into ``m`` equal subspaces).
+
+    Training k-means runs as ONE vmapped program over all M subspaces
+    (ops/kmeans.py, euclidean mode — the standard PQ objective regardless
+    of search method) on a uniform row sample of at most ``train_rows``.
+    Encoding streams the database through the device in chunks; the
+    returned index holds only codebooks + uint8 codes.
+    """
+    if method not in ("cosine", "l2"):
+        raise ValueError(f"method must be 'cosine' or 'l2', got {method!r}")
+    if not 2 <= n_codes <= 256:
+        raise ValueError(f"n_codes must be in [2, 256], got {n_codes}")
+    n, d = db.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into m={m} subspaces")
+    if n < n_codes:
+        raise ValueError(f"need >= n_codes={n_codes} rows, got {n}")
+    ds = d // m
+    from anyloc_tpu.ops.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(seed)
+    if n > train_rows:
+        sample = np.asarray(
+            db[np.sort(rng.choice(n, train_rows, replace=False))], np.float32)
+    else:
+        sample = np.asarray(db, np.float32)
+    sub = jnp.asarray(sample.reshape(-1, m, ds).transpose(1, 0, 2))  # [M,S,ds]
+    keys = jax.random.split(jax.random.PRNGKey(seed), m)
+    fit = partial(kmeans_fit, n_clusters=n_codes, mode="euclidean",
+                  max_iters=max_iters)
+    codebooks, _ = jax.vmap(fit)(keys, sub)                 # [M, C, ds]
+
+    codes = np.empty((n, m), np.uint8)
+    enc = jax.jit(_pq_assign)
+    for i0 in range(0, n, encode_block):
+        chunk = jnp.asarray(np.asarray(db[i0:i0 + encode_block], np.float32))
+        codes[i0:i0 + chunk.shape[0]] = np.asarray(enc(codebooks, chunk))
+    return PQIndex(codebooks=codebooks, codes=jnp.asarray(codes),
+                   method=method)
+
+
+def _pq_assign(codebooks, x):
+    """Nearest codeword per subspace: x [B, D] -> codes [B, M] uint8."""
+    mm, _, ds = codebooks.shape
+    xs = x.reshape(x.shape[0], mm, ds)
+    xc = jnp.einsum("bmd,mcd->bmc", xs, codebooks,
+                    precision=EXACT, preferred_element_type=jnp.float32)
+    c2 = jnp.sum(codebooks * codebooks, axis=-1)            # [M, C]
+    return jnp.argmax(2.0 * xc - c2[None], axis=-1).astype(jnp.uint8)
+
+
+def pq_encode(codebooks, x) -> jnp.ndarray:
+    """Public encoder (e.g. for adding rows): [B, D] -> [B, M] uint8."""
+    return jax.jit(_pq_assign)(codebooks, jnp.asarray(x, jnp.float32))
+
+
+def _npz_path(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def save_pq(index: PQIndex, path: str) -> None:
+    np.savez_compressed(
+        _npz_path(path),
+        codebooks=np.asarray(index.codebooks),
+        codes=np.asarray(index.codes),
+        method=np.asarray(index.method),
+    )
+
+
+def load_pq(path: str) -> PQIndex:
+    z = np.load(_npz_path(path), allow_pickle=False)
+    return PQIndex(
+        codebooks=jnp.asarray(z["codebooks"]),
+        codes=jnp.asarray(z["codes"]),
+        method=str(z["method"]),
+    )

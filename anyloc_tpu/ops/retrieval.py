@@ -239,6 +239,8 @@ def get_top_k_recall(
     score_dtype: str = "float32",
     ivf_index=None,
     n_probe: int = 8,
+    pq_index=None,
+    pq_m: int = 64,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[int, float]]:
     """Drop-in equivalent of the reference's ``get_top_k_recall``
     (utilities.py:390-469): returns (distances [Q, max(top_k)],
@@ -247,10 +249,13 @@ def get_top_k_recall(
     ``engine``: "device" (TPU matmul + lax.top_k, database resident in HBM),
     "blocked" (database streamed through the device shard-by-shard — for
     databases beyond device memory), "native" (the C++ exact-NN library,
-    anyloc_tpu.native — host-side FAISS stand-in), or "ivf" (approximate
+    anyloc_tpu.native — host-side FAISS stand-in), "ivf" (approximate
     probed search, ops/ivf.py — the IndexIVFFlat counterpart for
     million-row databases; pass a prebuilt ``ivf_index`` to amortize the
-    fit, and tune ``n_probe``)."""
+    fit, and tune ``n_probe``), or "pq" (compressed-database ADC search,
+    ops/pq.py — the IndexPQ counterpart for databases past HBM even at
+    int8; pass a prebuilt ``pq_index`` or tune ``pq_m`` bytes/row).
+    """
     del use_gpu
     if score_dtype != "float32" and engine == "ivf":
         # same contract as blocked/native: a silently ignored score_dtype
@@ -258,6 +263,34 @@ def get_top_k_recall(
         raise ValueError(
             "score_dtype is only supported by the 'device' engine; the ivf "
             "engine scores in float32")
+    if engine == "pq":
+        from anyloc_tpu.ops.pq import pq_fit
+
+        qu = np.asarray(qu, np.float32)
+        if qu.ndim == 1:
+            qu = qu[None, :]
+        if norm_descs:
+            qu = qu / np.maximum(
+                np.linalg.norm(qu, axis=-1, keepdims=True), 1e-12)
+        if pq_index is None:
+            db = np.asarray(db, np.float32)
+            if norm_descs:
+                db = db / np.maximum(
+                    np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
+            pq_index = pq_fit(db, pq_m, method=method)
+        # PQ has its own MXU fast path, so score_dtype passes through
+        dists, indices = pq_index.search(
+            qu, int(max(top_k)), score_dtype=score_dtype)
+        dists, indices = np.asarray(dists), np.asarray(indices)
+        if method == "l2":
+            # PQIndex.search scores -||q-x̂||^2 + ||q||^2 (higher=better);
+            # the exact engines return POSITIVE squared distances
+            dists = np.sum(qu * qu, axis=1, keepdims=True) - dists
+        recalls = compute_recalls(
+            indices, gt_pos, top_k, use_percentage,
+            sub_sample_db, sub_sample_qu
+        )
+        return dists, indices, recalls
     if engine == "ivf":
         from anyloc_tpu.ops.ivf import ivf_fit
 

@@ -147,9 +147,8 @@ class _Batcher:
             kpad = min(kpad, svc.db.shape[0])
             rows = [i for i, _ in searches]
             qu = vlads[(rows + [0] * (bucket - len(rows)))[:bucket]]
-            if svc.index is not None:
-                s, idx = svc.index.search(qu, kpad,
-                                          n_probe=svc.args.n_probe)
+            if svc.index_search is not None:
+                s, idx = svc.index_search(qu, kpad)
             else:
                 from anyloc_tpu.ops.retrieval import top_k_search
 
@@ -183,12 +182,33 @@ class _Service:
         self.db = None
         self.db_dev = None
         self.index = None
+        self.index_search = None
+        self.engine = "device"
         if args.db:
             self.db = np.load(args.db).astype(np.float32)
+            if getattr(args, "ivf", False) and getattr(args, "pq", False):
+                raise ValueError("--ivf and --pq are mutually exclusive")
             if args.ivf:
                 from anyloc_tpu.ops.ivf import ivf_fit
 
                 self.index = ivf_fit(self.db, method="cosine")
+                self.index_search = lambda qu, k: self.index.search(
+                    qu, k, n_probe=args.n_probe)
+                self.engine = "ivf"
+            elif getattr(args, "pq", False):
+                # compressed database: HBM holds pq_m bytes/row instead of
+                # 4*dim — the >HBM serving regime (ops/pq.py)
+                from anyloc_tpu.ops.pq import pq_fit
+
+                # n_codes clamps to the row count so tiny databases still
+                # serve (PQ quality needs rows >> codes; that is the
+                # operator's dial, not a startup failure)
+                self.index = pq_fit(self.db, getattr(args, "pq_m", 64),
+                                    n_codes=min(256, self.db.shape[0]),
+                                    method="cosine")
+                self.index_search = lambda qu, k: self.index.search(
+                    jnp.asarray(qu), k)
+                self.engine = "pq"
             else:
                 # device-resident once — the daemon's point is resident state
                 self.db_dev = jnp.asarray(self.db)
@@ -220,6 +240,10 @@ class _Service:
                 # k=8 matches the live path's power-of-two k padding
                 s, _ = top_k_search(self.db_dev, self.jnp.asarray(
                     np.asarray(vlads)), min(8, self.db.shape[0]))
+                np.asarray(s)
+            elif self.index_search is not None:
+                s, _ = self.index_search(np.asarray(vlads),
+                                         min(8, self.db.shape[0]))
                 np.asarray(s)
             else:
                 np.asarray(vlads)
@@ -295,7 +319,7 @@ def make_handler(svc: _Service):
                     "clusters": svc.args.num_clusters,
                     "quant": svc.args.quant,
                     "db_rows": 0 if svc.db is None else int(svc.db.shape[0]),
-                    "engine": "ivf" if svc.index is not None else "device",
+                    "engine": svc.engine,
                     "max_batch": svc.batcher.max_batch,
                 })
             elif path == "/stats":
@@ -379,6 +403,11 @@ def main(argv=None) -> int:
     p.add_argument("--ivf", action="store_true",
                    help="serve /search through the IVF index (large dbs)")
     p.add_argument("--n-probe", type=int, default=8)
+    p.add_argument("--pq", action="store_true",
+                   help="serve /search through a PQ-compressed database "
+                        "(ops/pq.py; databases past HBM)")
+    p.add_argument("--pq-m", type=int, default=64,
+                   help="PQ subquantizers = bytes per database row")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)

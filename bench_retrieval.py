@@ -35,6 +35,12 @@ def main():
     p.add_argument("--stream-dtype", default="float32",
                    choices=["float32", "bfloat16", "int8"],
                    help="blocked-engine streaming dtype (bandwidth knob)")
+    p.add_argument("--pq-m", type=int, default=64,
+                   help="pq engine: subquantizers (bytes/row)")
+    p.add_argument("--pq-db-block", type=int, default=8192,
+                   help="pq engine: database rows per ADC matmul chunk")
+    p.add_argument("--pq-score-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
@@ -45,7 +51,8 @@ def main():
     rng = np.random.default_rng(0)
     db = rng.standard_normal((args.n_db, args.dim)).astype(np.float32)
     db /= np.linalg.norm(db, axis=1, keepdims=True)
-    qu = db[rng.choice(args.n_db, args.n_qu, replace=False)]
+    qu_rows = rng.choice(args.n_db, args.n_qu, replace=False)
+    qu = db[qu_rows]
 
     results = {}
     if "device" in args.engines:
@@ -107,6 +114,52 @@ def main():
             dt = time.perf_counter() - t0
             best = max(best, args.n_qu * iters / dt)
         results[f"ivf_p{args.n_probe}"] = best
+    if "pq" in args.engines:
+        from anyloc_tpu.ops.pq import pq_fit
+
+        index = pq_fit(db, args.pq_m, method="cosine")
+        del db  # the point of PQ: original vectors are not kept
+        iters = 10
+        quj = jnp.asarray(qu)
+
+        def pq_once(pert):
+            s, i = index.search(
+                quj + pert, args.k, query_block=min(256, args.n_qu),
+                db_block=args.pq_db_block, score_dtype=args.pq_score_dtype)
+            return float(jnp.sum(s[:, 0]))
+
+        pq_once(0.0)  # compile + warm
+        best = 0.0
+        for r in range(3):
+            t0 = time.perf_counter()
+            acc = 0.0
+            for it in range(iters):
+                acc += pq_once((r * iters + it) * 1e-6)
+            dt = time.perf_counter() - t0
+            best = max(best, args.n_qu * iters / dt)
+        # quality axis: queries ARE database rows, so exact top-1 is the
+        # row itself — report how often PQ keeps it in the top-k
+        n_chk = min(256, args.n_qu)
+        _, i_pq = index.search(qu[:n_chk], args.k,
+                               score_dtype=args.pq_score_dtype)
+        i_pq = np.asarray(i_pq)
+        hits = [qu_rows[q] in set(i_pq[q].tolist()) for q in range(n_chk)]
+        results[f"pq{args.pq_m}"] = best
+        print(json.dumps({
+            "metric": f"pq{args.pq_m}_self_recall_at_{args.k}",
+            "value": round(float(np.mean(hits)), 4),
+            "unit": f"fraction of {n_chk} db-row queries whose own row "
+                    f"survives in the PQ top-{args.k}",
+            "vs_baseline": None,
+        }))
+        mem_mb = index.codes.size / 2**20
+        print(json.dumps({
+            "metric": f"pq{args.pq_m}_codes_mb",
+            "value": round(mem_mb, 1),
+            "unit": f"MB on-chip ({args.n_db} rows; f32 db would be "
+                    f"{args.n_db * args.dim * 4 / 2**30:.1f} GB)",
+            "vs_baseline": None,
+        }))
     if "native" in args.engines:
         from anyloc_tpu import native
 

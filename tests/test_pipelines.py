@@ -377,6 +377,63 @@ def test_serve_http_e2e(tmp_path):
         server.shutdown()
 
 
+def test_serve_http_pq_engine(tmp_path):
+    """--pq serving mode: /search rides the PQ-compressed database
+    (engine reported in /health; neighbors come back from ADC search)."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines import serve_http
+
+    rng = np.random.default_rng(9)
+    vdir = tmp_path / "vocab"
+    VLAD(4, cache_dir=str(vdir)).fit(
+        rng.standard_normal((120, 384)).astype(np.float32))
+    db = rng.standard_normal((48, 4 * 384)).astype(np.float32)
+    np.save(tmp_path / "db.npy", db)
+
+    import argparse
+
+    args = argparse.Namespace(
+        model="dinov2_vits14", layer=5, facet="value", num_clusters=4,
+        vocab_dir=str(vdir), checkpoint=None, quant=None, max_img_size=84,
+        db=str(tmp_path / "db.npy"), ivf=False, n_probe=4,
+        pq=True, pq_m=16, host="127.0.0.1", port=0,
+    )
+    server = serve_http.build_server(args)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["engine"] == "pq" and h["db_rows"] == 48
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            (rng.random((70, 84, 3)) * 255).astype(np.uint8)
+        ).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search?k=3", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["ids"]) == 3 and len(set(out["ids"])) == 3
+        assert all(0 <= i < 48 for i in out["ids"])
+    finally:
+        server.shutdown()
+    # --ivf and --pq together must fail fast, not silently pick one
+    args.ivf = True
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        serve_http.build_server(args)
+
+
 def test_serve_http_batched_dispatch(tmp_path):
     """Concurrent requests coalesce into one device batch (the round-3
     serving upgrade): N parallel /search requests with a generous batch

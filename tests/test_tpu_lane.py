@@ -299,6 +299,29 @@ def test_ivf_engine_on_tpu(data):
 
 
 @requires_tpu
+def test_pq_engine_on_tpu(data):
+    """PQ ADC (one-hot matmul scan) on the real chip: must equal the exact
+    search over its own reconstructions, and the bf16 table path must
+    agree with f32 scoring on separated data."""
+    import numpy as np
+
+    from anyloc_tpu.ops.pq import pq_fit
+    from anyloc_tpu.ops.retrieval import top_k_search
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((4096, 128)).astype(np.float32)
+    qu = db[::256] + 0.01 * rng.standard_normal((16, 128)).astype(np.float32)
+    index = pq_fit(db, m=16, n_codes=64, seed=1)
+    s_pq, i_pq = index.search(qu, 5, db_block=1024)
+    _, i_ex = top_k_search(
+        jnp.asarray(index.decode()), jnp.asarray(qu), 5, method="l2")
+    np.testing.assert_array_equal(np.asarray(i_pq), np.asarray(i_ex))
+    _, i_bf = index.search(qu, 5, db_block=1024, score_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(i_bf[:, 0]),
+                                  np.asarray(i_pq[:, 0]))
+
+
+@requires_tpu
 def test_roofline_kernels_at_ceiling():
     """The per-kernel roofline proof (round-3 verdict item 1): the fused
     int8 halves and the in-trunk block must sustain their RECORDED ceilings
