@@ -14,17 +14,24 @@ distance, ADC).
 
 ADC is a gather workload on CPU/GPU (SIMD shuffles / shared-memory LUTs).
 TPUs hate gathers — so the scan here is reformulated for the MXU with NO
-gather at all:
+gather at all, in two interchangeable forms (``search(scan=...)``):
 
-  * tables: one einsum ``[Qb, M, ds] x [M, C, ds] -> [M, C, Qb]`` (tiny).
-  * scan:  codes one-hot-expand on the VPU (an iota compare) to
-    ``[nb, M*C]`` and hit the flattened tables with ONE matmul
-    ``[nb, M*C] @ [M*C, Qb]`` per database chunk — contraction M*C
-    (16384 for PQ64) keeps the MXU deep, and the one-hot rows select
-    exactly the M table entries ADC would have gathered.
+  * "tables" (small query batches): per-query lookup tables
+    ``[Qb, M, ds] x [M, C, ds] -> [M, C, Qb]`` (tiny), then codes
+    one-hot-expand on the VPU (an iota compare) to ``[nb, M*C]`` and hit
+    the flattened tables with ONE matmul ``[nb, M*C] @ [M*C, Qb]`` per
+    database chunk — the one-hot rows select exactly the M table entries
+    ADC would have gathered. Cost: nb x (M*C) x Qb MACs.
+  * "decode" (batched queries): the same one-hot instead reconstructs the
+    chunk rows (``[nb, M, C] x [M, C, ds]``, query-independent) and the
+    reconstruction dots the queries — q.x̂ IS the ADC table sum, and the
+    C-fold compute inflation of per-query tables drops out. Cost:
+    nb x D x (C + Qb) MACs — ~M*C/(D) = C/ds times cheaper per query at
+    large Qb (16x for PQ64 @ 512d); crossover near Qb = ds.
 
 Chunks merge through a running top-k (same pattern as the streaming
-engine), so HBM holds only the uint8 codes plus one [nb, Qb] score block.
+engine), so HBM holds only the uint8 codes plus one [nb, Qb] score block
+(and the transient one-hot, which XLA materializes per chunk).
 
 Regime guidance (docs/PERFORMANCE.md "PQ"): exact search wins wherever the
 database fits HBM at a usable dtype; PQ is the single-chip route past that
@@ -76,15 +83,26 @@ class PQIndex:
 
     def search(self, qu, k: int, query_block: int = 256,
                db_block: int = 8192, score_dtype: str = "float32",
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               scan: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
         """ADC top-k. qu [Q, D] -> (scores [Q, k], indices [Q, k]).
 
         Scores are the asymmetric PQ approximation of the exact engine's
         (higher is better; for "l2" they are -||q-x̂||^2 + ||q||^2 —
         identical ranking, shifted value). ``score_dtype`` is the operand
-        dtype of the one-hot matmul: "float32" reproduces the ADC table
-        sums exactly; "bfloat16" rounds each table entry to bf16 before the
-        sum (~1e-2 relative) on the fast MXU path.
+        dtype of the one-hot matmuls: "float32" reproduces ADC exactly;
+        "bfloat16" rounds operands to bf16 (~1e-2 relative) on the fast
+        MXU path.
+
+        ``scan`` picks the ADC formulation (same math, different FLOPs):
+
+          * "tables": one-hot codes hit per-query lookup tables —
+            ``nb x (M*C) x Qb`` MACs. Wins for small query batches.
+          * "decode": one-hot codes reconstruct the chunk
+            (``nb x C x D`` MACs, query-independent) and the chunk dots
+            the queries (``nb x D x Qb``). The C-fold table inflation
+            drops out; wins once the query batch exceeds roughly the
+            subspace width ds = D/M (crossover Qb* = ds*C/(C-ds)).
+          * "auto": decode iff the padded query block > ds.
         """
         qu = jnp.asarray(qu, jnp.float32)
         n, d = self.n_rows, self.dim
@@ -96,6 +114,10 @@ class PQIndex:
                     jnp.zeros((0, k), jnp.int32))
         nb = int(min(db_block, max(1, n)))
         qb = int(min(query_block, qu.shape[0]))
+        if scan == "auto":
+            scan = "decode" if qb > d // self.m else "tables"
+        if scan not in ("tables", "decode"):
+            raise ValueError(f"Unknown scan: {scan!r}")
         outs, idxs = [], []
         for q0 in range(0, qu.shape[0], qb):
             blk = qu[q0:q0 + qb]
@@ -105,7 +127,7 @@ class PQIndex:
                     [blk, jnp.zeros((pad, d), jnp.float32)], axis=0)
             s, i = _pq_search_block(
                 self.codebooks, self.codes, blk, k=k, nb=nb,
-                method=self.method, score_dtype=score_dtype)
+                method=self.method, score_dtype=score_dtype, scan=scan)
             outs.append(s[:qb - pad] if pad else s)
             idxs.append(i[:qb - pad] if pad else i)
         return jnp.concatenate(outs, axis=0), jnp.concatenate(idxs, axis=0)
@@ -121,36 +143,53 @@ class PQIndex:
         return out.reshape(codes.shape[0], -1)
 
 
-@partial(jax.jit, static_argnames=("k", "nb", "method", "score_dtype"))
-def _pq_search_block(codebooks, codes, qu, *, k, nb, method, score_dtype):
+@partial(jax.jit,
+         static_argnames=("k", "nb", "method", "score_dtype", "scan"))
+def _pq_search_block(codebooks, codes, qu, *, k, nb, method, score_dtype,
+                     scan):
     m, c, ds = codebooks.shape
     n = codes.shape[0]
     qb = qu.shape[0]
-    # ADC tables [M, C, Qb]: similarity of every query subvector to every
-    # codeword; flattened to [M*C, Qb] the one-hot matmul sums exactly the
-    # M entries classic ADC gathers per row
-    qsub = qu.reshape(qb, m, ds)
-    t = jnp.einsum("qmd,mcd->mcq", qsub, codebooks,
-                   precision=EXACT, preferred_element_type=jnp.float32)
-    if method == "l2":
-        c2 = jnp.sum(codebooks * codebooks, axis=-1)      # [M, C]
-        t = 2.0 * t - c2[:, :, None]
-    elif method != "cosine":
+    if method not in ("l2", "cosine"):
         raise ValueError(f"Unknown method: {method}")
-    t_flat = t.reshape(m * c, qb)
     # "bfloat16": bf16 operands (the fast MXU path) — and, as important,
     # a bf16 one-hot block, halving the HBM round-trip of the scan's only
     # large intermediate. XLA:CPU has no bf16 dot thunk, so tests emulate
-    # with rounded-to-bf16 values in an f32 dot (same table rounding, same
+    # with rounded-to-bf16 values in an f32 dot (same rounding, same
     # single-pass semantics). "float32" forces exact multi-pass scoring
     # for oracle parity.
     if score_dtype == "bfloat16":
         dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-        t_flat, prec = t_flat.astype(jnp.bfloat16).astype(dt), None
+        prec = None
+
+        def cast(x):
+            return x.astype(jnp.bfloat16).astype(dt)
     elif score_dtype == "float32":
         dt, prec = jnp.float32, EXACT
+
+        def cast(x):
+            return x
     else:
         raise ValueError(f"Unknown score_dtype: {score_dtype}")
+
+    if scan == "tables":
+        # ADC tables [M, C, Qb]: similarity of every query subvector to
+        # every codeword; flattened to [M*C, Qb] the one-hot matmul sums
+        # exactly the M entries classic ADC gathers per row
+        qsub = qu.reshape(qb, m, ds)
+        t = jnp.einsum("qmd,mcd->mcq", qsub, codebooks,
+                       precision=EXACT, preferred_element_type=jnp.float32)
+        if method == "l2":
+            c2 = jnp.sum(codebooks * codebooks, axis=-1)      # [M, C]
+            t = 2.0 * t - c2[:, :, None]
+        t_flat = cast(t.reshape(m * c, qb))
+    else:
+        # decode scan: chunk rows reconstruct via the same one-hot
+        # (query-independent, C*D MACs/row) and dot the queries directly
+        # (D*Qb MACs/row) — q.x̂ = sum_m q_m.c_m is EXACTLY the ADC table
+        # sum, without the C-fold compute inflation of per-query tables
+        cb = cast(codebooks)
+        quT = cast(qu.T)                                      # [D, Qb]
     code_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
     nb = min(nb, n)
     n_chunks = -(-n // nb)
@@ -162,12 +201,22 @@ def _pq_search_block(codebooks, codes, qu, *, k, nb, method, score_dtype):
         # bounds; rows re-scored from the previous chunk mask to -inf
         base = jnp.minimum(start, n - nb)
         cc = jax.lax.dynamic_slice(codes, (base, 0), (nb, m))
-        # one-hot [nb, M, C] -> [nb, M*C]: exactly one 1 per (row, m), so
-        # the matmul against the flattened tables sums the M ADC entries
+        # one-hot [nb, M, C]: exactly one 1 per (row, m)
         oh = (cc.astype(jnp.int32)[:, :, None] == code_iota).astype(dt)
-        s = jnp.dot(oh.reshape(nb, m * c), t_flat,
-                    preferred_element_type=jnp.float32,
-                    precision=prec)                        # [nb, Qb]
+        if scan == "tables":
+            s = jnp.dot(oh.reshape(nb, m * c), t_flat,
+                        preferred_element_type=jnp.float32,
+                        precision=prec)                        # [nb, Qb]
+        else:
+            xhat = jnp.einsum(
+                "nmc,mcd->nmd", oh, cb, precision=prec,
+                preferred_element_type=jnp.float32).reshape(nb, m * ds)
+            s = jnp.dot(cast(xhat), quT, precision=prec,
+                        preferred_element_type=jnp.float32)    # [nb, Qb]
+            if method == "l2":
+                # subspaces are disjoint coordinates, so the decoded row
+                # norm IS the per-subspace codeword-norm sum of ADC
+                s = 2.0 * s - jnp.sum(xhat * xhat, axis=-1)[:, None]
         ids = base + jnp.arange(nb, dtype=jnp.int32)
         s = jnp.where((ids >= start)[None, :], s.T, -jnp.inf)  # [Qb, nb]
         cat_s = jnp.concatenate([best_s, s], axis=1)

@@ -41,6 +41,9 @@ def main():
                    help="pq engine: database rows per ADC matmul chunk")
     p.add_argument("--pq-score-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--pq-scan", default="auto",
+                   choices=["auto", "tables", "decode"],
+                   help="pq engine: ADC formulation (ops/pq.py)")
     args = p.parse_args()
 
     import jax
@@ -125,7 +128,8 @@ def main():
         def pq_once(pert):
             s, i = index.search(
                 quj + pert, args.k, query_block=min(256, args.n_qu),
-                db_block=args.pq_db_block, score_dtype=args.pq_score_dtype)
+                db_block=args.pq_db_block, score_dtype=args.pq_score_dtype,
+                scan=args.pq_scan)
             return float(jnp.sum(s[:, 0]))
 
         pq_once(0.0)  # compile + warm
@@ -144,7 +148,7 @@ def main():
                                score_dtype=args.pq_score_dtype)
         i_pq = np.asarray(i_pq)
         hits = [qu_rows[q] in set(i_pq[q].tolist()) for q in range(n_chk)]
-        results[f"pq{args.pq_m}"] = best
+        results[f"pq{args.pq_m}_{args.pq_scan}"] = best
         print(json.dumps({
             "metric": f"pq{args.pq_m}_self_recall_at_{args.k}",
             "value": round(float(np.mean(hits)), 4),

@@ -38,15 +38,34 @@ def fitted():
 
 
 class TestADC:
+    @pytest.mark.parametrize("scan", ["tables", "decode"])
     @pytest.mark.parametrize("method", ["l2", "cosine"])
-    def test_scores_match_numpy_oracle(self, fitted, method):
+    def test_scores_match_numpy_oracle(self, fitted, method, scan):
         db, qu, base = fitted
         index = PQIndex(base.codebooks, base.codes, method=method)
         want = _np_adc(index, qu)
-        s, idx = index.search(qu, k=db.shape[0])
+        s, idx = index.search(qu, k=db.shape[0], scan=scan)
         got = np.full_like(want, np.nan)
         np.put_along_axis(got, np.asarray(idx), np.asarray(s), axis=1)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_scan_modes_agree_and_auto_dispatch(self, fitted):
+        """The two ADC formulations are the same math: full-k score parity;
+        'auto' picks decode above Qb = ds and tables at tiny batches, and
+        unknown modes fail fast."""
+        db, qu, index = fitted
+        s_t, i_t = index.search(qu, k=12, scan="tables")
+        s_d, i_d = index.search(qu, k=12, scan="decode")
+        np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_d))
+        np.testing.assert_allclose(np.asarray(s_t), np.asarray(s_d),
+                                   rtol=1e-5, atol=1e-5)
+        s_a, i_a = index.search(qu, k=12, scan="auto")
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_t))
+        s_1, _ = index.search(qu[:1], k=12, scan="auto")  # qb=1 <= ds: tables
+        np.testing.assert_allclose(np.asarray(s_1[0]), np.asarray(s_a[0]),
+                                   rtol=1e-5, atol=1e-5)
+        with pytest.raises(ValueError, match="scan"):
+            index.search(qu, k=3, scan="simd")
 
     def test_scores_match_decoded_exact_search(self, fitted):
         """ADC == exact search over the reconstructions, up to the constant
@@ -62,12 +81,16 @@ class TestADC:
         np.testing.assert_allclose(
             np.asarray(s_pq), q2 - np.asarray(s_ex), rtol=1e-4, atol=1e-4)
 
-    def test_bfloat16_score_path(self, fitted):
+    @pytest.mark.parametrize("scan", ["tables", "decode"])
+    def test_bfloat16_score_path(self, fitted, scan):
         db, qu, index = fitted
-        s32, i32 = index.search(qu, k=10)
-        sbf, _ = index.search(qu, k=10, score_dtype="bfloat16")
+        s32, i32 = index.search(qu, k=10, scan=scan)
+        sbf, _ = index.search(qu, k=10, score_dtype="bfloat16", scan=scan)
+        # decode rounds twice (x̂, then the dot) and l2 scores cancel, so
+        # its band is wider than the single-rounding tables path
+        tol = 3e-2 if scan == "tables" else 1e-1
         np.testing.assert_allclose(
-            np.asarray(sbf), np.asarray(s32), rtol=3e-2, atol=3e-2)
+            np.asarray(sbf), np.asarray(s32), rtol=tol, atol=tol)
         assert np.mean(np.asarray(i32[:, 0]) ==
                        np.asarray(index.search(
                            qu, k=1, score_dtype="bfloat16")[1][:, 0])) >= 0.7
