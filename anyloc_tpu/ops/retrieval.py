@@ -241,6 +241,7 @@ def get_top_k_recall(
     n_probe: int = 8,
     pq_index=None,
     pq_m: int = 64,
+    ivf_pq_index=None,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[int, float]]:
     """Drop-in equivalent of the reference's ``get_top_k_recall``
     (utilities.py:390-469): returns (distances [Q, max(top_k)],
@@ -252,11 +253,39 @@ def get_top_k_recall(
     anyloc_tpu.native — host-side FAISS stand-in), "ivf" (approximate
     probed search, ops/ivf.py — the IndexIVFFlat counterpart for
     million-row databases; pass a prebuilt ``ivf_index`` to amortize the
-    fit, and tune ``n_probe``), or "pq" (compressed-database ADC search,
+    fit, and tune ``n_probe``), "pq" (compressed-database ADC search,
     ops/pq.py — the IndexPQ counterpart for databases past HBM even at
-    int8; pass a prebuilt ``pq_index`` or tune ``pq_m`` bytes/row).
+    int8; pass a prebuilt ``pq_index`` or tune ``pq_m`` bytes/row), or
+    "ivf_pq" (probed cells + residual PQ codes, ops/ivf_pq.py — the
+    IndexIVFPQ counterpart for >=1M rows at small/mid query batch; pass a
+    prebuilt ``ivf_pq_index`` or tune ``pq_m`` + ``n_probe``).
     """
     del use_gpu
+    if engine == "ivf_pq":
+        from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
+
+        qu = np.asarray(qu, np.float32)
+        if qu.ndim == 1:
+            qu = qu[None, :]
+        if norm_descs:
+            qu = qu / np.maximum(
+                np.linalg.norm(qu, axis=-1, keepdims=True), 1e-12)
+        if ivf_pq_index is None:
+            db = np.asarray(db, np.float32)
+            if norm_descs:
+                db = db / np.maximum(
+                    np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
+            ivf_pq_index = ivf_pq_fit(db, m=pq_m, method=method)
+        # l2 already returns positive squared distances (ops/ivf_pq.py);
+        # score_dtype passes through to the one-hot matmuls
+        dists, indices = ivf_pq_index.search(
+            qu, int(max(top_k)), n_probe=n_probe, score_dtype=score_dtype)
+        dists, indices = np.asarray(dists), np.asarray(indices)
+        recalls = compute_recalls(
+            indices, gt_pos, top_k, use_percentage,
+            sub_sample_db, sub_sample_qu
+        )
+        return dists, indices, recalls
     if score_dtype != "float32" and engine == "ivf":
         # same contract as blocked/native: a silently ignored score_dtype
         # would misreport what ran

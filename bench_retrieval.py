@@ -44,6 +44,10 @@ def main():
     p.add_argument("--pq-scan", default="auto",
                    choices=["auto", "tables", "decode"],
                    help="pq engine: ADC formulation (ops/pq.py)")
+    p.add_argument("--query-batch", type=int, default=None,
+                   help="queries per search call for ivf/pq/ivf_pq "
+                        "(default: min(256, n_qu)); the small-batch "
+                        "serving regime is --query-batch 8")
     args = p.parse_args()
 
     import jax
@@ -91,79 +95,100 @@ def main():
                                     stream_dtype=args.stream_dtype)
         dt = time.perf_counter() - t0
         results[f"blocked_{args.stream_dtype}"] = args.n_qu / dt
+    qbatch = args.query_batch or min(256, args.n_qu)
+
+    def timed_qps(search_batch):
+        """Best-of-3 qps over the full query set in ``qbatch`` slices —
+        each slice is a separate search call (one dispatch+sync), so small
+        --query-batch measures the true serving regime. Perturbations
+        happen ON DEVICE (no host add / re-upload)."""
+        quj = jnp.asarray(qu)
+        iters = max(1, 10 // max(1, args.n_qu // qbatch))
+        search_batch(quj[:qbatch], 0.0)  # compile + warm
+        best = 0.0
+        for r in range(3):
+            t0 = time.perf_counter()
+            for it in range(iters):
+                acc = 0.0
+                for q0 in range(0, args.n_qu, qbatch):
+                    acc += search_batch(quj[q0:q0 + qbatch],
+                                        (r * iters + it) * 1e-6)
+            dt = time.perf_counter() - t0
+            best = max(best, args.n_qu * iters / dt)
+        return best
+
     if "ivf" in args.engines:
         from anyloc_tpu.ops.ivf import ivf_fit
 
         index = ivf_fit(db, args.n_cells, bucket_factor=2.0)
-        iters = 10
-        quj = jnp.asarray(qu)  # device-resident, like the device engine
 
-        def ivf_once(pert):
-            # perturbation happens ON DEVICE (no host add / re-upload);
-            # unlike the device engine's in-jit fori_loop this still pays
-            # one dispatch+sync per iteration — ivf numbers are a mild
-            # UNDERestimate relative to that harness
-            s, i = index.search(quj + pert, args.k, n_probe=args.n_probe,
-                                query_block=min(256, args.n_qu))
+        def ivf_once(q, pert):
+            s, i = index.search(q + pert, args.k, n_probe=args.n_probe,
+                                query_block=min(256, qbatch))
             return float(jnp.sum(s[:, 0]))
 
-        ivf_once(0.0)  # compile + warm
-        best = 0.0
-        for r in range(3):
-            t0 = time.perf_counter()
-            acc = 0.0
-            for it in range(iters):
-                acc += ivf_once((r * iters + it) * 1e-6)
-            dt = time.perf_counter() - t0
-            best = max(best, args.n_qu * iters / dt)
-        results[f"ivf_p{args.n_probe}"] = best
-    if "pq" in args.engines:
-        from anyloc_tpu.ops.pq import pq_fit
-
-        index = pq_fit(db, args.pq_m, method="cosine")
-        del db  # the point of PQ: original vectors are not kept
-        iters = 10
-        quj = jnp.asarray(qu)
-
-        def pq_once(pert):
-            s, i = index.search(
-                quj + pert, args.k, query_block=min(256, args.n_qu),
-                db_block=args.pq_db_block, score_dtype=args.pq_score_dtype,
-                scan=args.pq_scan)
-            return float(jnp.sum(s[:, 0]))
-
-        pq_once(0.0)  # compile + warm
-        best = 0.0
-        for r in range(3):
-            t0 = time.perf_counter()
-            acc = 0.0
-            for it in range(iters):
-                acc += pq_once((r * iters + it) * 1e-6)
-            dt = time.perf_counter() - t0
-            best = max(best, args.n_qu * iters / dt)
-        # quality axis: queries ARE database rows, so exact top-1 is the
-        # row itself — report how often PQ keeps it in the top-k
+        results[f"ivf_p{args.n_probe}"] = timed_qps(ivf_once)
+    def quality_and_memory(tag, search_fn, codes_size):
+        """Self-recall + memory lines shared by the pq / ivf_pq engines:
+        queries ARE database rows, so exact top-1 is the row itself —
+        report how often the compressed engine keeps it in the top-k."""
         n_chk = min(256, args.n_qu)
-        _, i_pq = index.search(qu[:n_chk], args.k,
-                               score_dtype=args.pq_score_dtype)
-        i_pq = np.asarray(i_pq)
-        hits = [qu_rows[q] in set(i_pq[q].tolist()) for q in range(n_chk)]
-        results[f"pq{args.pq_m}_{args.pq_scan}"] = best
+        i_c = np.asarray(search_fn(qu[:n_chk]))
+        hits = [qu_rows[q] in set(i_c[q].tolist()) for q in range(n_chk)]
         print(json.dumps({
-            "metric": f"pq{args.pq_m}_self_recall_at_{args.k}",
+            "metric": f"{tag}_self_recall_at_{args.k}",
             "value": round(float(np.mean(hits)), 4),
             "unit": f"fraction of {n_chk} db-row queries whose own row "
-                    f"survives in the PQ top-{args.k}",
+                    f"survives in the {tag} top-{args.k}",
             "vs_baseline": None,
         }))
-        mem_mb = index.codes.size / 2**20
         print(json.dumps({
-            "metric": f"pq{args.pq_m}_codes_mb",
-            "value": round(mem_mb, 1),
+            "metric": f"{tag}_codes_mb",
+            "value": round(codes_size / 2**20, 1),
             "unit": f"MB on-chip ({args.n_db} rows; f32 db would be "
                     f"{args.n_db * args.dim * 4 / 2**30:.1f} GB)",
             "vs_baseline": None,
         }))
+
+    if "pq" in args.engines:
+        from anyloc_tpu.ops.pq import pq_fit
+
+        index = pq_fit(db, args.pq_m, method="cosine")
+
+        def pq_once(q, pert):
+            s, i = index.search(
+                q + pert, args.k, query_block=min(256, qbatch),
+                db_block=args.pq_db_block, score_dtype=args.pq_score_dtype,
+                scan=args.pq_scan)
+            return float(jnp.sum(s[:, 0]))
+
+        results[f"pq{args.pq_m}_{args.pq_scan}"] = timed_qps(pq_once)
+        quality_and_memory(
+            f"pq{args.pq_m}",
+            lambda q: index.search(q, args.k,
+                                   score_dtype=args.pq_score_dtype)[1],
+            index.codes.size)
+        del index
+    if "ivf_pq" in args.engines:
+        from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
+
+        index = ivf_pq_fit(db, args.n_cells, m=args.pq_m, method="cosine")
+
+        def ivf_pq_once(q, pert):
+            s, i = index.search(
+                q + pert, args.k, n_probe=args.n_probe,
+                query_block=min(16, qbatch),
+                score_dtype=args.pq_score_dtype)
+            return float(jnp.sum(s[:, 0]))
+
+        results[f"ivf_pq{args.pq_m}_p{args.n_probe}"] = timed_qps(ivf_pq_once)
+        quality_and_memory(
+            f"ivf_pq{args.pq_m}_p{args.n_probe}",
+            lambda q: index.search(q, args.k, n_probe=args.n_probe,
+                                   score_dtype=args.pq_score_dtype)[1],
+            index.codes.size + index.overflow_codes.size
+            + index.recon_sq.size * 4 + index.overflow_recon_sq.size * 4
+            + index.cells.size * 4)
     if "native" in args.engines:
         from anyloc_tpu import native
 

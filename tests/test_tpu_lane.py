@@ -322,6 +322,28 @@ def test_pq_engine_on_tpu(data):
 
 
 @requires_tpu
+def test_ivf_pq_engine_on_tpu(data):
+    """IVF-PQ (probed cells + residual codes, one-hot ADC) on the real
+    chip: full probe must equal exact search over its reconstructions,
+    and the bf16 path must agree at the top-1 on separated data."""
+    import numpy as np
+
+    from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
+    from anyloc_tpu.ops.retrieval import top_k_search
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((4096, 128)).astype(np.float32)
+    qu = db[::256] + 0.01 * rng.standard_normal((16, 128)).astype(np.float32)
+    index = ivf_pq_fit(db, n_cells=32, m=16, n_codes=64, seed=1)
+    s, i = index.search(qu, 5, n_probe=32, query_block=16)
+    _, i_ex = top_k_search(jnp.asarray(index.decode()), jnp.asarray(qu), 5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ex))
+    _, i_bf = index.search(qu, 5, n_probe=32, score_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(i_bf[:, 0]),
+                                  np.asarray(i[:, 0]))
+
+
+@requires_tpu
 def test_roofline_kernels_at_ceiling():
     """The per-kernel roofline proof (round-3 verdict item 1): the fused
     int8 halves and the in-trunk block must sustain their RECORDED ceilings
