@@ -47,7 +47,7 @@ import numpy as np
 class _Request:
     """One in-flight request parked on the batch queue."""
 
-    __slots__ = ("arr", "kind", "k", "event", "result", "error")
+    __slots__ = ("arr", "kind", "k", "event", "result", "error", "t_submit")
 
     def __init__(self, arr, kind: str, k: int = 0) -> None:
         self.arr = arr          # preprocessed [H, W, 3] f32
@@ -56,6 +56,7 @@ class _Request:
         self.event = threading.Event()
         self.result = None
         self.error: Optional[Exception] = None
+        self.t_submit = 0.0
 
 
 class _Batcher:
@@ -68,6 +69,15 @@ class _Batcher:
     and distributes per-request results. When the device is busy, arrivals
     accumulate naturally; ``window_s`` additionally lets an idle dispatcher
     linger for followers of the first request before launching.
+
+    The loop is a DEPTH-1 PIPELINE (the engine's extract pipeline pattern):
+    JAX dispatch is async, so group N's stack + H2D + program enqueue
+    overlaps group N-1's device compute; the only blocking point is the
+    result fetch (``np.asarray``) of the PREVIOUS group after the next one
+    is already on the device queue. Per-stage wall time accumulates into
+    ``stages`` (exposed at ``GET /stats``) so the request latency budget is
+    attributable: preprocess / queue_wait / stack / enqueue / device_sync
+    per dispatcher group, respond in the handler thread.
     """
 
     def __init__(self, svc: "_Service", max_batch: int, window_s: float) -> None:
@@ -78,10 +88,18 @@ class _Batcher:
         self.queue: list = []
         self.n_requests = 0
         self.n_batches = 0
+        self.stages: dict = {}
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
+    def acc(self, stage: str, seconds: float, n: int = 1) -> None:
+        """Accumulate ``seconds`` of wall time for one pipeline stage."""
+        with self.cv:
+            tot, cnt = self.stages.get(stage, (0.0, 0))
+            self.stages[stage] = (tot + seconds, cnt + n)
+
     def submit(self, req: _Request) -> _Request:
+        req.t_submit = time.monotonic()
         with self.cv:
             self.queue.append(req)
             self.cv.notify_all()
@@ -90,13 +108,18 @@ class _Batcher:
             raise req.error
         return req
 
-    def _take_group(self) -> list:
+    def _take_group(self, blocking: bool = True) -> list:
         with self.cv:
             while not self.queue:
+                if not blocking:
+                    return []
                 self.cv.wait()
             shape = self.queue[0].arr.shape
             same = lambda: [r for r in self.queue if r.arr.shape == shape]  # noqa: E731
-            if self.window_s > 0 and len(same()) < self.max_batch:
+            # the linger window only applies to an idle dispatcher; when
+            # pipelined behind in-flight device work (non-blocking take)
+            # arrivals have already accumulated naturally
+            if blocking and self.window_s > 0 and len(same()) < self.max_batch:
                 deadline = time.monotonic() + self.window_s
                 while len(same()) < self.max_batch:
                     left = deadline - time.monotonic()
@@ -108,21 +131,38 @@ class _Batcher:
                 self.queue.remove(r)
             self.n_requests += len(group)
             self.n_batches += 1
+        now = time.monotonic()
+        for r in group:
+            self.acc("queue_wait", now - r.t_submit)
         return group
 
     def _run(self) -> None:
+        pending = None  # (group, device-array state) awaiting its fetch
         while True:
-            group = self._take_group()
-            try:
-                self._process(group)
-            except Exception as e:  # per-request surfacing, daemon survives
-                for r in group:
-                    r.error = e
-            finally:
-                for r in group:
-                    r.event.set()
+            group = self._take_group(blocking=pending is None)
+            state = None
+            if group:
+                try:
+                    state = (group, self._dispatch(group))
+                except Exception as e:  # surface per-request, keep serving
+                    for r in group:
+                        r.error = e
+                        r.event.set()
+            if pending is not None:
+                pgroup, pstate = pending
+                try:
+                    self._finish(pgroup, pstate)
+                except Exception as e:
+                    for r in pgroup:
+                        r.error = e
+                finally:
+                    for r in pgroup:
+                        r.event.set()
+            pending = state
 
-    def _process(self, group: list) -> None:
+    def _dispatch(self, group: list) -> dict:
+        """Host-side assembly + async device enqueue — returns device
+        arrays WITHOUT waiting for them (jax dispatch is async)."""
         svc = self.svc
         n = len(group)
         # pad to a power-of-two bucket (repeat the last image) so the trunk
@@ -130,10 +170,14 @@ class _Batcher:
         bucket = 1
         while bucket < n:
             bucket *= 2
+        t0 = time.monotonic()
         batch = np.stack([r.arr for r in group]
                          + [group[-1].arr] * (bucket - n))
+        t1 = time.monotonic()
+        self.acc("stack", t1 - t0)
         descs = svc.extractor(svc.jnp.asarray(batch))
-        vlads = np.asarray(svc.vlad.aggregate(descs))[:n]
+        vlads = svc.vlad.aggregate(descs)
+        state = {"vlads": vlads, "n": n, "bucket": bucket}
         searches = [(i, r) for i, r in enumerate(group) if r.kind == "search"]
         if searches:
             # shape-stable search: the query block is padded to the full
@@ -146,20 +190,33 @@ class _Batcher:
                 kpad *= 2
             kpad = min(kpad, svc.db.shape[0])
             rows = [i for i, _ in searches]
-            qu = vlads[(rows + [0] * (bucket - len(rows)))[:bucket]]
+            sel = svc.jnp.asarray(
+                (rows + [0] * (bucket - len(rows)))[:bucket])
+            qu = vlads[sel]  # on-device row select keeps dispatch async
             if svc.index_search is not None:
                 s, idx = svc.index_search(qu, kpad)
             else:
                 from anyloc_tpu.ops.retrieval import top_k_search
 
-                s, idx = top_k_search(svc.db_dev, svc.jnp.asarray(qu), kpad)
-            s, idx = np.asarray(s), np.asarray(idx)
-            for row, (i, r) in enumerate(searches):
-                kk = min(r.k, kmax)
+                s, idx = top_k_search(svc.db_dev, qu, kpad)
+            state.update(searches=searches, kmax=kmax, s=s, idx=idx)
+        self.acc("enqueue", time.monotonic() - t1)
+        return state
+
+    def _finish(self, group: list, state: dict) -> None:
+        """Fetch the group's device results (the one blocking wait) and
+        distribute them per request."""
+        t0 = time.monotonic()
+        vlads = np.asarray(state["vlads"])[: state["n"]]
+        if "searches" in state:
+            s, idx = np.asarray(state["s"]), np.asarray(state["idx"])
+            for row, (i, r) in enumerate(state["searches"]):
+                kk = min(r.k, state["kmax"])
                 r.result = (s[row, :kk], idx[row, :kk])
         for i, r in enumerate(group):
             if r.kind == "describe":
                 r.result = vlads[i]
+        self.acc("device_sync", time.monotonic() - t0)
 
 
 class _Service:
@@ -284,14 +341,20 @@ class _Service:
         return preprocess_image(img, max_edge=self.args.max_img_size,
                                 crop_multiple=14)
 
+    def _timed_preprocess(self, image_bytes: bytes) -> np.ndarray:
+        t0 = time.monotonic()
+        arr = self._preprocess(image_bytes)
+        self.batcher.acc("preprocess", time.monotonic() - t0)
+        return arr
+
     def describe(self, image_bytes: bytes) -> np.ndarray:
-        req = _Request(self._preprocess(image_bytes), "describe")
+        req = _Request(self._timed_preprocess(image_bytes), "describe")
         return self.batcher.submit(req).result
 
     def search(self, image_bytes: bytes, k: int):
         if self.db is None:  # check BEFORE paying a trunk forward
             raise ValueError("no database loaded (--db)")
-        req = _Request(self._preprocess(image_bytes), "search", k=k)
+        req = _Request(self._timed_preprocess(image_bytes), "search", k=k)
         return self.batcher.submit(req).result
 
 
@@ -326,10 +389,20 @@ def make_handler(svc: _Service):
                 b = svc.batcher
                 with b.cv:
                     n_req, n_bat = b.n_requests, b.n_batches
+                    stages = dict(b.stages)
                 self._reply(200, {
                     "requests": n_req,
                     "batches": n_bat,
                     "mean_batch": (n_req / n_bat) if n_bat else 0.0,
+                    # per-stage latency budget: preprocess/queue_wait/
+                    # respond count per REQUEST, stack/enqueue/device_sync
+                    # per dispatcher GROUP — mean_ms x its count over the
+                    # request count attributes end-to-end latency
+                    "stages": {
+                        k: {"total_ms": round(tot * 1e3, 3), "count": cnt,
+                            "mean_ms": round(tot * 1e3 / cnt, 3)}
+                        for k, (tot, cnt) in sorted(stages.items())
+                    },
                 })
             else:
                 self._reply(404, {"error": "unknown path"})
@@ -346,15 +419,19 @@ def make_handler(svc: _Service):
                 path, _, query = self.path.partition("?")
                 if path == "/describe":
                     gd = svc.describe(data)
+                    t0 = time.monotonic()
                     self._reply(200, {"descriptor": gd.tolist()})
+                    svc.batcher.acc("respond", time.monotonic() - t0)
                 elif path == "/search":
                     k = 5
                     for part in query.split("&"):
                         if part.startswith("k="):
                             k = max(1, int(part[2:]))
                     s, i = svc.search(data, k)
+                    t0 = time.monotonic()
                     self._reply(200, {"ids": i.tolist(),
                                       "scores": s.tolist()})
+                    svc.batcher.acc("respond", time.monotonic() - t0)
                 else:
                     self._reply(404, {"error": "unknown path"})
             except Exception as e:  # surface errors as JSON, keep serving

@@ -45,9 +45,8 @@ def main():
                    choices=["auto", "tables", "decode"],
                    help="pq engine: ADC formulation (ops/pq.py)")
     p.add_argument("--query-batch", type=int, default=None,
-                   help="queries per search call for ivf/pq/ivf_pq "
-                        "(default: min(256, n_qu)); the small-batch "
-                        "serving regime is --query-batch 8")
+                   help="queries per search call (default: min(256, n_qu));"
+                        " the small-batch serving regime is --query-batch 8")
     args = p.parse_args()
 
     import jax
@@ -62,29 +61,39 @@ def main():
     qu = db[qu_rows]
 
     results = {}
-    if "device" in args.engines:
-        # Measurement hygiene (docs/PERFORMANCE.md): a single dispatch
-        # through the device tunnel is noise-dominated; loop inside one jit
-        # with a per-iteration input perturbation and consume the outputs.
-        dbj = jnp.asarray(db)
-        quj = jnp.asarray(qu)
-        iters = 10
+    qbatch = args.query_batch or min(256, args.n_qu)
+
+    def chip_qps(search_fn, iters=10):
+        """Chip-side qps at --query-batch: ``iters`` searches of one query
+        block inside ONE jit, per-iteration input perturbation, outputs
+        consumed through a dependent scalar — the measurement-hygiene
+        harness (docs/PERFORMANCE.md): single dispatches through the
+        device tunnel are noise-dominated, so dispatch/host overhead is
+        excluded here (that end-to-end story is docs/SERVING.md's)."""
+        quj = jnp.asarray(qu[:qbatch])
 
         @jax.jit
-        def loop(dbj, quj):
+        def loop(q):
             def body(i, acc):
-                s, idx = top_k_search(dbj, quj + i * 1e-6, args.k)
-                return acc + jnp.sum(s[:, 0]) + jnp.sum(idx[:, 0]).astype(jnp.float32)
-            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+                s, idx = search_fn(q + i * 1e-6)
+                return (acc + jnp.sum(s[:, 0])
+                        + jnp.sum(idx[:, 0]).astype(jnp.float32))
+            return jax.lax.fori_loop(0, iters, body,
+                                     jnp.zeros((), jnp.float32))
 
-        float(loop(dbj, quj))  # compile + warm
+        float(loop(quj))  # compile + warm
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
-            float(loop(dbj, quj))
+            float(loop(quj))
             dt = time.perf_counter() - t0
-            best = max(best, args.n_qu * iters / dt)
-        results["device"] = best
+            best = max(best, qbatch * iters / dt)
+        return best
+
+    if "device" in args.engines:
+        dbj = jnp.asarray(db)
+        results["device"] = chip_qps(
+            lambda q: top_k_search(dbj, q, args.k))
     if "blocked" in args.engines:
         top_k_search_blocked(db[:65536], qu, args.k, query_block=256,
                              db_block=65536,
@@ -95,39 +104,13 @@ def main():
                                     stream_dtype=args.stream_dtype)
         dt = time.perf_counter() - t0
         results[f"blocked_{args.stream_dtype}"] = args.n_qu / dt
-    qbatch = args.query_batch or min(256, args.n_qu)
-
-    def timed_qps(search_batch):
-        """Best-of-3 qps over the full query set in ``qbatch`` slices —
-        each slice is a separate search call (one dispatch+sync), so small
-        --query-batch measures the true serving regime. Perturbations
-        happen ON DEVICE (no host add / re-upload)."""
-        quj = jnp.asarray(qu)
-        iters = max(1, 10 // max(1, args.n_qu // qbatch))
-        search_batch(quj[:qbatch], 0.0)  # compile + warm
-        best = 0.0
-        for r in range(3):
-            t0 = time.perf_counter()
-            for it in range(iters):
-                acc = 0.0
-                for q0 in range(0, args.n_qu, qbatch):
-                    acc += search_batch(quj[q0:q0 + qbatch],
-                                        (r * iters + it) * 1e-6)
-            dt = time.perf_counter() - t0
-            best = max(best, args.n_qu * iters / dt)
-        return best
-
     if "ivf" in args.engines:
         from anyloc_tpu.ops.ivf import ivf_fit
 
         index = ivf_fit(db, args.n_cells, bucket_factor=2.0)
-
-        def ivf_once(q, pert):
-            s, i = index.search(q + pert, args.k, n_probe=args.n_probe,
-                                query_block=min(256, qbatch))
-            return float(jnp.sum(s[:, 0]))
-
-        results[f"ivf_p{args.n_probe}"] = timed_qps(ivf_once)
+        results[f"ivf_p{args.n_probe}"] = chip_qps(
+            lambda q: index.search(q, args.k, n_probe=args.n_probe,
+                                   query_block=min(256, qbatch)))
     def quality_and_memory(tag, search_fn, codes_size):
         """Self-recall + memory lines shared by the pq / ivf_pq engines:
         queries ARE database rows, so exact top-1 is the row itself —
@@ -135,11 +118,13 @@ def main():
         n_chk = min(256, args.n_qu)
         i_c = np.asarray(search_fn(qu[:n_chk]))
         hits = [qu_rows[q] in set(i_c[q].tolist()) for q in range(n_chk)]
+        hits1 = np.mean(i_c[:, 0] == qu_rows[:n_chk])
         print(json.dumps({
             "metric": f"{tag}_self_recall_at_{args.k}",
             "value": round(float(np.mean(hits)), 4),
             "unit": f"fraction of {n_chk} db-row queries whose own row "
-                    f"survives in the {tag} top-{args.k}",
+                    f"survives in the {tag} top-{args.k} "
+                    f"(at top-1: {float(hits1):.4f})",
             "vs_baseline": None,
         }))
         print(json.dumps({
@@ -154,15 +139,11 @@ def main():
         from anyloc_tpu.ops.pq import pq_fit
 
         index = pq_fit(db, args.pq_m, method="cosine")
-
-        def pq_once(q, pert):
-            s, i = index.search(
-                q + pert, args.k, query_block=min(256, qbatch),
+        results[f"pq{args.pq_m}_{args.pq_scan}"] = chip_qps(
+            lambda q: index.search(
+                q, args.k, query_block=min(256, qbatch),
                 db_block=args.pq_db_block, score_dtype=args.pq_score_dtype,
-                scan=args.pq_scan)
-            return float(jnp.sum(s[:, 0]))
-
-        results[f"pq{args.pq_m}_{args.pq_scan}"] = timed_qps(pq_once)
+                scan=args.pq_scan))
         quality_and_memory(
             f"pq{args.pq_m}",
             lambda q: index.search(q, args.k,
@@ -173,15 +154,11 @@ def main():
         from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
 
         index = ivf_pq_fit(db, args.n_cells, m=args.pq_m, method="cosine")
-
-        def ivf_pq_once(q, pert):
-            s, i = index.search(
-                q + pert, args.k, n_probe=args.n_probe,
+        results[f"ivf_pq{args.pq_m}_p{args.n_probe}"] = chip_qps(
+            lambda q: index.search(
+                q, args.k, n_probe=args.n_probe,
                 query_block=min(16, qbatch),
-                score_dtype=args.pq_score_dtype)
-            return float(jnp.sum(s[:, 0]))
-
-        results[f"ivf_pq{args.pq_m}_p{args.n_probe}"] = timed_qps(ivf_pq_once)
+                score_dtype=args.pq_score_dtype))
         quality_and_memory(
             f"ivf_pq{args.pq_m}_p{args.n_probe}",
             lambda q: index.search(q, args.k, n_probe=args.n_probe,
@@ -202,7 +179,8 @@ def main():
         print(json.dumps({
             "metric": f"retrieval_qps_{engine}",
             "value": round(qps, 2),
-            "unit": f"queries/sec ({args.n_db} db x {args.dim}d, top-{args.k})",
+            "unit": f"queries/sec ({args.n_db} db x {args.dim}d, "
+                    f"top-{args.k}, query-batch {qbatch})",
             "vs_baseline": None,
         }))
 

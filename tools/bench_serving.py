@@ -121,7 +121,8 @@ def main():
             server.shutdown()
         print(json.dumps({"max_batch": mb, "qps": qps,
                           "mean_batch": stats["mean_batch"],
-                          "batches": stats["batches"]}))
+                          "batches": stats["batches"],
+                          "stages": stats.get("stages", {})}))
         return
 
     # one subprocess per config: two resident ViT-G engines + databases in
@@ -148,6 +149,15 @@ def main():
         print(f"max_batch={mb:>3}: {r['qps']:7.1f} qps  "
               f"(mean realized batch {r['mean_batch']:.1f} over "
               f"{r['batches']} batches)")
+        if r.get("stages"):
+            # latency budget: per-request stages read directly; per-GROUP
+            # stages (stack/enqueue/device_sync) amortize over the realized
+            # batch — together they attribute the end-to-end request time
+            n_req = max(1, r["batches"] * r["mean_batch"])
+            for name, st in sorted(r["stages"].items()):
+                per_req = st["total_ms"] / n_req
+                print(f"    {name:<12} mean {st['mean_ms']:8.2f} ms "
+                      f"x{st['count']:<5} = {per_req:8.2f} ms/request")
     print(f"speedup: {results[args.max_batch] / results[1]:.2f}x")
 
 
