@@ -63,37 +63,51 @@ def main():
     results = {}
     qbatch = args.query_batch or min(256, args.n_qu)
 
-    def chip_qps(search_fn, iters=10):
+    def index_consts(index):
+        """The index's device-array fields, as a dict suitable for a jit
+        ARGUMENT — closure-capturing them would ship the whole database as
+        a compile-time constant (the axon tunnel rejects the request body
+        past ~hundreds of MB, and constants bloat every cache entry)."""
+        import dataclasses as dc
+
+        return {f.name: jnp.asarray(getattr(index, f.name))
+                for f in dc.fields(index)
+                if isinstance(getattr(index, f.name), (np.ndarray, jax.Array))
+                and getattr(index, f.name).size > 0}
+
+    def chip_qps(search_fn, consts, iters=10):
         """Chip-side qps at --query-batch: ``iters`` searches of one query
         block inside ONE jit, per-iteration input perturbation, outputs
         consumed through a dependent scalar — the measurement-hygiene
         harness (docs/PERFORMANCE.md): single dispatches through the
         device tunnel are noise-dominated, so dispatch/host overhead is
-        excluded here (that end-to-end story is docs/SERVING.md's)."""
+        excluded here (that end-to-end story is docs/SERVING.md's).
+        ``search_fn(q, consts)`` must reach all large arrays through the
+        ``consts`` pytree argument, never by closure."""
         quj = jnp.asarray(qu[:qbatch])
 
         @jax.jit
-        def loop(q):
+        def loop(q, consts):
             def body(i, acc):
-                s, idx = search_fn(q + i * 1e-6)
+                s, idx = search_fn(q + i * 1e-6, consts)
                 return (acc + jnp.sum(s[:, 0])
                         + jnp.sum(idx[:, 0]).astype(jnp.float32))
             return jax.lax.fori_loop(0, iters, body,
                                      jnp.zeros((), jnp.float32))
 
-        float(loop(quj))  # compile + warm
+        float(loop(quj, consts))  # compile + warm
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
-            float(loop(quj))
+            float(loop(quj, consts))
             dt = time.perf_counter() - t0
             best = max(best, qbatch * iters / dt)
         return best
 
     if "device" in args.engines:
-        dbj = jnp.asarray(db)
         results["device"] = chip_qps(
-            lambda q: top_k_search(dbj, q, args.k))
+            lambda q, c: top_k_search(c["db"], q, args.k),
+            {"db": jnp.asarray(db)})
     if "blocked" in args.engines:
         top_k_search_blocked(db[:65536], qu, args.k, query_block=256,
                              db_block=65536,
@@ -107,10 +121,14 @@ def main():
     if "ivf" in args.engines:
         from anyloc_tpu.ops.ivf import ivf_fit
 
+        import dataclasses as dc
+
         index = ivf_fit(db, args.n_cells, bucket_factor=2.0)
         results[f"ivf_p{args.n_probe}"] = chip_qps(
-            lambda q: index.search(q, args.k, n_probe=args.n_probe,
-                                   query_block=min(256, qbatch)))
+            lambda q, c: dc.replace(index, **c).search(
+                q, args.k, n_probe=args.n_probe,
+                query_block=min(256, qbatch)),
+            index_consts(index))
     def quality_and_memory(tag, search_fn, codes_size):
         """Self-recall + memory lines shared by the pq / ivf_pq engines:
         queries ARE database rows, so exact top-1 is the row itself —
@@ -138,12 +156,15 @@ def main():
     if "pq" in args.engines:
         from anyloc_tpu.ops.pq import pq_fit
 
+        import dataclasses as dc
+
         index = pq_fit(db, args.pq_m, method="cosine")
         results[f"pq{args.pq_m}_{args.pq_scan}"] = chip_qps(
-            lambda q: index.search(
+            lambda q, c: dc.replace(index, **c).search(
                 q, args.k, query_block=min(256, qbatch),
                 db_block=args.pq_db_block, score_dtype=args.pq_score_dtype,
-                scan=args.pq_scan))
+                scan=args.pq_scan),
+            index_consts(index))
         quality_and_memory(
             f"pq{args.pq_m}",
             lambda q: index.search(q, args.k,
@@ -153,12 +174,15 @@ def main():
     if "ivf_pq" in args.engines:
         from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
 
+        import dataclasses as dc
+
         index = ivf_pq_fit(db, args.n_cells, m=args.pq_m, method="cosine")
         results[f"ivf_pq{args.pq_m}_p{args.n_probe}"] = chip_qps(
-            lambda q: index.search(
+            lambda q, c: dc.replace(index, **c).search(
                 q, args.k, n_probe=args.n_probe,
                 query_block=min(16, qbatch),
-                score_dtype=args.pq_score_dtype))
+                score_dtype=args.pq_score_dtype),
+            index_consts(index))
         quality_and_memory(
             f"ivf_pq{args.pq_m}_p{args.n_probe}",
             lambda q: index.search(q, args.k, n_probe=args.n_probe,
