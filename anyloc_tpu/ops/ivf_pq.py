@@ -10,13 +10,17 @@ composition for the MXU, built from this repo's two halves:
   * ops/pq.py: gather-free ADC — codes one-hot-expand on the VPU and hit
     score tables with a matmul instead of the CPU/GPU LUT-gather.
 
-Why the composition wins where neither half does (measured regimes in
-docs/PERFORMANCE.md "PQ"): exact search pays O(N*D) per query batch and
-needs the full-precision rows in HBM; plain PQ cuts memory ~30x but still
-scans all N codes per batch — and its shared one-hot only amortizes at
-LARGE query batches; IVF-flat prunes to n_probe cells but keeps f32 rows.
-IVF-PQ prunes AND compresses: per query it touches n_probe*cap codes at
-M bytes/row, the regime for >=1M rows at small/mid batch on one chip.
+Why the composition exists (measured regimes in docs/PERFORMANCE.md "PQ"):
+exact search pays O(N*D) per query batch and needs the full-precision rows
+in HBM; plain PQ cuts memory ~30x but still scans all N codes per batch —
+and its shared one-hot only amortizes at LARGE query batches (at query
+batch 8 it collapses: 77 qps at 250k where this engine holds 414); IVF-flat
+prunes to n_probe cells but keeps f32 rows. IVF-PQ prunes AND compresses:
+per query it touches n_probe*cap codes at M bytes/row. Measured place in
+the lineup (v5e, 512-d, uniform db): wherever the f32 database fits HBM
+(<= ~4M rows at 512-d) exact still wins outright; past HBM this engine owns
+the SMALL-BATCH (serving) regime and plain PQ the bulk regime — the
+qb8/qb256 tables in the PQ section.
 
 The scoring identity that keeps the TPU path simple: with residual encoding
 x̂ = c_p + decode(code), the inner product splits as
@@ -68,6 +72,11 @@ class IVFPQIndex:
     # FAISS IndexFlatIP semantics; pre-normalize rows for true cosine);
     # "l2" returns POSITIVE approximate squared distances like ops/ivf.py
     method: str = "cosine"
+    # optional OPQ rotation [D, D] (FAISS "OPQ,IVF...,PQ" pretransform):
+    # cells AND codes live in the rotated space; queries rotate at search.
+    # Orthogonality preserves inner products and L2, so probe geometry and
+    # scores keep their original-space meaning exactly.
+    rotation: Optional[jnp.ndarray] = None
 
     @property
     def n_cells(self) -> int:
@@ -107,6 +116,8 @@ class IVFPQIndex:
         d = self.dim
         if qu.ndim != 2 or qu.shape[1] != d:
             raise ValueError(f"queries must be [Q, {d}], got {qu.shape}")
+        if self.rotation is not None:
+            qu = qu @ self.rotation  # into the OPQ-rotated index space
         cap = self.codes.shape[1]
         n_over = int(self.overflow_codes.shape[0])
         shortlist = n_probe * cap + n_over
@@ -153,6 +164,8 @@ class IVFPQIndex:
                           + o_res.reshape(o_ids.size, -1))
         if rows is not None:
             out = out[np.asarray(rows)]
+        if self.rotation is not None:  # back to the original space
+            out = out @ np.asarray(self.rotation).T
         return out
 
 
@@ -288,6 +301,7 @@ def ivf_pq_fit(
     seed: int = 0,
     train_rows: int = 1 << 18,
     encode_block: int = 1 << 16,
+    opq_iters: int = 0,
 ) -> IVFPQIndex:
     """Build an IVF-PQ index over ``db`` [N, D] (numpy or memmap).
 
@@ -300,6 +314,11 @@ def ivf_pq_fit(
     unit-norm cells; assignment by inner product, which is scale-invariant
     in the row) with codebooks shared across cells, exactly the
     IndexIVFPQ layout.
+
+    ``opq_iters > 0`` first learns an OPQ rotation on the raw sample
+    (ops/pq.py ``opq_train`` — the FAISS "OPQ,IVF...,PQ" pretransform);
+    cells and codes then live in the rotated space and queries rotate
+    transparently at search.
     """
     from anyloc_tpu.ops.kmeans import kmeans_fit
 
@@ -325,6 +344,13 @@ def ivf_pq_fit(
             np.float32)
     else:
         sample = np.asarray(db, np.float32)
+    rotation = None
+    if opq_iters:
+        from anyloc_tpu.ops.pq import opq_train
+
+        rotation = opq_train(sample, m, n_codes=n_codes,
+                             opq_iters=opq_iters, seed=seed)
+        sample = sample @ rotation
     dev_sample = jnp.asarray(sample)
     if method == "cosine":
         dev_sample = l2_normalize(dev_sample, axis=-1)
@@ -350,7 +376,12 @@ def ivf_pq_fit(
     labels = np.empty(n, np.int32)
     all_codes = np.empty((n, m), np.uint8)
     rsq = np.empty(n, np.float32)
-    enc = jax.jit(partial(_encode_block, method=method))
+    if rotation is None:
+        enc = jax.jit(partial(_encode_block, method=method))
+    else:
+        rot_dev = jnp.asarray(rotation)
+        enc = jax.jit(lambda ce, cb, ch: _encode_block(
+            ce, cb, ch @ rot_dev, method=method))
     for i0 in range(0, n, encode_block):
         chunk = jnp.asarray(np.asarray(db[i0:i0 + encode_block], np.float32))
         lab, cod, r2 = enc(cells, codebooks, chunk)
@@ -388,6 +419,7 @@ def ivf_pq_fit(
         overflow_recon_sq=jnp.asarray(rsq[over]),
         n_rows=n,
         method=method,
+        rotation=None if rotation is None else jnp.asarray(rotation),
     )
 
 
@@ -436,6 +468,8 @@ def save_ivf_pq(index: IVFPQIndex, path: str) -> None:
         overflow_recon_sq=np.asarray(index.overflow_recon_sq),
         n_rows=np.asarray(index.n_rows),
         method=np.asarray(index.method),
+        **({"rotation": np.asarray(index.rotation)}
+           if index.rotation is not None else {}),
     )
 
 
@@ -453,4 +487,6 @@ def load_ivf_pq(path: str) -> IVFPQIndex:
         overflow_recon_sq=jnp.asarray(z["overflow_recon_sq"]),
         n_rows=int(z["n_rows"]),
         method=str(z["method"]),
+        rotation=jnp.asarray(z["rotation"]) if "rotation" in z.files
+        else None,
     )

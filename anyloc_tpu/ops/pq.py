@@ -33,10 +33,15 @@ Chunks merge through a running top-k (same pattern as the streaming
 engine), so HBM holds only the uint8 codes plus one [nb, Qb] score block
 (and the transient one-hot, which XLA materializes per chunk).
 
-Regime guidance (docs/PERFORMANCE.md "PQ"): exact search wins wherever the
-database fits HBM at a usable dtype; PQ is the single-chip route past that
-(~>2M rows at 512d f32 on v5e), trading the standard quantization-recall
-dial (M, and PCA width) for a ~30x memory cut.
+Regime guidance (measured: docs/PERFORMANCE.md "PQ"): exact search wins
+EVERYWHERE the f32 database fits HBM (on v5e at 512-d that is ~4M rows —
+exact beat this engine 5.6k vs 0.7k qps at 4M, bulk batch); PQ's regime is
+memory, not speed: it is the single-chip route once the database cannot be
+HBM-resident (>= ~8M rows at 512-d; at the raw 49152-d SOTA descriptor,
+>= ~80k rows), where its ~30x compression (64 B/row) keeps the scan
+on-chip. Within PQ, the decode scan + bf16 scoring wins bulk batches
+(2.7k qps at 1M/qb256 vs 0.5-0.6k for table scan); small query batches
+belong to ivf_pq (ops/ivf_pq.py), which prunes the scan PQ always pays.
 """
 
 from __future__ import annotations
@@ -64,6 +69,11 @@ class PQIndex:
     # cosine); "l2" scores -||q - decode(code)||^2 (+ ||q||^2, constant
     # per query — ranking-equivalent)
     method: str = "l2"
+    # optional OPQ rotation [D, D] (orthogonal; FAISS OPQMatrix
+    # counterpart, Ge et al. CVPR 2013): codes live in the rotated space
+    # x @ R, queries rotate at search. Rotation preserves inner products
+    # and L2, so scores keep their original-space meaning exactly.
+    rotation: Optional[jnp.ndarray] = None
 
     @property
     def n_rows(self) -> int:
@@ -108,6 +118,8 @@ class PQIndex:
         n, d = self.n_rows, self.dim
         if qu.ndim != 2 or qu.shape[1] != d:
             raise ValueError(f"queries must be [Q, {d}], got {qu.shape}")
+        if self.rotation is not None:
+            qu = qu @ self.rotation  # into the OPQ-rotated code space
         k = max(1, min(k, n))
         if qu.shape[0] == 0:
             return (jnp.zeros((0, k), jnp.float32),
@@ -140,7 +152,10 @@ class PQIndex:
             codes = codes[np.asarray(rows)]
         cb = np.asarray(self.codebooks)  # [M, C, ds]
         out = cb[np.arange(self.m)[None, :], codes.astype(np.int64)]
-        return out.reshape(codes.shape[0], -1)
+        out = out.reshape(codes.shape[0], -1)
+        if self.rotation is not None:  # back to the original space
+            out = out @ np.asarray(self.rotation).T
+        return out
 
 
 @partial(jax.jit,
@@ -230,6 +245,71 @@ def _pq_search_block(codebooks, codes, qu, *, k, nb, method, score_dtype,
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
+def opq_train(
+    sample: np.ndarray,
+    m: int,
+    *,
+    n_codes: int = 256,
+    opq_iters: int = 10,
+    inner_iters: int = 6,
+    seed: int = 0,
+) -> np.ndarray:
+    """Learn an orthogonal OPQ rotation R [D, D] minimizing PQ
+    reconstruction error ||X R - decode(encode(X R))||^2 on ``sample``
+    [S, D] (non-parametric OPQ, Ge et al. CVPR 2013 alg. 2 — the FAISS
+    ``OPQMatrix`` pretransform).
+
+    Alternation: fit per-subspace codebooks on X R (``inner_iters`` Lloyd
+    steps, vmapped over subspaces on device), encode + reconstruct, then
+    the Procrustes update R = U V^T from SVD(X^T X̂) — the closed-form
+    orthogonal minimizer. Init is a random orthogonal matrix (QR of a
+    Gaussian), which already spreads anisotropic variance across
+    subspaces before alternation sharpens it. The Gram matmul runs on
+    device; only the [D, D] SVD runs on host.
+
+    Where it matters (measured: docs/PERFORMANCE.md "PQ"): PCA-projected
+    descriptors — this framework's actual compressed-retrieval input —
+    have a decaying eigenvalue spectrum, so unrotated subspaces are
+    wildly unbalanced (the first carries most of the variance and 256
+    codes can't cover it; the last quantize noise). Isotropic data gains
+    nothing, by symmetry.
+    """
+    from anyloc_tpu.ops.kmeans import kmeans_fit
+
+    n, d = sample.shape
+    ds = d // m
+    x = np.asarray(sample, np.float32)
+    rng = np.random.default_rng(seed)
+    q_mat, r_mat = np.linalg.qr(
+        rng.standard_normal((d, d)).astype(np.float64))
+    rot = (q_mat * np.sign(np.diag(r_mat))[None]).astype(np.float32)
+    x_dev = jnp.asarray(x)
+    keys = jax.random.split(jax.random.PRNGKey(seed), m)
+    fit = jax.vmap(partial(kmeans_fit, n_clusters=n_codes,
+                           mode="euclidean", max_iters=inner_iters))
+
+    @jax.jit
+    def step(rot_dev):
+        xr = x_dev @ rot_dev                                # [S, D]
+        sub = xr.reshape(n, m, ds).transpose(1, 0, 2)       # [M, S, ds]
+        codebooks, _ = fit(keys, sub)                       # [M, C, ds]
+        cod = _pq_assign(codebooks, xr)                     # [S, M]
+        xhat = jnp.take_along_axis(
+            codebooks[None], cod.astype(jnp.int32)[:, :, None, None],
+            axis=2)[:, :, 0].reshape(n, d)
+        gram = jnp.einsum("sd,se->de", x_dev, xhat, precision=EXACT,
+                          preferred_element_type=jnp.float32)
+        err = jnp.mean(jnp.sum((xr - xhat) ** 2, axis=-1))
+        return gram, err
+
+    for _ in range(opq_iters):
+        gram, _ = step(jnp.asarray(rot))
+        u, _, vt = np.linalg.svd(np.asarray(gram, np.float64),
+                                 full_matrices=False)
+        rot = (u @ vt).astype(np.float32)
+    return rot
+
+
 def pq_fit(
     db,
     m: int,
@@ -240,6 +320,7 @@ def pq_fit(
     seed: int = 0,
     train_rows: int = 1 << 18,
     encode_block: int = 1 << 16,
+    opq_iters: int = 0,
 ) -> PQIndex:
     """Train per-subspace codebooks and encode ``db`` [N, D] (numpy or
     memmap; D must divide into ``m`` equal subspaces).
@@ -249,6 +330,10 @@ def pq_fit(
     of search method) on a uniform row sample of at most ``train_rows``.
     Encoding streams the database through the device in chunks; the
     returned index holds only codebooks + uint8 codes.
+
+    ``opq_iters > 0`` first learns an OPQ rotation (``opq_train``) on the
+    sample; codebooks/codes then live in the rotated space and queries
+    rotate transparently at search.
     """
     if method not in ("cosine", "l2"):
         raise ValueError(f"method must be 'cosine' or 'l2', got {method!r}")
@@ -268,6 +353,11 @@ def pq_fit(
             db[np.sort(rng.choice(n, train_rows, replace=False))], np.float32)
     else:
         sample = np.asarray(db, np.float32)
+    rotation = None
+    if opq_iters:
+        rotation = opq_train(sample, m, n_codes=n_codes,
+                             opq_iters=opq_iters, seed=seed)
+        sample = sample @ rotation
     sub = jnp.asarray(sample.reshape(-1, m, ds).transpose(1, 0, 2))  # [M,S,ds]
     keys = jax.random.split(jax.random.PRNGKey(seed), m)
     fit = partial(kmeans_fit, n_clusters=n_codes, mode="euclidean",
@@ -275,12 +365,18 @@ def pq_fit(
     codebooks, _ = jax.vmap(fit)(keys, sub)                 # [M, C, ds]
 
     codes = np.empty((n, m), np.uint8)
-    enc = jax.jit(_pq_assign)
+    if rotation is None:
+        enc = jax.jit(_pq_assign)
+    else:
+        rot_dev = jnp.asarray(rotation)
+        enc = jax.jit(lambda cb, ch: _pq_assign(cb, ch @ rot_dev))
     for i0 in range(0, n, encode_block):
         chunk = jnp.asarray(np.asarray(db[i0:i0 + encode_block], np.float32))
         codes[i0:i0 + chunk.shape[0]] = np.asarray(enc(codebooks, chunk))
     return PQIndex(codebooks=codebooks, codes=jnp.asarray(codes),
-                   method=method)
+                   method=method,
+                   rotation=None if rotation is None
+                   else jnp.asarray(rotation))
 
 
 def _pq_assign(codebooks, x):
@@ -303,11 +399,15 @@ def _npz_path(path: str) -> str:
 
 
 def save_pq(index: PQIndex, path: str) -> None:
+    extra = {}
+    if index.rotation is not None:
+        extra["rotation"] = np.asarray(index.rotation)
     np.savez_compressed(
         _npz_path(path),
         codebooks=np.asarray(index.codebooks),
         codes=np.asarray(index.codes),
         method=np.asarray(index.method),
+        **extra,
     )
 
 
@@ -317,4 +417,6 @@ def load_pq(path: str) -> PQIndex:
         codebooks=jnp.asarray(z["codebooks"]),
         codes=jnp.asarray(z["codes"]),
         method=str(z["method"]),
+        rotation=jnp.asarray(z["rotation"]) if "rotation" in z.files
+        else None,
     )

@@ -177,7 +177,18 @@ class _Batcher:
         self.acc("stack", t1 - t0)
         descs = svc.extractor(svc.jnp.asarray(batch))
         vlads = svc.vlad.aggregate(descs)
-        state = {"vlads": vlads, "n": n, "bucket": bucket}
+        state = {"n": n, "bucket": bucket}
+        describes = [(i, r) for i, r in enumerate(group)
+                     if r.kind == "describe"]
+        if describes:
+            # fetch descriptors ONLY for describe requests, row-selected on
+            # device (padded to the bucket for shape stability). A pure
+            # /search group skips the [bucket, C*D] descriptor D2H entirely
+            # — ~3 MB/group on the flagship config, the dominant share of
+            # device_sync on a thin host link (docs/SERVING.md).
+            rows = [i for i, _ in describes]
+            sel = svc.jnp.asarray((rows + [0] * (bucket - len(rows)))[:bucket])
+            state.update(describes=describes, vlads=vlads[sel])
         searches = [(i, r) for i, r in enumerate(group) if r.kind == "search"]
         if searches:
             # shape-stable search: the query block is padded to the full
@@ -207,15 +218,15 @@ class _Batcher:
         """Fetch the group's device results (the one blocking wait) and
         distribute them per request."""
         t0 = time.monotonic()
-        vlads = np.asarray(state["vlads"])[: state["n"]]
         if "searches" in state:
             s, idx = np.asarray(state["s"]), np.asarray(state["idx"])
             for row, (i, r) in enumerate(state["searches"]):
                 kk = min(r.k, state["kmax"])
                 r.result = (s[row, :kk], idx[row, :kk])
-        for i, r in enumerate(group):
-            if r.kind == "describe":
-                r.result = vlads[i]
+        if "describes" in state:
+            vlads = np.asarray(state["vlads"])
+            for row, (i, r) in enumerate(state["describes"]):
+                r.result = vlads[row]
         self.acc("device_sync", time.monotonic() - t0)
 
 
@@ -291,6 +302,9 @@ class _Service:
             batch = np.zeros((b, size, size, 3), dt)
             descs = self.extractor(self.jnp.asarray(batch))
             vlads = self.vlad.aggregate(descs)
+            # the live path row-selects describe/search rows on device —
+            # warm that gather program per bucket too
+            vlads = vlads[self.jnp.asarray(np.zeros(b, np.int32))]
             if self.db_dev is not None:
                 from anyloc_tpu.ops.retrieval import top_k_search
 

@@ -4,6 +4,9 @@ Flagship config (BASELINE.json): DINOv2 ViT-G/14, layer-31 value facet,
 VLAD 32 clusters -> 49152-dim descriptors. Prints ONE JSON line:
 {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": value/1000}
 (North star: >= 1000 imgs/sec/chip on TPU v5p; this rig is a single v5e.)
+The line also carries the reference-resolution (308 px) and demo-path
+(1022 px / 5330 tokens, batch 1) operating points; ``--demo-res`` benches
+only the demo shape, ``--img-size=S`` any explicit shape.
 
 Weights are random-initialized (no pretrained checkpoints reachable from this
 environment) — identical compute/shapes to the real model. Default trunk
@@ -33,6 +36,8 @@ def main():
     img_size = 224  # 16x16 grid = 257 tokens; the serving-optimal shape
     layer, n_clusters = 31, 32
     also_ref_res = True  # additionally measure 308px (reference SOTA shape)
+    also_demo_res = True  # and the demo-path shape (1022px, 5330 tokens)
+    demo_only = False
     args = list(sys.argv[1:])
     # Default trunk mode: int8_full — the production serving mode for this
     # frozen-trunk workload (whole block = two fused int8 Pallas kernels;
@@ -52,10 +57,21 @@ def main():
             # e.g. 308 = the reference pipelines' (320,320) resize after the
             # center-crop to a patch-14 multiple (22x22 grid = 485 tokens)
             img_size = int(a.split("=", 1)[1])
-            also_ref_res = False  # explicit size: bench exactly that
+            also_ref_res = also_demo_res = False  # explicit size: bench that
+        elif a == "--demo-res":
+            # bench ONLY the demo-path shape (demo/anyloc_vlad_generate.py
+            # max-1024 route: 1024 -> crop to the patch-14 multiple 1022,
+            # 73x73 grid = 5330 tokens, the long-N attention regime) at the
+            # demo's batch of 1. Per-block kernel numbers for this shape:
+            # docs/PERFORMANCE.md "Padding-aware long-N attention blocks".
+            demo_only = True
+            also_ref_res = also_demo_res = False
     args = [a for a in args
-            if not a.startswith(("--quant", "--bf16", "--img-size"))]
+            if not a.startswith(("--quant", "--bf16", "--img-size",
+                                 "--demo-res"))]
     batch = int(args[0]) if args else 32
+    if demo_only:
+        img_size, batch = 1022, (int(args[0]) if args else 1)
 
     cfg = dinov2_config(model_name, dtype=jnp.bfloat16)
     if quant:
@@ -77,18 +93,19 @@ def main():
         facet = l2_normalize(facet[:, 1:].astype(jnp.float32), axis=-1)
         return vlad_aggregate(facet, centers)
 
-    def measure(size):
+    def measure(size, mbatch=None):
         """Best-of-3 steady-state imgs/sec at one image size. NOTE: under
         the axon tunnel block_until_ready does not reliably fence device
         work — an actual device->host fetch of a value depending on every
         call is the only trustworthy sync, so outputs chain into a scalar
         fetched once per trial."""
+        mb = mbatch or batch
         images = jnp.asarray(
-            np.random.default_rng(1).standard_normal((batch, size, size, 3)),
+            np.random.default_rng(1).standard_normal((mb, size, size, 3)),
             jnp.float32,
         )
         out = pipeline(params, centers, images)   # warmup / compile
-        assert out.shape == (batch, n_clusters * cfg.embed_dim)
+        assert out.shape == (mb, n_clusters * cfg.embed_dim)
         float(jnp.sum(out))
         n_iters = 10
         best = 0.0
@@ -99,7 +116,7 @@ def main():
                 acc = acc + jnp.sum(pipeline(params, centers, images))
             float(acc)
             dt = time.perf_counter() - t0
-            best = max(best, batch * n_iters / dt)
+            best = max(best, mb * n_iters / dt)
         return best
 
     imgs_per_sec = measure(img_size)
@@ -115,6 +132,12 @@ def main():
         # 485 tokens) reported in the SAME line so both operating points
         # are driver-visible; roofline context in docs/PERFORMANCE.md
         result["value_308px_ref_resolution"] = round(measure(308), 2)
+    if also_demo_res:
+        # the demo-path shape (max-1024 -> 1022px, 73x73 grid = 5330
+        # tokens) at the demo's batch of 1 — the long-N operating point
+        # (round-4 verdict item 6); per-block kernel story in
+        # docs/PERFORMANCE.md "Padding-aware long-N attention blocks"
+        result["value_demo_1022px_b1"] = round(measure(1022, mbatch=1), 2)
     print(json.dumps(result))
 
 

@@ -88,6 +88,29 @@ def test_fused_vlad_soft_mode(rng, norm_descs):
     np.testing.assert_allclose(fused, ref, atol=3e-5)
 
 
+@pytest.mark.parametrize("vlad_mode", ["hard", "soft"])
+@pytest.mark.parametrize("n", [96, 100])  # block-aligned and ragged tails
+def test_fused_vlad_token_blocked_matches_xla(rng, monkeypatch, vlad_mode, n):
+    """The multi-block accumulation path (demo-path images reach 5.3k tokens,
+    a 33 MB slab that overflows scoped VMEM) must match XLA exactly. Force
+    blocking at test shapes by shrinking the single-block budget."""
+    from anyloc_tpu.ops.pallas import vlad_kernel as vk
+
+    monkeypatch.setattr(vk, "_SINGLE_BLOCK_MAX_BYTES", 1)
+    monkeypatch.setattr(vk, "_BLOCK_TOKENS", 32)  # n=96 -> 3 blocks
+    b, d, c = 2, 64, 8
+    descs = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    centers = jnp.asarray(rng.standard_normal((c, d)).astype(np.float32))
+    fused = np.asarray(
+        vk.vlad_aggregate_fused(descs, centers, vlad_mode=vlad_mode,
+                                interpret=True)
+    )
+    ref = np.asarray(
+        vlad_aggregate(descs, centers, vlad_mode=vlad_mode, impl="xla")
+    )
+    np.testing.assert_allclose(fused, ref, atol=2e-5)
+
+
 def test_flash_attention_long_sequence_falls_back(rng):
     """Beyond the VMEM token budget the kernels must route to XLA instead of
     dying in Mosaic (demo-path images reach ~5.4k tokens)."""

@@ -526,6 +526,94 @@ def test_serve_http_batched_dispatch(tmp_path):
     assert stats["batches"] < 7, f"no coalescing happened: {stats}"
 
 
+def test_serve_http_mixed_describe_search_group(tmp_path):
+    """A coalesced group mixing /describe and /search requests routes each
+    result to its own request (the dispatcher row-selects describe rows on
+    device and fetches ONLY those — a pure-search group skips the
+    [bucket, C*D] descriptor D2H; round-4 serving change). Locks result
+    routing against the sequential batch-1 server."""
+    import io
+    import json
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines import serve_http
+
+    rng = np.random.default_rng(23)
+    vdir = tmp_path / "vocab"
+    VLAD(4, cache_dir=str(vdir)).fit(
+        rng.standard_normal((120, 384)).astype(np.float32))
+    db = rng.standard_normal((20, 4 * 384)).astype(np.float32)
+    np.save(tmp_path / "db.npy", db)
+
+    import argparse
+
+    def make_args(max_batch, window_ms):
+        return argparse.Namespace(
+            model="dinov2_vits14", layer=5, facet="value", num_clusters=4,
+            vocab_dir=str(vdir), checkpoint=None, quant=None,
+            max_img_size=84, img_size=84, max_batch=max_batch,
+            batch_window_ms=window_ms, db=str(tmp_path / "db.npy"),
+            ivf=False, n_probe=4, host="127.0.0.1", port=0,
+        )
+
+    imgs = []
+    for i in range(6):
+        buf = io.BytesIO()
+        Image.fromarray(
+            (rng.random((90, 77, 3)) * 255).astype(np.uint8)
+        ).save(buf, format="PNG")  # lossless: both servers see equal bytes
+        imgs.append(buf.getvalue())
+    # alternate kinds so one group holds BOTH, at interleaved rows
+    plan = [("describe", d) if i % 2 == 0 else ("search", d)
+            for i, d in enumerate(imgs)]
+
+    def post(port, kind, data):
+        path = "/describe" if kind == "describe" else "/search?k=4"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    def run_server(args, fn):
+        server = serve_http.build_server(args)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            return fn(port)
+        finally:
+            server.shutdown()
+
+    ref = run_server(make_args(1, 0.0),
+                     lambda port: [post(port, k, d) for k, d in plan])
+
+    def batched(port):
+        post(port, *plan[0])  # warm outside the parallel burst
+        with ThreadPoolExecutor(len(plan)) as ex:
+            outs = list(ex.map(lambda kd: post(port, *kd), plan))
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            return outs, json.loads(r.read())
+
+    outs, stats = run_server(make_args(8, 500.0), batched)
+    for (kind, _), got, want in zip(plan, outs, ref):
+        if kind == "describe":
+            np.testing.assert_allclose(got["descriptor"],
+                                       want["descriptor"],
+                                       rtol=2e-3, atol=2e-3)
+        else:
+            assert got["ids"] == want["ids"]
+            np.testing.assert_allclose(got["scores"], want["scores"],
+                                       rtol=2e-3, atol=2e-3)
+    assert stats["batches"] < stats["requests"], (
+        f"no coalescing happened: {stats}")
+
+
 def test_serve_http_uint8_transfer(tmp_path):
     """--transfer-dtype uint8 (the low-bandwidth production mode): the
     daemon sends resized uint8 to the device and normalizes on-device;

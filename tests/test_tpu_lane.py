@@ -365,3 +365,24 @@ def test_roofline_kernels_at_ceiling():
             f"{name}: {r['tfs']:.1f} TF/s vs recorded ceiling "
             f"{r['ceiling_tfs']:.1f} ({r['vs_ceiling']:.1%})"
         )
+
+
+@requires_tpu
+def test_demo_block_at_ceiling():
+    """The demo-path operating point (round-4 verdict item 6): the int8_full
+    ViT-G block at B1 x N5330 — the max-1024 demo route, where the trunk
+    falls back to QDense qkv/proj + k-blocked long-N flash attention — must
+    hold its recorded per-block ceiling (tools/roofline.py
+    DEMO_CEILINGS_TFS; bench.py --demo-res gives the end-to-end img/s)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import roofline
+
+    rows = roofline.measure_demo()
+    r = rows["demo_block"]
+    assert r["vs_ceiling"] >= 1 - roofline.DEFAULT_TOL, (
+        f"demo_block: {r['tfs']:.1f} TF/s vs recorded ceiling "
+        f"{r['ceiling_tfs']:.1f} ({r['vs_ceiling']:.1%})"
+    )

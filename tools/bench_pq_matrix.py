@@ -74,6 +74,33 @@ RUNS = [
                      "--engines", "ivf_pq", "--n-probe", "8"]),
     ("4M_ivfpq_p32", ["--n-db", "4000000", "--query-batch", "8",
                       "--engines", "ivf_pq", "--n-probe", "32"]),
+    # clustered-db recall (the honest case for pruned/compressed engines:
+    # the round-3 IVF geometry, perturbed queries, graded vs exact)
+    ("250k_clustered_recall",
+     ["--n-db", "250000", "--query-batch", "256",
+      "--engines", "device", "ivf", "pq", "ivf_pq", "--n-probe", "16",
+      "--db-dist", "clustered", "--query-noise", "0.05",
+      "--recall-vs-exact"]),
+    # the bytes/row dial on the clustered hard case: 128 B/row (4 dims per
+    # subspace) vs the 64 B/row the rest of the matrix uses (per-run flags
+    # come after BASE, so this --pq-m wins)
+    ("250k_clustered_recall_m128",
+     ["--n-db", "250000", "--query-batch", "256",
+      "--engines", "pq", "ivf_pq", "--n-probe", "16",
+      "--db-dist", "clustered", "--query-noise", "0.05",
+      "--recall-vs-exact", "--pq-m", "128"]),
+    # OPQ rotation on the PCA-spectrum geometry (the reduce_pca output the
+    # compressed engines actually serve) — same budget, learned rotation
+    ("250k_pca_recall",
+     ["--n-db", "250000", "--query-batch", "256",
+      "--engines", "pq", "ivf_pq", "--n-probe", "16",
+      "--db-dist", "pca_spectrum", "--query-noise", "0.05",
+      "--recall-vs-exact"]),
+    ("250k_pca_recall_opq",
+     ["--n-db", "250000", "--query-batch", "256",
+      "--engines", "pq", "ivf_pq", "--n-probe", "16",
+      "--db-dist", "pca_spectrum", "--query-noise", "0.05",
+      "--recall-vs-exact", "--opq-iters", "10"]),
     # past-HBM showcase: 10M x 512d f32 = 20.5 GB > 16 GB HBM — the
     # regime pq.py's header motivates; exact/ivf-flat cannot run here
     ("10M_qb8", ["--n-db", "10000000", "--query-batch", "8",
@@ -88,7 +115,7 @@ def main():
     for tag, argv in RUNS:
         if only and tag not in only:
             continue
-        run(tag, argv + BASE)
+        run(tag, BASE + argv)  # BASE first: per-run flags override it
 
 
 if __name__ == "__main__":

@@ -10,8 +10,9 @@ surfaces as a number, not an anecdote.
   fused int8 MLP half       B32 x N485 x 1536/4096      262 TF/s (67% peak)
   fused int8 attn half      B32 x N485 x 1536, 24 heads 180 TF/s (46% peak)
   in-trunk ViT-G block      both + pipeline overlap     239 TF/s (61% peak)
+  demo-path block (--demo)  B1 x N5330 (long-N route)   see DEMO_CEILINGS_TFS
 
-Run:  python tools/roofline.py [--json out.json] [--n 485]
+Run:  python tools/roofline.py [--json out.json] [--n 485] [--demo]
 Exit code 1 if any unit lands below (1 - tolerance) x ceiling.
 """
 import argparse
@@ -33,6 +34,15 @@ INT8_PEAK_TFS = 394.0  # v5e int8 MXU peak
 # in-jit loops). A future chip/toolchain bump should RAISE these.
 CEILINGS_TFS = {"mlp_half": 262.0, "attn_half": 180.0, "block": 239.0}
 DEFAULT_TOL = 0.08  # run-to-run scatter on this tunnel is ~2-4%
+
+# Demo-path operating point (round-4 verdict item 6): the max-1024 demo
+# route = 1022 px -> 73x73 grid = 5330 tokens at batch 1, where int8_full
+# falls back to QDense qkv/proj + the k-blocked long-N flash attention
+# (models/vit.py MAX_FUSED_TOKENS gate). Ceiling recorded on v5e, best of
+# two runs at iters=20/40 in-jit (104.2 / 104.7 TF/s — run-to-run scatter
+# <1%); docs/PERFORMANCE.md "Padding-aware long-N attention".
+DEMO_N, DEMO_B = 5330, 1
+DEMO_CEILINGS_TFS = {"demo_block": 104.7}
 
 
 def flops_per_token(n):
@@ -62,15 +72,55 @@ def timeit(fn, *args, iters=100):
     return best
 
 
-def measure(n=485, iters=100):
+def _int8_block():
+    """The production int8_full Block module + quantized single-block params
+    (routing — fused kernels vs QDense + long-N attention — is the module's
+    own, so a chain of these IS the trunk at any N)."""
     import jax.numpy as jnp
 
     from anyloc_tpu.models.dinov2 import dinov2_config
     from anyloc_tpu.models.extractor import init_params
     from anyloc_tpu.models.vit import Block
+    from anyloc_tpu.ops.quant import quantize_vit_params
+
+    cfg = dataclasses.replace(
+        dinov2_config("dinov2_vitg14", dtype=jnp.bfloat16), quant="int8_full")
+    block = Block(cfg)
+    bp = quantize_vit_params(
+        {"params": {"blocks_0": init_params(
+            dataclasses.replace(cfg, quant=None, depth=1), seed=0
+        )["params"]["blocks_0"]}}, "int8_full")
+    return block, {"params": bp["params"]["blocks_0"]}
+
+
+def measure_demo(n=DEMO_N, b=DEMO_B, iters=20):
+    """Per-block time/TF/s on the demo-path shape (long-N fallback route),
+    pinned by tests/test_tpu_lane.py next to the flagship roofline."""
+    import jax.numpy as jnp
+
+    block, bparams = _int8_block()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, n, D)) * 0.5, jnp.bfloat16)
+
+    def chain(xx):
+        for _ in range(DEPTH):
+            xx = block.apply(bparams, xx)
+        return xx
+
+    t = timeit(chain, x, iters=iters) / DEPTH
+    tfs = flops_per_token(n)["block"] * b * n / t / 1e12
+    return {"demo_block": {
+        "ms": t * 1e3, "tfs": tfs, "pct_peak": tfs / INT8_PEAK_TFS,
+        "ceiling_tfs": DEMO_CEILINGS_TFS["demo_block"],
+        "vs_ceiling": tfs / DEMO_CEILINGS_TFS["demo_block"],
+    }}
+
+
+def measure(n=485, iters=100):
+    import jax.numpy as jnp
+
     from anyloc_tpu.ops.pallas.attn_proj import fused_attn_half_int8
     from anyloc_tpu.ops.pallas.fused_mlp import fused_mlp_int8
-    from anyloc_tpu.ops.quant import quantize_vit_params
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, n, D)) * 0.5, jnp.bfloat16)
@@ -98,14 +148,7 @@ def measure(n=485, iters=100):
         x, iters=iters)
 
     # in-trunk block: the production Block module in int8_full mode
-    cfg = dataclasses.replace(
-        dinov2_config("dinov2_vitg14", dtype=jnp.bfloat16), quant="int8_full")
-    block = Block(cfg)
-    bp = quantize_vit_params(
-        {"params": {"blocks_0": init_params(
-            dataclasses.replace(cfg, quant=None, depth=1), seed=0
-        )["params"]["blocks_0"]}}, "int8_full")
-    bparams = {"params": bp["params"]["blocks_0"]}
+    block, bparams = _int8_block()
 
     def chain(xx):
         # 31-block chain, matching the in-trunk measurement context: the
@@ -137,9 +180,12 @@ def main():
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--tol", type=float, default=DEFAULT_TOL)
     p.add_argument("--json", default=None)
+    p.add_argument("--demo", action="store_true",
+                   help="measure the demo-path block (B1 x N5330) instead")
     args = p.parse_args()
 
-    rows = measure(args.n, args.iters)
+    rows = (measure_demo(iters=args.iters if args.iters != 100 else 20)
+            if args.demo else measure(args.n, args.iters))
     ok = True
     print(f"{'unit':>10} {'ms/layer':>9} {'TF/s':>7} {'% peak':>7} "
           f"{'vs ceiling':>11}")
