@@ -67,6 +67,11 @@ class ViTConfig:
     quant: Optional[str] = None    # None | "int8" — int8 W8A8 block matmuls
     # (frozen-trunk weight quantization, ops/quant.py; ~1.27x matmul stack on
     # v5e; params carry kernel_q/kernel_scale — see quantize_vit_params)
+    attn_pack_pairs: bool = False  # int8_full kernel: M-pack head pairs into
+    # one scores/PV dot each (block-diagonal, mathematically exact) — cuts
+    # padded MXU rows when N % 128 is small (224 px: 264 -> pads 384/head;
+    # packed pair 528 -> 640 vs 768). Measured datapoint in
+    # docs/PERFORMANCE.md; off by default.
     tp_split: bool = False         # store qkv as wq/wk/wv and SwiGLU w12 as
     # w1/w2 (separate Dense params). The fused [D,3D]/[D,2H] layouts cannot
     # shard head-/gate-aligned along columns; the split layouts give true
@@ -347,7 +352,8 @@ class Attention(nn.Module):
                 x, kq, ks, bq, kpq, kps, bp,
                 num_heads=c.num_heads,
                 ln_params=(ln_scale, ln_bias), ln_eps=c.ln_eps,
-                layerscale=gamma, interpret=_FUSED_ATTN_INTERPRET,
+                layerscale=gamma, pack_pairs=c.attn_pack_pairs,
+                interpret=_FUSED_ATTN_INTERPRET,
             )
         if c.tp_split:
             # three column-shardable towers; concatenation reproduces the

@@ -51,8 +51,62 @@ def _softmax_masked(s: jnp.ndarray, n_valid: int) -> jnp.ndarray:
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _heads_attention_packed(q, k, v, hd: int, skew: bool, nv: int,
+                            score_dtype):
+    """M-packed head pairs: heads (2p, 2p+1) share ONE scores dot and ONE
+    PV dot (round-4 verdict item 9).
+
+    Per-head dots at the 224-px serving shape pad M=N to the 128-row MXU
+    tile (272 -> 384: 29% dead rows). Stacking a pair's Q rows block-
+    diagonally on the contraction axis ([2N, 2hd] with zeros in the other
+    head's columns) against the pair's contiguous key slab [N, 2hd] yields
+    both heads' score matrices as ROW BLOCKS of one [2N, N] dot — 640
+    padded rows instead of 768, and the QK^T contraction runs at the full
+    128 systolic depth instead of 64. Row-wise softmax is unchanged on the
+    stacked layout (each row belongs to exactly one head). PV packs the
+    same way ([2N, N] @ [N, 2hd]); each row block only needs its own
+    head's output columns, selected by a lane mask. Results are EXACT —
+    the zero blocks kill cross-head terms, no score masking needed.
+    """
+    n = q.shape[0]
+    n_pairs = q.shape[-1] // hd // 2
+    zq = jnp.zeros((n, hd), score_dtype)
+
+    def pair_scores(p):
+        q2 = q[:, 2 * p * hd : (2 * p + 2) * hd].astype(score_dtype)
+        qp = jnp.concatenate([
+            jnp.concatenate([q2[:, :hd], zq], 1),
+            jnp.concatenate([zq, q2[:, hd:]], 1)], 0)       # [2N, 2hd]
+        k2 = k[:, 2 * p * hd : (2 * p + 2) * hd].astype(score_dtype)
+        return jax.lax.dot_general(
+            qp, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [2N, N]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 2 * hd), 1)
+
+    def pair_pv(p, s):
+        prob = _softmax_masked(s, nv)       # rows: head 2p then head 2p+1
+        v2 = v[:, 2 * p * hd : (2 * p + 2) * hd]
+        out = jnp.dot(prob.astype(v.dtype), v2,
+                      preferred_element_type=jnp.float32)   # [2N, 2hd]
+        return jnp.where(lane < hd, out[:n], out[n:]).astype(v.dtype)
+
+    if skew:
+        outs = []
+        prev = pair_scores(0)
+        for p in range(1, n_pairs):
+            cur = pair_scores(p)
+            outs.append(pair_pv(p - 1, prev))
+            prev = cur
+        outs.append(pair_pv(n_pairs - 1, prev))
+    else:
+        outs = [pair_pv(p, pair_scores(p)) for p in range(n_pairs)]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _heads_attention(q, k, v, hd: int, skew: bool, n_valid=None,
-                     score_dtype=jnp.float32):
+                     score_dtype=jnp.float32, pack_pairs=False):
     """Per-head scores -> softmax -> PV over column-concatenated heads.
 
     q [N, hc*hd] f32 (already scaled), k [N, hc*hd] f32, v [N, hc*hd]
@@ -71,6 +125,8 @@ def _heads_attention(q, k, v, hd: int, skew: bool, n_valid=None,
     """
     hc = q.shape[-1] // hd
     nv = q.shape[0] if n_valid is None else n_valid
+    if pack_pairs and hc % 2 == 0:
+        return _heads_attention_packed(q, k, v, hd, skew, nv, score_dtype)
 
     def head_scores(h):
         return jax.lax.dot_general(
@@ -354,6 +410,7 @@ def _attn_half_int8_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, sbq_ref, sbk_ref, sbv_ref,
     wp_ref, sbp_ref, ln_ref, *rest,
     scale: float, hd: int, skew: bool, eps: float, has_gamma: bool,
+    pack_pairs: bool = False,
 ):
     """One (batch, head-chunk) cell of the int8 attention half.
 
@@ -415,6 +472,7 @@ def _attn_half_int8_kernel(
             k[i * np_pad : (i + 1) * np_pad],
             v[i * np_pad : (i + 1) * np_pad],
             hd, skew, n_valid=n, score_dtype=jnp.bfloat16,
+            pack_pairs=pack_pairs,
         ).astype(jnp.float32)
         for i in range(bt)
     ]
@@ -451,6 +509,7 @@ def fused_attn_half_int8(
     head_chunk: Optional[int] = None,
     batch_tile: int = 1,
     skew: bool = True,
+    pack_pairs: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """The whole pre-norm attention half with int8 W8A8 matmuls, one kernel.
@@ -556,7 +615,7 @@ def fused_attn_half_int8(
     kernel = functools.partial(
         _attn_half_int8_kernel,
         scale=scale, hd=hd, skew=skew, eps=ln_eps,
-        has_gamma=layerscale is not None,
+        has_gamma=layerscale is not None, pack_pairs=pack_pairs,
     )
     return pl.pallas_call(
         kernel,

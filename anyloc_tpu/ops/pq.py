@@ -289,21 +289,26 @@ def opq_train(
                            mode="euclidean", max_iters=inner_iters))
 
     @jax.jit
-    def step(rot_dev):
-        xr = x_dev @ rot_dev                                # [S, D]
+    def step(x_arg, rot_dev):
+        # ``x_arg`` is a jit ARGUMENT, not a closure constant: a captured
+        # [S, D] sample would be baked into the program as a constant,
+        # ballooning the (remote-)compile payload by the sample's full
+        # bytes (the bench_retrieval round-4 lesson; observed: a 512 MB
+        # constant wedged the compile tunnel for 30+ min).
+        xr = x_arg @ rot_dev                                # [S, D]
         sub = xr.reshape(n, m, ds).transpose(1, 0, 2)       # [M, S, ds]
         codebooks, _ = fit(keys, sub)                       # [M, C, ds]
         cod = _pq_assign(codebooks, xr)                     # [S, M]
         xhat = jnp.take_along_axis(
             codebooks[None], cod.astype(jnp.int32)[:, :, None, None],
             axis=2)[:, :, 0].reshape(n, d)
-        gram = jnp.einsum("sd,se->de", x_dev, xhat, precision=EXACT,
+        gram = jnp.einsum("sd,se->de", x_arg, xhat, precision=EXACT,
                           preferred_element_type=jnp.float32)
         err = jnp.mean(jnp.sum((xr - xhat) ** 2, axis=-1))
         return gram, err
 
     for _ in range(opq_iters):
-        gram, _ = step(jnp.asarray(rot))
+        gram, _ = step(x_dev, jnp.asarray(rot))
         u, _, vt = np.linalg.svd(np.asarray(gram, np.float64),
                                  full_matrices=False)
         rot = (u @ vt).astype(np.float32)

@@ -6,7 +6,7 @@ jax.sharding meshes: collectives ride ICI, expressed via shard_map + psum /
 all_gather, per SURVEY.md §2.4 and §5.
 """
 
-from anyloc_tpu.parallel.mesh import get_mesh, local_mesh
+from anyloc_tpu.parallel.mesh import get_mesh, init_distributed, local_mesh
 from anyloc_tpu.parallel.distributed import (
     kmeans_fit_sharded,
     sharded_extract_fn,
@@ -24,6 +24,7 @@ __all__ = [
     "ep_vlad_aggregate",
     "route_by_domain",
     "get_mesh",
+    "init_distributed",
     "local_mesh",
     "kmeans_fit_sharded",
     "sharded_extract_fn",

@@ -27,6 +27,16 @@ def vocab_dir(cache_dir: str, model: str, layer: int, facet: str,
     )
 
 
+def processed_shape(w: int, h: int, max_edge: int, multiple: int = 14):
+    """Predict ``preprocess_image``'s output (H, W) from the source size
+    alone (PIL reads the size from the header without decoding) — the key
+    that buckets same-shape images into one batched trunk dispatch."""
+    if max(w, h) > max_edge:
+        scale = max_edge / max(w, h)
+        w, h = int(round(w * scale)), int(round(h * scale))
+    return (h // multiple) * multiple, (w // multiple) * multiple
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--in-dir", required=True, help="directory of images")
@@ -51,6 +61,12 @@ def main(argv=None) -> int:
                    help="int8 trunk mode; int8_fused is the measured optimum "
                         "at demo resolutions (docs/PERFORMANCE.md long-N)")
     p.add_argument("--first-n", type=int, default=None)
+    p.add_argument("--batch", type=int, default=4,
+                   help="images per trunk dispatch: same-shape images bucket "
+                        "into one batched call (the reference demo loops "
+                        "batch-1, anyloc_vlad_generate.py:160-188; batching "
+                        "amortizes dispatch + pipeline bubbles, "
+                        "docs/PERFORMANCE.md demo-path numbers)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -118,29 +134,55 @@ def main(argv=None) -> int:
     if args.first_n:
         paths = paths[: args.first_n]
     print(f"{len(paths)} images")
-    for path in paths:
-        img = Image.open(path).convert("RGB")
-        arr = preprocess_image(img, max_edge=args.max_img_size,
-                               crop_multiple=14)
-        descs = extractor(jnp.asarray(arr[None]))
-        picked = ""
-        if args.domain == "auto":
-            from anyloc_tpu.parallel.ep import route_by_domain
 
-            d = domains[int(route_by_domain(descs, jnp.asarray(centroids))[0])]
-            use_vlad = vlads[d]
-            picked = f" [{d}]"
-        else:
-            use_vlad = vlad
-        # aggregate on device — at demo resolution the patch tensor is
-        # ~33 MB/image (5.3k tokens x 1536 f32); only the 49152-dim global
-        # descriptor crosses the link
-        gd = np.asarray(use_vlad.aggregate(descs)[0])
-        out = os.path.join(
-            out_dir, os.path.splitext(os.path.basename(path))[0] + ".npy"
-        )
-        np.save(out, gd)
-        print(f"{os.path.basename(path)} -> {out} ({gd.shape[0]}-dim){picked}")
+    # Bucket same-shape images (predicted from the header, no decode) so a
+    # directory of uniform-resolution photos runs as batched dispatches —
+    # batch-1 demo throughput is dispatch/bubble-bound (docs/PERFORMANCE.md
+    # demo-path block: B2 is ~2x the B1 rate per image).
+    buckets: dict = {}
+    for path in paths:
+        with Image.open(path) as im:
+            w, h = im.size
+        buckets.setdefault(
+            processed_shape(w, h, args.max_img_size), []).append(path)
+
+    for shape, bpaths in buckets.items():
+        for i in range(0, len(bpaths), max(1, args.batch)):
+            chunk = bpaths[i: i + max(1, args.batch)]
+            arrs = np.stack([
+                preprocess_image(Image.open(p).convert("RGB"),
+                                 max_edge=args.max_img_size, crop_multiple=14)
+                for p in chunk
+            ])
+            descs = extractor(jnp.asarray(arrs))
+            picked = [""] * len(chunk)
+            if args.domain == "auto":
+                from anyloc_tpu.parallel.ep import route_by_domain
+
+                routes = np.asarray(
+                    route_by_domain(descs, jnp.asarray(centroids)))
+                gds = np.empty(
+                    (len(chunk), args.num_clusters * descs.shape[-1]),
+                    np.float32)
+                for d_idx in np.unique(routes):
+                    sel = np.nonzero(routes == d_idx)[0]
+                    dname = domains[int(d_idx)]
+                    gds[sel] = np.asarray(
+                        vlads[dname].aggregate(descs[jnp.asarray(sel)]))
+                    for s in sel:
+                        picked[int(s)] = f" [{dname}]"
+            else:
+                # aggregate on device — at demo resolution the patch tensor
+                # is ~33 MB/image (5.3k tokens x 1536 f32); only the
+                # 49152-dim global descriptors cross the link
+                gds = np.asarray(vlad.aggregate(descs))
+            for j, path in enumerate(chunk):
+                out = os.path.join(
+                    out_dir,
+                    os.path.splitext(os.path.basename(path))[0] + ".npy")
+                np.save(out, gds[j])
+                print(f"{os.path.basename(path)} -> {out} "
+                      f"({gds[j].shape[0]}-dim){picked[j]}")
     return 0
 
 

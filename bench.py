@@ -48,8 +48,13 @@ def main():
     # tools/parity_check.py). `--bf16` benches the full-precision trunk
     # (306.8 vs 506.2 imgs/sec on v5e); `--quant=MODE` selects any mode.
     quant = "int8_full"
+    pack_pairs = False
     for a in sys.argv[1:]:
-        if a.startswith("--quant"):
+        if a == "--pack-pairs":
+            # A/B the M-packed head-pair attention dots (ViTConfig
+            # .attn_pack_pairs; docs/PERFORMANCE.md M-packing datapoint)
+            pack_pairs = True
+        elif a.startswith("--quant"):
             quant = a.split("=", 1)[1] if "=" in a else "int8_fused"
         elif a == "--bf16":
             quant = None
@@ -68,16 +73,17 @@ def main():
             also_ref_res = also_demo_res = False
     args = [a for a in args
             if not a.startswith(("--quant", "--bf16", "--img-size",
-                                 "--demo-res"))]
+                                 "--demo-res", "--pack-pairs"))]
     batch = int(args[0]) if args else 32
     if demo_only:
         img_size, batch = 1022, (int(args[0]) if args else 1)
 
     cfg = dinov2_config(model_name, dtype=jnp.bfloat16)
-    if quant:
+    if quant or pack_pairs:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, quant=quant)
+        cfg = dataclasses.replace(cfg, quant=quant,
+                                  attn_pack_pairs=pack_pairs)
     model = ViT(cfg)
     params = init_params(cfg, seed=0)
     centers = jnp.asarray(
@@ -138,6 +144,14 @@ def main():
         # (round-4 verdict item 6); per-block kernel story in
         # docs/PERFORMANCE.md "Padding-aware long-N attention blocks"
         result["value_demo_1022px_b1"] = round(measure(1022, mbatch=1), 2)
+        # batched demo dispatch (round-4 verdict item 7): pipelines/demo.py
+        # buckets same-shape images into batched trunk calls; this is the
+        # per-image rate that bucketing unlocks (batch 4 fits v5e HBM at
+        # 5330 tokens; OOM falls back to batch 2)
+        try:
+            result["value_demo_1022px_b4"] = round(measure(1022, mbatch=4), 2)
+        except Exception:
+            result["value_demo_1022px_b2"] = round(measure(1022, mbatch=2), 2)
     print(json.dumps(result))
 
 

@@ -168,6 +168,28 @@ class TestFusedAttnHalfInt8:
         assert got.shape == want.shape
         assert self._rms_rel(got, want) < 0.03
 
+    @pytest.mark.parametrize("n", [16, 13])          # aligned + ragged
+    def test_pack_pairs_bit_equal_unpacked(self, rng, n):
+        """M-packed head pairs (round-4 verdict item 9): block-diagonal Q
+        zeros kill cross-head terms, so packed == unpacked EXACTLY (the
+        same dots in a different tiling), both skews."""
+        from anyloc_tpu.ops.pallas.attn_proj import fused_attn_half_int8
+        from anyloc_tpu.ops.quant import quantize_weight_cols
+
+        x, wqkv, bqkv, wp, bp, ln_s, ln_b, gamma = self._problem(rng, n=n)
+        wqkv_q, sqkv = quantize_weight_cols(wqkv)
+        wp_q, sp = quantize_weight_cols(wp)
+        kw = dict(num_heads=4, ln_params=(ln_s, ln_b), layerscale=gamma,
+                  head_chunk=4, interpret=True)
+        want = fused_attn_half_int8(
+            x, wqkv_q, sqkv, bqkv, wp_q, sp, bp, **kw)
+        for skew in (True, False):
+            got = fused_attn_half_int8(
+                x, wqkv_q, sqkv, bqkv, wp_q, sp, bp, pack_pairs=True,
+                skew=skew, **kw)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5)
+
     def test_head_chunk_invariance(self, rng):
         from anyloc_tpu.ops.pallas.attn_proj import fused_attn_half_int8
         from anyloc_tpu.ops.quant import quantize_weight_cols

@@ -69,12 +69,14 @@ def test_readme_test_count_is_current():
     import subprocess
     import sys
 
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # never grab the real chip for a collect
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q", "--collect-only",
          "-p", "no:cacheprovider"],
-        capture_output=True, text=True, cwd=ROOT,
-        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
-             "HOME": "/root"},
+        capture_output=True, text=True, cwd=ROOT, env=env,
     )
     m2 = re.search(r"(\d+) tests collected", proc.stdout)
     if m2 is None:
@@ -84,3 +86,35 @@ def test_readme_test_count_is_current():
     assert abs(collected - stated) <= 10, (
         f"README says {stated} tests; suite collects {collected} — "
         f"update README.md")
+
+
+def test_no_placeholder_tokens_in_doc_tables():
+    """Round-5 guard for the ship-the-format-first disease (rounds 2-4): a
+    measurement table must never contain an unfilled ALL-CAPS template token
+    (e.g. ``PQ_10M_QB256``) — a table row is claimed-measured the moment it
+    is committed. Scans every markdown table row in docs/ + README."""
+    placeholder = re.compile(r"\b[A-Z][A-Z0-9]*(?:_[A-Z0-9]+){1,}\b")
+    # legitimate ALL-CAPS_WITH_UNDERSCORE strings that appear in tables
+    allowed = {
+        "ANYLOC_TPU_LANE", "XLA_FLAGS", "JAX_PLATFORMS",
+        "LIBTPU_INIT_ARGS", "HF_HOME", "TORCH_HOME", "CUDA_VISIBLE_DEVICES",
+        "JAX_COMPILATION_CACHE_DIR", "PYTHONPATH", "LD_LIBRARY_PATH",
+        "READ_ONLY", "N_A",
+    }
+    offenders = []
+    docs = sorted((ROOT / "docs").glob("*.md")) + [ROOT / "README.md"]
+    for p in docs:
+        for lineno, line in enumerate(
+                p.read_text(errors="replace").splitlines(), 1):
+            s = line.strip()
+            if not (s.startswith("|") and s.endswith("|")):
+                continue  # only table rows make measurement claims
+            for tok in placeholder.findall(s):
+                if tok in allowed or "`" + tok in line or tok + "`" in line:
+                    continue  # code-formatted tokens are identifiers, not
+                    # unfilled cells (env vars, flag names)
+                offenders.append(f"{p.relative_to(ROOT)}:{lineno}: {tok}")
+    assert not offenders, (
+        "unfilled placeholder tokens in measurement tables "
+        "(fill the cell with the measured number before committing):\n"
+        + "\n".join(offenders))

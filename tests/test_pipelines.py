@@ -677,3 +677,50 @@ def test_serve_http_uint8_transfer(tmp_path):
     for a, b in zip(f32, u8):
         assert a["ids"] == b["ids"], (a, b)
         np.testing.assert_allclose(a["scores"], b["scores"], atol=5e-3)
+
+
+def test_demo_cli_batched_buckets_match_batch1(tmp_path):
+    """Round-5 demo batching: same-shape images bucket into one batched
+    trunk dispatch (predicted from the file header, no decode); mixed-shape
+    directories split into per-shape buckets; outputs are bit-identical to
+    the batch-1 loop."""
+    from PIL import Image
+
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines.demo import (
+        main as demo_main, processed_shape, vocab_dir)
+
+    # header-only shape prediction mirrors preprocess_image
+    assert processed_shape(84, 70, max_edge=84) == (70, 84)
+    assert processed_shape(200, 100, max_edge=84) == (42, 84)
+    assert processed_shape(100, 200, max_edge=84) == (84, 42)
+
+    rng = np.random.default_rng(7)
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    sizes = [(70, 84), (70, 84), (70, 84), (56, 70), (56, 70)]
+    for i, (h, w) in enumerate(sizes):
+        Image.fromarray(
+            (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        ).save(in_dir / f"p{i}.png")  # png: lossless, so runs are exact
+
+    vdir = vocab_dir(str(tmp_path / "cache"), "dinov2_vits14", 5, "value", 4,
+                     "indoor")
+    VLAD(4, cache_dir=vdir).fit(
+        rng.standard_normal((200, 384)).astype(np.float32))
+
+    base = [
+        "--in-dir", str(in_dir), "--cache-dir", str(tmp_path / "cache"),
+        "--model", "dinov2_vits14", "--layer", "5", "--facet", "value",
+        "--num-clusters", "4", "--max-img-size", "84",
+    ]
+    assert demo_main(base + ["--out-dir", str(tmp_path / "b4"),
+                             "--batch", "4"]) == 0
+    assert demo_main(base + ["--out-dir", str(tmp_path / "b1"),
+                             "--batch", "1"]) == 0
+    b4 = sorted((tmp_path / "b4").glob("*.npy"))
+    assert [p.name for p in b4] == [f"p{i}.npy" for i in range(5)]
+    for p in b4:
+        a, b = np.load(p), np.load(tmp_path / "b1" / p.name)
+        # batch-N vs batch-1 XLA reductions differ in the last ulp only
+        np.testing.assert_allclose(a, b, atol=1e-4)

@@ -589,3 +589,47 @@ class TestFSDP:
         for a, b in zip(jax.tree_util.tree_leaves(cont),
                         jax.tree_util.tree_leaves(rest)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multiprocess_mesh_two_processes():
+    """SURVEY §5 distributed row, the DCN half: everything else in this file
+    runs on a single-process virtual mesh (ICI emulation). This launches TWO
+    real processes (4 CPU devices each), joins them via ``init_distributed``
+    (jax.distributed + a localhost coordinator), and runs sharded k-means
+    (psum) and sharded retrieval (all_gather) with the data axis crossing
+    the process boundary — the collective transport is Gloo, the CPU
+    stand-in for DCN. Each worker asserts equality with single-device
+    results; see tests/mp_mesh_worker.py."""
+    import os
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    worker = pathlib.Path(__file__).resolve().parent / "mp_mesh_worker.py"
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # device count is set in-process by the worker
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=worker.parent.parent,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=300))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"worker {i} rc={p.returncode}\nstdout:\n{out}\nstderr:\n{err[-2000:]}")
+        assert f"MP_MESH_OK proc={i}" in out, out

@@ -135,6 +135,27 @@ def test_fused_attn_half_int8_on_tpu(data):
 
 
 @requires_tpu
+def test_fused_attn_half_int8_pack_pairs_on_tpu(data):
+    """pack_pairs=True (M-packed head pairs, round-4 verdict item 9) must
+    lower through Mosaic and agree with the unpacked kernel — the zero
+    blocks make the packing mathematically exact; on-chip the only drift
+    is bf16 dot ordering."""
+    from anyloc_tpu.ops.pallas.attn_proj import fused_attn_half_int8
+
+    rng, h = data["rng"], data["h"]
+    kq, ks, _ = _qw(rng, (data["d"], 3 * data["d"]))
+    kpq, kps, _ = _qw(rng, (data["d"], data["d"]))
+    lns = jnp.asarray(1.0 + 0.1 * rng.standard_normal(data["d"]), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(data["d"]), jnp.float32)
+    x = data["x"]
+    kw = dict(num_heads=h, ln_params=(lns, lnb))
+    want = fused_attn_half_int8(x, kq, ks, None, kpq, kps, None, **kw)
+    got = fused_attn_half_int8(x, kq, ks, None, kpq, kps, None,
+                               pack_pairs=True, **kw)
+    assert _cos(got, want) > 0.9999
+
+
+@requires_tpu
 @pytest.mark.parametrize("mlp_type", ["swiglu_fused", "mlp"])
 def test_fused_mlp_int8_on_tpu(data, mlp_type):
     """'mlp' (GELU) covers the erf-polynomial lowering — the exact class of
@@ -206,6 +227,30 @@ def test_vlad_fused_on_tpu(data, vlad_mode):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-3
     )
+
+
+@requires_tpu
+def test_vlad_fused_multiblock_on_tpu(data, monkeypatch):
+    """The streaming (multi-token-block) path — scratch carry across the
+    trailing grid axis, output written only on the final block — with real
+    Mosaic lowering (it is otherwise interpret-only in the suite; advisor
+    round-4). The single-block budget is pinned down so a modest shape takes
+    the multi-block route, including a token count that does not divide the
+    block size (masked tail)."""
+    import anyloc_tpu.ops.pallas.vlad_kernel as vk
+
+    rng = data["rng"]
+    monkeypatch.setattr(vk, "_SINGLE_BLOCK_MAX_BYTES", 64 * 1024)
+    monkeypatch.setattr(vk, "_BLOCK_TOKENS", 128)
+    descs = jnp.asarray(rng.standard_normal((2, 300, 96)), jnp.float32)
+    centers = jnp.asarray(rng.standard_normal((8, 96)), jnp.float32)
+    for vlad_mode in ("hard", "soft"):
+        got = vk.vlad_aggregate_fused(descs, centers, vlad_mode=vlad_mode)
+        from anyloc_tpu.ops.vlad import vlad_aggregate
+
+        want = vlad_aggregate(descs, centers, vlad_mode=vlad_mode, impl="xla")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3)
 
 
 @requires_tpu

@@ -66,6 +66,11 @@ def _retrieval_agreement(ours: np.ndarray, ref: np.ndarray, engines, k: int):
             _, idx = index.search(oursn, k, n_probe=max(4, int(np.sqrt(n))))
             idx = np.asarray(idx)
         elif engine in ("pq", "ivf_pq"):
+            if n < 4:
+                print(f"  [{engine}] skipped: parity set has {n} rows; the "
+                      f"quantized exits need >= 4 to fit a codebook "
+                      f"(pq_fit requires n >= n_codes)")
+                continue
             # subspace count: largest divisor of d <= 64 (bytes/row knob);
             # codebook size shrinks with tiny parity sets (fit needs
             # n >= n_codes rows)

@@ -177,15 +177,16 @@ def measure(n=485, iters=100):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=485)
-    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--iters", type=int, default=None,
+                   help="timing iterations (default: 100, or 20 with --demo)")
     p.add_argument("--tol", type=float, default=DEFAULT_TOL)
     p.add_argument("--json", default=None)
     p.add_argument("--demo", action="store_true",
                    help="measure the demo-path block (B1 x N5330) instead")
     args = p.parse_args()
 
-    rows = (measure_demo(iters=args.iters if args.iters != 100 else 20)
-            if args.demo else measure(args.n, args.iters))
+    iters = args.iters if args.iters is not None else (20 if args.demo else 100)
+    rows = measure_demo(iters=iters) if args.demo else measure(args.n, iters)
     ok = True
     print(f"{'unit':>10} {'ms/layer':>9} {'TF/s':>7} {'% peak':>7} "
           f"{'vs ceiling':>11}")
