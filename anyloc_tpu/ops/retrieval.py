@@ -242,6 +242,7 @@ def get_top_k_recall(
     pq_index=None,
     pq_m: int = 64,
     ivf_pq_index=None,
+    opq_iters: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[int, float]]:
     """Drop-in equivalent of the reference's ``get_top_k_recall``
     (utilities.py:390-469): returns (distances [Q, max(top_k)],
@@ -259,6 +260,11 @@ def get_top_k_recall(
     "ivf_pq" (probed cells + residual PQ codes, ops/ivf_pq.py — the
     IndexIVFPQ counterpart for >=1M rows at small/mid query batch; pass a
     prebuilt ``ivf_pq_index`` or tune ``pq_m`` + ``n_probe``).
+
+    ``opq_iters > 0`` (pq/ivf_pq fits only) learns an OPQ rotation before
+    quantizing — free at search time and worth 2.6-3.4x top-20 recall on
+    PCA-projected descriptors (docs/PERFORMANCE.md "OPQ"); ignored when a
+    prebuilt index is passed.
     """
     del use_gpu
     if engine == "ivf_pq":
@@ -275,7 +281,8 @@ def get_top_k_recall(
             if norm_descs:
                 db = db / np.maximum(
                     np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
-            ivf_pq_index = ivf_pq_fit(db, m=pq_m, method=method)
+            ivf_pq_index = ivf_pq_fit(db, m=pq_m, method=method,
+                                      opq_iters=opq_iters)
         # l2 already returns positive squared distances (ops/ivf_pq.py);
         # score_dtype passes through to the one-hot matmuls
         dists, indices = ivf_pq_index.search(
@@ -306,7 +313,7 @@ def get_top_k_recall(
             if norm_descs:
                 db = db / np.maximum(
                     np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
-            pq_index = pq_fit(db, pq_m, method=method)
+            pq_index = pq_fit(db, pq_m, method=method, opq_iters=opq_iters)
         # PQ has its own MXU fast path, so score_dtype passes through
         dists, indices = pq_index.search(
             qu, int(max(top_k)), score_dtype=score_dtype)

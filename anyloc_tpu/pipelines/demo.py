@@ -61,12 +61,15 @@ def main(argv=None) -> int:
                    help="int8 trunk mode; int8_fused is the measured optimum "
                         "at demo resolutions (docs/PERFORMANCE.md long-N)")
     p.add_argument("--first-n", type=int, default=None)
-    p.add_argument("--batch", type=int, default=4,
+    p.add_argument("--batch", type=int, default=0,
                    help="images per trunk dispatch: same-shape images bucket "
                         "into one batched call (the reference demo loops "
-                        "batch-1, anyloc_vlad_generate.py:160-188; batching "
-                        "amortizes dispatch + pipeline bubbles, "
-                        "docs/PERFORMANCE.md demo-path numbers)")
+                        "batch-1, anyloc_vlad_generate.py:160-188). 0 = "
+                        "auto per bucket by token count — measured: +41%% "
+                        "at 448 px (1.1k tokens, b4) but flat-to-negative "
+                        "at the 1022 px long-N shape (5.3k tokens, one "
+                        "image already saturates the MXU), docs/"
+                        "PERFORMANCE.md demo-path numbers")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -147,8 +150,16 @@ def main(argv=None) -> int:
             processed_shape(w, h, args.max_img_size), []).append(path)
 
     for shape, bpaths in buckets.items():
-        for i in range(0, len(bpaths), max(1, args.batch)):
-            chunk = bpaths[i: i + max(1, args.batch)]
+        if args.batch > 0:
+            bsz = args.batch
+        else:
+            # auto: ~4k token-rows per dispatch — the measured crossover
+            # (1.1k tokens: b4 is +41%; 5.3k tokens: batch-1 already
+            # saturates and batching is flat-to-negative)
+            tokens = max(1, (shape[0] // 14) * (shape[1] // 14))
+            bsz = max(1, min(16, round(4096 / tokens)))
+        for i in range(0, len(bpaths), bsz):
+            chunk = bpaths[i: i + bsz]
             arrs = np.stack([
                 preprocess_image(Image.open(p).convert("RGB"),
                                  max_edge=args.max_img_size, crop_multiple=14)

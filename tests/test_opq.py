@@ -132,3 +132,21 @@ def test_ivf_pq_save_load_rotation(tmp_path, aniso_db):
     np.testing.assert_array_equal(
         np.asarray(index.search(qu, k=6, n_probe=3)[1]),
         np.asarray(back.search(qu, k=6, n_probe=3)[1]))
+
+
+def test_get_top_k_recall_opq_passthrough(aniso_db):
+    """``get_top_k_recall(engine="pq"/"ivf_pq", opq_iters=N)`` reaches the
+    fit (round-5: the measured OPQ win must be reachable from the
+    user-facing engine API, not only from pq_fit directly)."""
+    from anyloc_tpu.ops.retrieval import get_top_k_recall
+
+    db = aniso_db / np.linalg.norm(aniso_db, axis=1, keepdims=True)
+    qu = db[:20]
+    gt = [np.array([i]) for i in range(20)]
+    for engine in ("pq", "ivf_pq"):
+        _, idx, rec = get_top_k_recall(
+            [1, 5], db, qu, gt, engine=engine, pq_m=8, opq_iters=3)
+        assert idx.shape == (20, 5)
+        # self-queries on 500 rows at 4 B/row + OPQ: top-1 must be exact
+        # (1.0 fraction form with unit gt lists; 100.0 in percentage form)
+        assert rec[1] in (1.0, 100.0), (engine, rec)

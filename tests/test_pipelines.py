@@ -718,9 +718,13 @@ def test_demo_cli_batched_buckets_match_batch1(tmp_path):
                              "--batch", "4"]) == 0
     assert demo_main(base + ["--out-dir", str(tmp_path / "b1"),
                              "--batch", "1"]) == 0
+    assert demo_main(base + ["--out-dir", str(tmp_path / "auto")]) == 0
     b4 = sorted((tmp_path / "b4").glob("*.npy"))
     assert [p.name for p in b4] == [f"p{i}.npy" for i in range(5)]
     for p in b4:
         a, b = np.load(p), np.load(tmp_path / "b1" / p.name)
         # batch-N vs batch-1 XLA reductions differ in the last ulp only
         np.testing.assert_allclose(a, b, atol=1e-4)
+        # --batch 0 (default): auto-sized by token count, same outputs
+        np.testing.assert_allclose(
+            np.load(tmp_path / "auto" / p.name), b, atol=1e-4)
