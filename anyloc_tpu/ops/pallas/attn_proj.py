@@ -561,6 +561,15 @@ def fused_attn_half_int8(
             f" == 0; no divisor of num_heads={h} qualifies at head_dim={hd}."
             " Gate with int8_attn_geometry_ok() and use the XLA int8 path."
         )
+    if pack_pairs and hc % 2:
+        import warnings
+
+        warnings.warn(
+            f"pack_pairs requested but the resolved head chunk ({hc}) is "
+            "odd — pairs cannot form and the unpacked path runs (an A/B "
+            "with this flag would compare identical computations)",
+            stacklevel=2,
+        )
     nj = h // hc
     hcw = hc * hd
 

@@ -130,7 +130,9 @@ def main():
         "metric": "vlad_descriptors_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": f"imgs/sec ({model_name} l{layer} value + VLAD-{n_clusters}, "
-        f"{img_size}px, {quant or 'bf16'}, batch {batch}, {dev.device_kind})",
+        f"{img_size}px, {quant or 'bf16'}"
+        f"{'+pack_pairs' if pack_pairs else ''}, batch {batch}, "
+        f"{dev.device_kind})",
         "vs_baseline": round(imgs_per_sec / 1000.0, 4),
     }
     if also_ref_res:
@@ -146,12 +148,22 @@ def main():
         result["value_demo_1022px_b1"] = round(measure(1022, mbatch=1), 2)
         # batched demo dispatch (round-4 verdict item 7): pipelines/demo.py
         # buckets same-shape images into batched trunk calls; this is the
-        # per-image rate that bucketing unlocks (batch 4 fits v5e HBM at
-        # 5330 tokens; OOM falls back to batch 2)
+        # per-image rate at batch 4 — measured FLAT-TO-NEGATIVE vs b1 at
+        # this shape (one 5330-token image saturates the MXU,
+        # docs/PERFORMANCE.md "Demo-path batching"), reported so the
+        # negative stays on the record. Each fallback is isolated so a
+        # failed measurement never loses the already-measured keys.
         try:
             result["value_demo_1022px_b4"] = round(measure(1022, mbatch=4), 2)
-        except Exception:
-            result["value_demo_1022px_b2"] = round(measure(1022, mbatch=2), 2)
+        except Exception as e:
+            print(f"demo b4 measure failed ({type(e).__name__}: {e}); "
+                  "trying b2", file=sys.stderr)
+            try:
+                result["value_demo_1022px_b2"] = round(
+                    measure(1022, mbatch=2), 2)
+            except Exception as e2:
+                result["value_demo_batched_error"] = (
+                    f"{type(e2).__name__}: {e2}"[:200])
     print(json.dumps(result))
 
 

@@ -73,6 +73,7 @@ def test_readme_test_count_is_current():
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"  # never grab the real chip for a collect
+    env.pop("PYTEST_ADDOPTS", None)  # a shell -k filter would skew the count
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q", "--collect-only",
          "-p", "no:cacheprovider"],

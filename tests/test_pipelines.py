@@ -695,6 +695,20 @@ def test_demo_cli_batched_buckets_match_batch1(tmp_path):
     assert processed_shape(200, 100, max_edge=84) == (42, 84)
     assert processed_shape(100, 200, max_edge=84) == (84, 42)
 
+    # randomized cross-check against the REAL preprocess chain: the
+    # prediction duplicates max_edge_resize + center_crop_multiple
+    # arithmetic, so any rounding drift in transforms.py must fail here,
+    # not as an opaque np.stack shape error in the demo loop
+    from anyloc_tpu.data.transforms import preprocess_image
+
+    srng = np.random.default_rng(11)
+    for _ in range(25):
+        w, h = int(srng.integers(15, 400)), int(srng.integers(15, 400))
+        me = int(srng.integers(28, 300))
+        img = Image.fromarray(np.zeros((h, w, 3), np.uint8))
+        got = preprocess_image(img, max_edge=me, crop_multiple=14).shape[:2]
+        assert got == processed_shape(w, h, max_edge=me), (w, h, me, got)
+
     rng = np.random.default_rng(7)
     in_dir = tmp_path / "imgs"
     in_dir.mkdir()
