@@ -108,6 +108,12 @@ def get_imagepipe() -> Optional[ctypes.CDLL]:
         ctypes.c_int, u8p, i64p, ctypes.c_int,
     ]
     lib.decode_batch_u8.restype = i64
+    lib.decode_bytes_u8.argtypes = [
+        ctypes.c_char_p, i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, u8p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.decode_bytes_u8.restype = ctypes.c_int
     _ip_lib = lib
     return _ip_lib
 
@@ -189,6 +195,45 @@ def decode_image(path: str) -> np.ndarray:
     ):
         raise ValueError(f"failed to decode {path}")
     return out
+
+
+def decode_bytes_u8(
+    data: bytes,
+    *,
+    size_hw: Optional[Tuple[int, int]] = None,
+    max_edge: int = 0,
+    antialias: bool = False,
+) -> Optional[np.ndarray]:
+    """Decode one in-memory JPEG/PNG and resize to uint8 RGB [H, W, 3] —
+    the serving daemon's per-request fast path (bytes arrive over HTTP and
+    never touch disk; serve_http._preprocess uint8 branch). ``size_hw``
+    forces an exact output; otherwise the longest edge is capped at
+    ``max_edge`` with a truncating scale (the daemon's `int(h * sc)`).
+    Returns None when the native library is unavailable or the buffer does
+    not decode — callers fall back to PIL."""
+    lib = get_imagepipe()
+    if lib is None:
+        return None
+    if size_hw is not None:
+        fh, fw = int(size_hw[0]), int(size_hw[1])
+        cap = max(fh, fw)
+    else:
+        fh = fw = 0
+        if max_edge <= 0:
+            raise ValueError("need size_hw or max_edge")
+        # output dims never exceed max_edge: a scaled image is capped to
+        # it, and an unscaled one had longest edge <= max_edge already
+        cap = max_edge
+    import ctypes as ct
+
+    out = np.empty((cap, cap, 3), np.uint8)  # C writes only [got_h*got_w*3]
+    gh, gw = ct.c_int(), ct.c_int()
+    if not lib.decode_bytes_u8(data, len(data), fh, fw, int(max_edge),
+                               int(antialias), out, ct.byref(gh),
+                               ct.byref(gw)):
+        return None
+    return out.reshape(-1)[: gh.value * gw.value * 3].reshape(
+        gh.value, gw.value, 3).copy()
 
 
 def nn_search(

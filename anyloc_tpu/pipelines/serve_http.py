@@ -327,13 +327,27 @@ class _Service:
                                                  preprocess_image,
                                                  resize_tensor_bilinear)
 
-        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
         if getattr(self.args, "transfer_dtype", "float32") == "uint8":
             # low-bandwidth transfer: resized uint8 over the wire to the
             # device, normalization on-device in the extractor (1/4 the
             # host->device bytes; deviation from the f32 path is the 8-bit
             # rounding of resized values — same bounded drift as the
             # engine's uint8 mode, cosine > 0.999 test-enforced)
+            if getattr(self.args, "img_size", 0):
+                nat_kw = dict(size_hw=(self.args.img_size,
+                                       self.args.img_size))
+            else:
+                nat_kw = dict(max_edge=self.args.max_img_size)
+            # native fast path: in-memory decode + tensor-mode resize on
+            # the handler thread (no disk, no PIL; native/imagepipe.cpp
+            # decode_bytes_u8) — same role as the engine loader's native
+            # path, PIL fallback per request
+            from anyloc_tpu import native as _native
+
+            arr8 = _native.decode_bytes_u8(image_bytes, **nat_kw)
+            if arr8 is not None:
+                return center_crop_multiple(arr8, 14)
+            img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
             arr = np.asarray(img, np.float32)
             if getattr(self.args, "img_size", 0):
                 size = (self.args.img_size, self.args.img_size)
@@ -346,6 +360,7 @@ class _Service:
                 arr = resize_tensor_bilinear(arr, size)
             arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
             return center_crop_multiple(arr, 14)
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
         if getattr(self.args, "img_size", 0):
             # fixed serving resolution: every request lands in ONE shape
             # bucket, so any concurrent pair can share a device batch

@@ -345,6 +345,45 @@ int64_t decode_batch_u8(const char** paths, int64_t n, int out_h, int out_w,
     return failures.load();
 }
 
+// Decode ONE in-memory JPEG/PNG buffer and resize to uint8 RGB
+// [got_h, got_w, 3] — the serving daemon's per-request fast path (bytes
+// arrive over HTTP and never touch disk; pipelines/serve_http.py).
+// Target size: fixed [fixed_h, fixed_w] when fixed_h > 0, else the
+// longest edge capped at max_edge with a truncating scale — exactly
+// serve_http._preprocess's uint8 branch (`int(h * sc)`), so `out` sized
+// max(fixed, max_edge)^2 * 3 always suffices. antialias=0 is tensor-mode
+// bilinear (resize_tensor_bilinear semantics). Returns 1 on success.
+int decode_bytes_u8(const uint8_t* data, int64_t len, int fixed_h,
+                    int fixed_w, int max_edge, int antialias, uint8_t* out,
+                    int* got_h, int* got_w) {
+    Image img;
+    if (!decode_any(data, size_t(len), &img)) return 0;
+    int oh, ow;
+    if (fixed_h > 0) {
+        oh = fixed_h;
+        ow = fixed_w;
+    } else {
+        const int longest = std::max(img.h, img.w);
+        const double sc = longest > max_edge ? double(max_edge) / longest : 1.0;
+        oh = int(img.h * sc);
+        ow = int(img.w * sc);
+    }
+    const size_t px = size_t(oh) * ow * 3;
+    const float zeros[3] = {0.f, 0.f, 0.f};
+    const float inv255[3] = {1.f / 255.f, 1.f / 255.f, 1.f / 255.f};
+    std::vector<float> fimg(px);
+    resize_normalize(img, oh, ow, antialias != 0, zeros, inv255,
+                     fimg.data());
+    for (size_t p = 0; p < px; ++p) {
+        float v = fimg[p];
+        v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+        out[p] = uint8_t(v + 0.5f);
+    }
+    *got_h = oh;
+    *got_w = ow;
+    return 1;
+}
+
 // Raw decode of one file to u8 RGB (no resize). Two-call protocol:
 // first call with rgb_out == nullptr fills w/h; second call writes pixels.
 // Returns 1 on success.

@@ -156,3 +156,62 @@ def test_u8_roundtrip_close_to_f32_pipeline(image_dir):
     ref = load_image(image_dir["rgb_jpg"], (64, 80))
     # 0.5/255 pre-norm -> <= 0.5/255/min(std) ~ 0.0088 post-norm
     assert np.abs(normed - ref).max() <= 0.009
+
+
+def test_decode_bytes_u8_matches_daemon_pil_branch(image_dir):
+    """The in-memory single-image entry (serve_http's per-request fast
+    path): fixed-size and max-edge modes must match the daemon's PIL
+    fallback branch (PIL decode -> tensor-mode resize -> rint to uint8)
+    within 1 count of the rounding-convention difference."""
+    from anyloc_tpu.data.transforms import resize_tensor_bilinear
+
+    for key in ("rgb_png", "rgb_jpg", "gray_png", "palette_png"):
+        data = open(image_dir[key], "rb").read()
+        ref_full = np.asarray(
+            Image.open(image_dir[key]).convert("RGB"), np.float32)
+
+        # fixed size (the daemon's --img-size mode)
+        got = native.decode_bytes_u8(data, size_hw=(64, 80))
+        assert got is not None and got.shape == (64, 80, 3), key
+        want = np.clip(np.rint(resize_tensor_bilinear(
+            ref_full, (64, 80))), 0, 255).astype(np.uint8)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, key
+
+        # max-edge mode with truncating scale (96x128 -> 48x64 at cap 64)
+        got = native.decode_bytes_u8(data, max_edge=64)
+        assert got is not None and got.shape == (48, 64, 3), key
+        want = np.clip(np.rint(resize_tensor_bilinear(
+            ref_full, (48, 64)))[: 48], 0, 255).astype(np.uint8)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, key
+
+        # pass-through: cap above the source keeps dims and raw bytes
+        got = native.decode_bytes_u8(data, max_edge=256)
+        assert got is not None and got.shape == (96, 128, 3), key
+
+    # garbage bytes -> graceful None (daemon falls back to PIL's error)
+    assert native.decode_bytes_u8(b"not an image", max_edge=64) is None
+
+
+def test_serve_preprocess_native_matches_pil(image_dir, monkeypatch):
+    """serve_http._preprocess (uint8 branch) produces the same array with
+    the native fast path as with the PIL fallback forced."""
+    import argparse
+
+    from anyloc_tpu.pipelines import serve_http
+
+    class _Stub:  # only what _preprocess touches
+        def __init__(self, args):
+            self.args = args
+
+    args = argparse.Namespace(transfer_dtype="uint8", img_size=0,
+                              max_img_size=64)
+    stub = _Stub(args)
+    data = open(image_dir["rgb_jpg"], "rb").read()
+    got_native = serve_http._Service._preprocess(stub, data)
+    from anyloc_tpu import native as nat
+
+    monkeypatch.setattr(nat, "decode_bytes_u8",
+                        lambda *a, **k: None)  # force the PIL fallback
+    got_pil = serve_http._Service._preprocess(stub, data)
+    assert got_native.shape == got_pil.shape
+    assert np.abs(got_native.astype(int) - got_pil.astype(int)).max() <= 1
