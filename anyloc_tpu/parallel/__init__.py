@@ -9,6 +9,7 @@ all_gather, per SURVEY.md §2.4 and §5.
 from anyloc_tpu.parallel.mesh import get_mesh, init_distributed, local_mesh
 from anyloc_tpu.parallel.distributed import (
     kmeans_fit_sharded,
+    pq_search_sharded,
     sharded_extract_fn,
     top_k_search_sharded,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "init_distributed",
     "local_mesh",
     "kmeans_fit_sharded",
+    "pq_search_sharded",
     "sharded_extract_fn",
     "top_k_search_sharded",
     "pipeline_facet_extract",

@@ -205,6 +205,95 @@ def get_top_k_recall_sharded(
 
 
 # ---------------------------------------------------------------------------
+# Sharded compressed (PQ/ADC) top-k retrieval
+# ---------------------------------------------------------------------------
+
+_SHARDED_PQ_CACHE: dict = {}
+
+
+def pq_search_sharded(
+    index,
+    qu: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    *,
+    score_dtype: str = "float32",
+    scan: str = "auto",
+    db_block: int = 8192,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """PQ (ADC) search with the CODE matrix sharded over the mesh 'data'
+    axis — the compressed engine's scale-out: one v5e holds ~10M rows of
+    64 B codes (docs/PERFORMANCE.md "PQ"); sharded, an 8-chip slice holds
+    ~80M+ while queries replicate and only [Q, k] partials cross ICI.
+
+    ``index`` is a fitted ``ops.pq.PQIndex`` (OPQ rotation honored: the
+    replicated queries rotate once on host). Each chip runs the same
+    gather-free one-hot ADC scan (``ops/pq._pq_search_block``) over its
+    shard; per-shard top-k partials all_gather and a final top-k merges —
+    scores and (tie-free) ids equal single-device ``index.search``.
+    Returns numpy ``(scores [Q, k], ids [Q, k])``, higher-is-better
+    scores exactly like ``PQIndex.search``.
+    """
+    from anyloc_tpu.ops.pq import _pq_search_block
+
+    qu = np.asarray(qu, np.float32)
+    if qu.ndim != 2 or qu.shape[1] != index.dim:
+        raise ValueError(f"queries must be [Q, {index.dim}], got {qu.shape}")
+    if index.rotation is not None:
+        qu = qu @ np.asarray(index.rotation, np.float32)
+    n = index.n_rows
+    n_dev = mesh.shape["data"]
+    codes_pad, n_valid = pad_to_multiple(np.asarray(index.codes), n_dev)
+    local_n = codes_pad.shape[0] // n_dev
+    k = max(1, min(k, n))
+    k_local = min(k, local_n)
+    qb = qu.shape[0]
+    if qb == 0:
+        return np.zeros((0, k), np.float32), np.zeros((0, k), np.int32)
+    ds = index.dim // index.m
+    if scan == "auto":
+        scan = "decode" if qb > ds else "tables"
+    nb = int(min(db_block, local_n))
+    key = (mesh, index.method, local_n, n_valid, k, k_local, qb,
+           score_dtype, scan, nb, index.m, index.n_codes)
+    fn = _SHARDED_PQ_CACHE.get(key)
+    if fn is None:
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None, None, None), P("data", None), P(None, None)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        def _search(codebooks, codes_local, qu_all):
+            shard = jax.lax.axis_index("data")
+            offset = shard * local_n
+            s, i = _pq_search_block(
+                codebooks, codes_local, qu_all, k=k_local, nb=nb,
+                method=index.method, score_dtype=score_dtype, scan=scan)
+            gi = i + offset
+            s = jnp.where(gi < n_valid, s, -jnp.inf)  # padded rows out
+            s_all = jax.lax.all_gather(s, "data")
+            i_all = jax.lax.all_gather(gi, "data")
+            s_cat = jnp.transpose(s_all, (1, 0, 2)).reshape(
+                qb, n_dev * k_local)
+            i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(
+                qb, n_dev * k_local)
+            top, pos = jax.lax.top_k(s_cat, k)
+            return top, jnp.take_along_axis(i_cat, pos, axis=1)
+
+        fn = jax.jit(_search)
+        _SHARDED_PQ_CACHE[key] = fn
+    codes_dev = jax.device_put(
+        codes_pad, NamedSharding(mesh, P("data", None)))
+    qu_dev = jax.device_put(qu, NamedSharding(mesh, P(None, None)))
+    cb = jax.device_put(np.asarray(index.codebooks, np.float32),
+                        NamedSharding(mesh, P(None, None, None)))
+    s, i = fn(cb, codes_dev, qu_dev)
+    return np.asarray(s), np.asarray(i)
+
+
+# ---------------------------------------------------------------------------
 # Data-parallel extraction
 # ---------------------------------------------------------------------------
 

@@ -389,6 +389,27 @@ def test_ivf_pq_engine_on_tpu(data):
 
 
 @requires_tpu
+def test_pq_search_sharded_on_tpu(data):
+    """pq_search_sharded's shard_map (ADC scan + all_gather merge) lowered
+    on the real chip — degenerate 1-device mesh on this rig, but the full
+    collective program compiles and must equal PQIndex.search."""
+    import numpy as np
+
+    from anyloc_tpu.ops.pq import pq_fit
+    from anyloc_tpu.parallel import local_mesh, pq_search_sharded
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((4096, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = pq_fit(db, m=16, n_codes=64, method="cosine", seed=1)
+    qu = db[::512]
+    s1, i1 = index.search(qu, 5)
+    ss, ii = pq_search_sharded(index, qu, 5, local_mesh(1))
+    np.testing.assert_array_equal(ii, np.asarray(i1))
+    np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-4)
+
+
+@requires_tpu
 def test_roofline_kernels_at_ceiling():
     """The per-kernel roofline proof (round-3 verdict item 1): the fused
     int8 halves and the in-trunk block must sustain their RECORDED ceilings
