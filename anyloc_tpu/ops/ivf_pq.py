@@ -175,7 +175,16 @@ class IVFPQIndex:
 def _ivf_pq_search(cells, codebooks, codes, bucket_ids, recon_sq,
                    over_codes, over_cell, over_ids, over_rsq, qu, *,
                    k, n_probe, method, qb, cand_chunk, over_chunk,
-                   score_dtype):
+                   score_dtype, local_lo=None, overflow_gate=None):
+    """``local_lo``/``overflow_gate`` are the cell-sharded hooks
+    (parallel/distributed.py::ivf_pq_search_sharded): when ``local_lo`` is
+    a traced scalar, ``codes``/``bucket_ids``/``recon_sq`` hold only the
+    cell window [local_lo, local_lo + codes.shape[0]) of a cell-sharded
+    index — probing stays GLOBAL over the replicated ``cells``, and probed
+    cells outside the window mask out via id -1 (so the union over shards
+    scores exactly the single-device candidate set, each bucket once).
+    ``overflow_gate`` (traced 0/1) masks the shared overflow pool so only
+    one shard scores it. ``None``/``None`` is the unsharded behavior."""
     nq, d = qu.shape
     n_cells, cap, m = codes.shape
     c = codebooks.shape[1]
@@ -225,9 +234,21 @@ def _ivf_pq_search(cells, codebooks, codes, bucket_ids, recon_sq,
                        precision=EXACT, preferred_element_type=jnp.float32)
         t_flat = cast(t.reshape(qb, m * c))               # [qb, M*C]
 
-        cand_codes = codes[probe].reshape(qb, L, m)       # uint8 gather
-        cand_ids = bucket_ids[probe].reshape(qb, L)
-        cand_rsq = recon_sq[probe].reshape(qb, L)
+        if local_lo is None:
+            cand_codes = codes[probe].reshape(qb, L, m)   # uint8 gather
+            cand_ids = bucket_ids[probe].reshape(qb, L)
+            cand_rsq = recon_sq[probe].reshape(qb, L)
+        else:
+            # cell-sharded window: gather clamps into the local slab;
+            # probed cells another shard owns mask to id -1 (their clamped
+            # garbage scores fall to -inf below)
+            in_loc = (probe >= local_lo) & (probe < local_lo + n_cells)
+            lp = jnp.clip(probe - local_lo, 0, n_cells - 1)
+            cand_codes = codes[lp].reshape(qb, L, m)
+            cand_ids = jnp.where(
+                jnp.broadcast_to(in_loc[:, :, None], (qb, n_probe, cap)),
+                bucket_ids[lp], -1).reshape(qb, L)
+            cand_rsq = recon_sq[lp].reshape(qb, L)
         bias = jnp.take_along_axis(cell_dot, probe, axis=1)  # [qb, n_probe]
         bias = jnp.broadcast_to(bias[:, :, None],
                                 (qb, n_probe, cap)).reshape(qb, L)
@@ -275,10 +296,14 @@ def _ivf_pq_search(cells, codebooks, codes, bucket_ids, recon_sq,
             so = so + cell_dot[:, over_cell]                # <q, c_of_row>
             if method == "l2":
                 so = -(q2 - 2.0 * so + over_rsq[None])
+            over_ids_b = jnp.broadcast_to(over_ids[None], (qb, n_over))
+            if overflow_gate is not None:
+                # cell-sharded: one shard owns the shared pool; the rest
+                # mask it so merged candidates never duplicate a row
+                so = jnp.where(overflow_gate > 0, so, -jnp.inf)
+                over_ids_b = jnp.where(overflow_gate > 0, over_ids_b, -1)
             s = jnp.concatenate([s, so], axis=1)
-            cand_ids = jnp.concatenate(
-                [cand_ids,
-                 jnp.broadcast_to(over_ids[None], (qb, n_over))], axis=1)
+            cand_ids = jnp.concatenate([cand_ids, over_ids_b], axis=1)
         top, pos = jax.lax.top_k(s, k)
         if method == "l2":
             top = -top  # positive squared distances, like ops/ivf.py

@@ -293,6 +293,126 @@ def pq_search_sharded(
     return np.asarray(s), np.asarray(i)
 
 
+_SHARDED_IVFPQ_CACHE: dict = {}
+
+
+def ivf_pq_search_sharded(
+    index,
+    qu: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    *,
+    n_probe: int = 8,
+    score_dtype: str = "float32",
+    query_block: int = 16,
+    max_workset_mb: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ search with the CELL buckets sharded over the mesh 'data'
+    axis — the serving-regime engine's scale-out (ivf_pq wins qb-8 past
+    HBM, docs/PERFORMANCE.md "PQ"; its state is ~1.3 GB at 10M rows, so
+    an 8-chip slice holds ~80M+ rows of residual codes).
+
+    Coarse centroids replicate (tiny), so every chip computes the SAME
+    global probe ranking; each chip then ADC-scans only the probed cells
+    it owns (window mask in ``ops/ivf_pq._ivf_pq_search``), shard 0 scores
+    the shared overflow pool, and per-shard top-k partials all_gather +
+    merge. The union of shard candidates is exactly the single-device
+    candidate set, each bucket scored once — scores and (tie-free) ids
+    equal ``IVFPQIndex.search``. Returns numpy ``(scores, ids)`` with
+    ``IVFPQIndex.search`` conventions (l2: positive distances ascending).
+    """
+    from anyloc_tpu.ops.ivf_pq import _ivf_pq_search
+
+    qu = np.asarray(qu, np.float32)
+    d = index.dim
+    if qu.ndim != 2 or qu.shape[1] != d:
+        raise ValueError(f"queries must be [Q, {d}], got {qu.shape}")
+    if index.rotation is not None:
+        qu = qu @ np.asarray(index.rotation, np.float32)
+    n_cells_g = index.n_cells
+    n_probe = min(n_probe, n_cells_g)
+    n_dev = mesh.shape["data"]
+    codes_pad, _ = pad_to_multiple(np.asarray(index.codes), n_dev)
+    cap = codes_pad.shape[1]
+    m_sub = codes_pad.shape[2]
+    pad_c = codes_pad.shape[0] - n_cells_g
+    bids = np.asarray(index.bucket_ids)
+    rsq = np.asarray(index.recon_sq, np.float32)
+    if pad_c:  # padded cells are never probed; ids -1 for safety
+        bids = np.concatenate(
+            [bids, np.full((pad_c, cap), -1, bids.dtype)])
+        rsq = np.concatenate([rsq, np.zeros((pad_c, cap), np.float32)])
+    local_c = codes_pad.shape[0] // n_dev
+    n_over = int(index.overflow_codes.shape[0])
+    shortlist = n_probe * cap + n_over
+    k = max(1, min(k, index.n_rows or shortlist, shortlist))
+    nq = qu.shape[0]
+    if nq == 0:
+        return np.zeros((0, k), np.float32), np.zeros((0, k), np.int32)
+    qb = min(query_block, nq)
+    mc = m_sub * index.n_codes
+    el = 2 if score_dtype == "bfloat16" else 4
+    cand_chunk = max(128, (max_workset_mb << 20) // max(1, qb * mc * el))
+    cand_chunk = int(min(cand_chunk, n_probe * cap))
+    over_chunk = int(max(128, (max_workset_mb << 20) // max(1, mc * el)))
+    method = index.method
+
+    key = (mesh, method, local_c, cap, m_sub, index.n_codes, n_over, k,
+           n_probe, qb, nq, cand_chunk, over_chunk, score_dtype)
+    fn = _SHARDED_IVFPQ_CACHE.get(key)
+    if fn is None:
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None, None), P(None, None, None),
+                      P("data", None, None), P("data", None), P("data", None),
+                      P(None, None), P(None), P(None), P(None),
+                      P(None, None)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        def _search(cells, codebooks, codes_l, bids_l, rsq_l,
+                    over_codes, over_cell, over_ids, over_rsq, qu_all):
+            shard = jax.lax.axis_index("data")
+            top, ids = _ivf_pq_search(
+                cells, codebooks, codes_l, bids_l, rsq_l,
+                over_codes, over_cell, over_ids, over_rsq, qu_all,
+                k=k, n_probe=n_probe, method=method, qb=qb,
+                cand_chunk=cand_chunk, over_chunk=over_chunk,
+                score_dtype=score_dtype,
+                local_lo=shard * local_c,
+                overflow_gate=(shard == 0).astype(jnp.int32))
+            metric = -top if method == "l2" else top  # higher = better
+            metric = jnp.where(ids >= 0, metric, -jnp.inf)
+            m_all = jax.lax.all_gather(metric, "data")
+            i_all = jax.lax.all_gather(ids, "data")
+            m_cat = jnp.transpose(m_all, (1, 0, 2)).reshape(nq, n_dev * k)
+            i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(nq, n_dev * k)
+            best, pos = jax.lax.top_k(m_cat, k)
+            if method == "l2":
+                best = -best
+            return best, jnp.take_along_axis(i_cat, pos, axis=1)
+
+        fn = jax.jit(_search)
+        _SHARDED_IVFPQ_CACHE[key] = fn
+
+    put = jax.device_put
+    shd = lambda *spec: NamedSharding(mesh, P(*spec))  # noqa: E731
+    s, i = fn(
+        put(np.asarray(index.cells, np.float32), shd(None, None)),
+        put(np.asarray(index.codebooks, np.float32), shd(None, None, None)),
+        put(codes_pad, shd("data", None, None)),
+        put(bids, shd("data", None)),
+        put(rsq, shd("data", None)),
+        put(np.asarray(index.overflow_codes), shd(None, None)),
+        put(np.asarray(index.overflow_cell), shd(None)),
+        put(np.asarray(index.overflow_ids), shd(None)),
+        put(np.asarray(index.overflow_recon_sq, np.float32), shd(None)),
+        put(qu, shd(None, None)),
+    )
+    return np.asarray(s), np.asarray(i)
+
+
 # ---------------------------------------------------------------------------
 # Data-parallel extraction
 # ---------------------------------------------------------------------------

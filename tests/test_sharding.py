@@ -694,3 +694,61 @@ class TestShardedPQ:
         sd, id_ = pq_search_sharded(index, qu, 5, mesh, scan="decode")
         np.testing.assert_array_equal(it_, id_)
         np.testing.assert_allclose(st, sd, atol=1e-4)
+
+
+class TestShardedIVFPQ:
+    """ivf_pq_search_sharded: cell buckets shard over 'data', global probe
+    on replicated centroids, shard-0-owned overflow pool, merge."""
+
+    def _fit(self, rng, n=2000, d=32, cells=16, m=8):
+        from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
+
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        # bucket_factor < 1 guarantees overflow rows even on balanced
+        # cells (cap = ceil(n/cells * 0.8))
+        return db, ivf_pq_fit(db, cells, m=m, method="cosine",
+                              bucket_factor=0.8)
+
+    def test_matches_single_device(self, rng, mesh):
+        from anyloc_tpu.parallel import ivf_pq_search_sharded
+
+        db, index = self._fit(rng)
+        assert index.overflow_codes.shape[0] > 0, "fixture must overflow"
+        qu = db[rng.choice(2000, 12, replace=False)]
+        for n_probe in (4, 16):  # partial and full probe
+            s1, i1 = index.search(qu, 5, n_probe=n_probe)
+            ss, ii = ivf_pq_search_sharded(index, qu, 5, mesh,
+                                           n_probe=n_probe)
+            np.testing.assert_array_equal(ii, np.asarray(i1))
+            np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
+
+    def test_l2_method_and_uneven_cells(self, rng, mesh):
+        """l2 scores (sign handling through the merge) + a cell count that
+        does not divide the mesh (padded cell slabs)."""
+        from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
+        from anyloc_tpu.parallel import ivf_pq_search_sharded
+
+        db = rng.standard_normal((1500, 32)).astype(np.float32)
+        index = ivf_pq_fit(db, 13, m=8, method="l2")  # 13 cells % 8 != 0
+        qu = db[:10]
+        s1, i1 = index.search(qu, 5, n_probe=6)
+        ss, ii = ivf_pq_search_sharded(index, qu, 5, mesh, n_probe=6)
+        np.testing.assert_array_equal(ii, np.asarray(i1))
+        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-4)
+        assert (np.diff(ss, axis=1) >= -1e-6).all()  # distances ascend
+
+    def test_opq_rotation_honored(self, rng, mesh):
+        from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
+        from anyloc_tpu.parallel import ivf_pq_search_sharded
+
+        lam = (1.0 + np.arange(32, dtype=np.float32)) ** -0.75
+        db = rng.standard_normal((800, 32)).astype(np.float32) * lam
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        index = ivf_pq_fit(db, 8, m=8, method="cosine", opq_iters=3)
+        assert index.rotation is not None
+        qu = db[:6]
+        s1, i1 = index.search(qu, 5, n_probe=8)
+        ss, ii = ivf_pq_search_sharded(index, qu, 5, mesh, n_probe=8)
+        np.testing.assert_array_equal(ii, np.asarray(i1))
+        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
