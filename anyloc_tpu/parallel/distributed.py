@@ -183,9 +183,18 @@ def top_k_search_sharded(
 def get_top_k_recall_sharded(
     top_k, db, qu, gt_pos, mesh, method="cosine", norm_descs=True,
     use_percentage=True, sub_sample_db=1, sub_sample_qu=1,
-    score_dtype="float32",
+    score_dtype="float32", engine="device", pq_m=64, n_probe=8,
+    opq_iters=0, index=None,
 ):
-    """Sharded-database version of ops.retrieval.get_top_k_recall."""
+    """Sharded-database version of ops.retrieval.get_top_k_recall.
+
+    ``engine``: "device" (exact rows sharded), "pq" (codes sharded,
+    ``pq_search_sharded``) or "ivf_pq" (cell buckets sharded,
+    ``ivf_pq_search_sharded``) — the same engine names as the
+    single-device API, scaled over the mesh. Pass a prebuilt ``index``
+    (PQIndex / IVFPQIndex) to amortize the fit; otherwise one is fit here
+    from ``db`` with ``pq_m`` / ``opq_iters``.
+    """
     from anyloc_tpu.ops.retrieval import compute_recalls
 
     db = np.asarray(db, np.float32)
@@ -196,8 +205,27 @@ def get_top_k_recall_sharded(
         db = db / np.maximum(np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
         qu = qu / np.maximum(np.linalg.norm(qu, axis=-1, keepdims=True), 1e-12)
     max_k = min(int(max(top_k)), db.shape[0])
-    dists, indices = top_k_search_sharded(db, qu, max_k, mesh, method,
-                                          score_dtype=score_dtype)
+    if engine == "pq":
+        if index is None:
+            from anyloc_tpu.ops.pq import pq_fit
+
+            index = pq_fit(db, pq_m, method=method, opq_iters=opq_iters)
+        dists, indices = pq_search_sharded(
+            index, qu, max_k, mesh, score_dtype=score_dtype)
+    elif engine == "ivf_pq":
+        if index is None:
+            from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
+
+            index = ivf_pq_fit(db, m=pq_m, method=method,
+                               opq_iters=opq_iters)
+        dists, indices = ivf_pq_search_sharded(
+            index, qu, max_k, mesh, n_probe=n_probe,
+            score_dtype=score_dtype)
+    elif engine == "device":
+        dists, indices = top_k_search_sharded(db, qu, max_k, mesh, method,
+                                              score_dtype=score_dtype)
+    else:
+        raise ValueError(f"unknown sharded engine {engine!r}")
     recalls = compute_recalls(
         indices, gt_pos, top_k, use_percentage, sub_sample_db, sub_sample_qu
     )

@@ -752,3 +752,19 @@ class TestShardedIVFPQ:
         ss, ii = ivf_pq_search_sharded(index, qu, 5, mesh, n_probe=8)
         np.testing.assert_array_equal(ii, np.asarray(i1))
         np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
+
+
+def test_sharded_recall_compressed_engines(rng, mesh):
+    """get_top_k_recall_sharded routes the pq / ivf_pq sharded engines
+    with the single-device API's engine names."""
+    from anyloc_tpu.parallel.distributed import get_top_k_recall_sharded
+
+    db = rng.standard_normal((600, 32)).astype(np.float32)
+    qu = db[:10] + 0.01 * rng.standard_normal((10, 32)).astype(np.float32)
+    gt = [np.array([i]) for i in range(10)]
+    for engine in ("pq", "ivf_pq"):
+        _, idx, rec = get_top_k_recall_sharded(
+            [1, 5], db, qu, gt, mesh, engine=engine, pq_m=8)
+        assert idx.shape == (10, 5)
+        assert rec[5] >= rec[1]
+        assert rec[1] in (1.0, 100.0), (engine, rec)  # near-self queries
