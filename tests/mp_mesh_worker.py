@@ -67,5 +67,18 @@ s_1d, i_1d = top_k_search(db, qu, 5)
 np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_1d))
 np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_1d), atol=1e-5)
 
+# compressed engine across the process boundary: PQ codes shard over the
+# 2-process mesh, the ADC partials all_gather over Gloo
+from anyloc_tpu.ops.pq import pq_fit  # noqa: E402
+from anyloc_tpu.parallel import pq_search_sharded  # noqa: E402
+
+dbn = db / np.linalg.norm(db, axis=1, keepdims=True)
+pq_index = pq_fit(dbn, 8, method="cosine")
+qun = dbn[:8]
+s_p1, i_p1 = pq_index.search(qun, 5)
+s_ps, i_ps = pq_search_sharded(pq_index, qun, 5, mesh)
+np.testing.assert_array_equal(np.asarray(i_ps), np.asarray(i_p1))
+np.testing.assert_allclose(np.asarray(s_ps), np.asarray(s_p1), atol=1e-5)
+
 print(f"MP_MESH_OK proc={process_id}", flush=True)
 jax.distributed.shutdown()
