@@ -108,12 +108,18 @@ def get_imagepipe() -> Optional[ctypes.CDLL]:
         ctypes.c_int, u8p, i64p, ctypes.c_int,
     ]
     lib.decode_batch_u8.restype = i64
-    lib.decode_bytes_u8.argtypes = [
-        ctypes.c_char_p, i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, u8p, ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
-    ]
-    lib.decode_bytes_u8.restype = ctypes.c_int
+    try:
+        lib.decode_bytes_u8.argtypes = [
+            ctypes.c_char_p, i64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u8p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.decode_bytes_u8.restype = ctypes.c_int
+    except AttributeError:
+        # stale prebuilt .so without the newer symbol (mtime check skipped
+        # the rebuild): keep the batch entry points working; the bytes
+        # wrapper below degrades to its PIL-fallback contract
+        pass
     _ip_lib = lib
     return _ip_lib
 
@@ -212,8 +218,8 @@ def decode_bytes_u8(
     Returns None when the native library is unavailable or the buffer does
     not decode — callers fall back to PIL."""
     lib = get_imagepipe()
-    if lib is None:
-        return None
+    if lib is None or not hasattr(lib, "decode_bytes_u8"):
+        return None  # unavailable or stale .so: caller falls back to PIL
     if size_hw is not None:
         fh, fw = int(size_hw[0]), int(size_hw[1])
         cap = max(fh, fw)

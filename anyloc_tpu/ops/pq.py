@@ -161,7 +161,13 @@ class PQIndex:
 @partial(jax.jit,
          static_argnames=("k", "nb", "method", "score_dtype", "scan"))
 def _pq_search_block(codebooks, codes, qu, *, k, nb, method, score_dtype,
-                     scan):
+                     scan, n_valid=None):
+    """``n_valid`` (traced scalar, sharded hook): rows with local id >=
+    n_valid are PADDING (a sharded code matrix pads to even shards) and
+    must mask to -inf BEFORE the running top-k — zero-padded codes decode
+    to the codeword-0 reconstruction, a legitimate vector that can
+    otherwise evict true top-k rows from a shard's partial (the exact
+    sharded engine's pad-before-top-k invariant, distributed.py)."""
     m, c, ds = codebooks.shape
     n = codes.shape[0]
     qb = qu.shape[0]
@@ -233,7 +239,10 @@ def _pq_search_block(codebooks, codes, qu, *, k, nb, method, score_dtype,
                 # norm IS the per-subspace codeword-norm sum of ADC
                 s = 2.0 * s - jnp.sum(xhat * xhat, axis=-1)[:, None]
         ids = base + jnp.arange(nb, dtype=jnp.int32)
-        s = jnp.where((ids >= start)[None, :], s.T, -jnp.inf)  # [Qb, nb]
+        keep = ids >= start
+        if n_valid is not None:
+            keep = keep & (ids < n_valid)
+        s = jnp.where(keep[None, :], s.T, -jnp.inf)            # [Qb, nb]
         cat_s = jnp.concatenate([best_s, s], axis=1)
         cat_i = jnp.concatenate(
             [best_i, jnp.broadcast_to(ids[None, :], (qb, nb))], axis=1)

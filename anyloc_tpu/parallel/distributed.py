@@ -237,6 +237,30 @@ def get_top_k_recall_sharded(
 # ---------------------------------------------------------------------------
 
 _SHARDED_PQ_CACHE: dict = {}
+_SHARDED_STATE_CACHE: dict = {}
+
+
+def _sharded_index_state(index, mesh, build):
+    """Per-(index, mesh) cache of the device-resident sharded arrays so
+    repeated searches don't re-materialize + re-upload the code matrix
+    (640 MB at 10M rows) every call. Keyed by object identity with a
+    weakref guard: a dead or recycled id never serves stale state."""
+    import weakref
+
+    key = (id(index), mesh)
+    hit = _SHARDED_STATE_CACHE.get(key)
+    if hit is not None:
+        ref, state = hit
+        if ref() is index:
+            return state
+    state = build()
+    try:
+        ref = weakref.ref(
+            index, lambda _: _SHARDED_STATE_CACHE.pop(key, None))
+    except TypeError:  # un-weakref-able index type: don't cache
+        return state
+    _SHARDED_STATE_CACHE[key] = (ref, state)
+    return state
 
 
 def pq_search_sharded(
@@ -271,18 +295,23 @@ def pq_search_sharded(
         qu = qu @ np.asarray(index.rotation, np.float32)
     n = index.n_rows
     n_dev = mesh.shape["data"]
-    codes_pad, n_valid = pad_to_multiple(np.asarray(index.codes), n_dev)
-    local_n = codes_pad.shape[0] // n_dev
+    local_n = -(-n // n_dev)
     k = max(1, min(k, n))
     k_local = min(k, local_n)
-    qb = qu.shape[0]
-    if qb == 0:
+    nq = qu.shape[0]
+    if nq == 0:
         return np.zeros((0, k), np.float32), np.zeros((0, k), np.int32)
+    # queries pad to a block so distinct query counts share one program
+    # (the single-device engine's query_block convention)
+    qblk = 256
+    qb = min(qblk, -(-nq // 8) * 8)
+    qu_pad, _ = pad_to_multiple(qu, qb)
+    method = index.method  # not index: the jitted closure must not pin it
     ds = index.dim // index.m
     if scan == "auto":
         scan = "decode" if qb > ds else "tables"
     nb = int(min(db_block, local_n))
-    key = (mesh, index.method, local_n, n_valid, k, k_local, qb,
+    key = (mesh, method, local_n, n, k, k_local, qb,
            score_dtype, scan, nb, index.m, index.n_codes)
     fn = _SHARDED_PQ_CACHE.get(key)
     if fn is None:
@@ -296,29 +325,39 @@ def pq_search_sharded(
         def _search(codebooks, codes_local, qu_all):
             shard = jax.lax.axis_index("data")
             offset = shard * local_n
+            # pad rows mask BEFORE the running top-k (n_valid hook): a
+            # zero code decodes to the codeword-0 reconstruction and can
+            # otherwise evict a true top-k row from this shard's partial
             s, i = _pq_search_block(
                 codebooks, codes_local, qu_all, k=k_local, nb=nb,
-                method=index.method, score_dtype=score_dtype, scan=scan)
-            gi = i + offset
-            s = jnp.where(gi < n_valid, s, -jnp.inf)  # padded rows out
+                method=method, score_dtype=score_dtype, scan=scan,
+                n_valid=jnp.maximum(n - offset, 0))
+            gi = jnp.where(s > -jnp.inf, i + offset, -1)
             s_all = jax.lax.all_gather(s, "data")
             i_all = jax.lax.all_gather(gi, "data")
+            qn = s.shape[0]
             s_cat = jnp.transpose(s_all, (1, 0, 2)).reshape(
-                qb, n_dev * k_local)
+                qn, n_dev * k_local)
             i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(
-                qb, n_dev * k_local)
+                qn, n_dev * k_local)
             top, pos = jax.lax.top_k(s_cat, k)
             return top, jnp.take_along_axis(i_cat, pos, axis=1)
 
         fn = jax.jit(_search)
         _SHARDED_PQ_CACHE[key] = fn
-    codes_dev = jax.device_put(
-        codes_pad, NamedSharding(mesh, P("data", None)))
-    qu_dev = jax.device_put(qu, NamedSharding(mesh, P(None, None)))
-    cb = jax.device_put(np.asarray(index.codebooks, np.float32),
-                        NamedSharding(mesh, P(None, None, None)))
+
+    def _build_state():
+        codes_pad, _ = pad_to_multiple(np.asarray(index.codes), n_dev)
+        return (
+            jax.device_put(np.asarray(index.codebooks, np.float32),
+                           NamedSharding(mesh, P(None, None, None))),
+            jax.device_put(codes_pad, NamedSharding(mesh, P("data", None))),
+        )
+
+    cb, codes_dev = _sharded_index_state(index, mesh, _build_state)
+    qu_dev = jax.device_put(qu_pad, NamedSharding(mesh, P(None, None)))
     s, i = fn(cb, codes_dev, qu_dev)
-    return np.asarray(s), np.asarray(i)
+    return np.asarray(s)[:nq], np.asarray(i)[:nq]
 
 
 _SHARDED_IVFPQ_CACHE: dict = {}
@@ -360,24 +399,19 @@ def ivf_pq_search_sharded(
     n_cells_g = index.n_cells
     n_probe = min(n_probe, n_cells_g)
     n_dev = mesh.shape["data"]
-    codes_pad, _ = pad_to_multiple(np.asarray(index.codes), n_dev)
-    cap = codes_pad.shape[1]
-    m_sub = codes_pad.shape[2]
-    pad_c = codes_pad.shape[0] - n_cells_g
-    bids = np.asarray(index.bucket_ids)
-    rsq = np.asarray(index.recon_sq, np.float32)
-    if pad_c:  # padded cells are never probed; ids -1 for safety
-        bids = np.concatenate(
-            [bids, np.full((pad_c, cap), -1, bids.dtype)])
-        rsq = np.concatenate([rsq, np.zeros((pad_c, cap), np.float32)])
-    local_c = codes_pad.shape[0] // n_dev
+    _, cap, m_sub = index.codes.shape
+    local_c = -(-n_cells_g // n_dev)
+    pad_c = local_c * n_dev - n_cells_g
     n_over = int(index.overflow_codes.shape[0])
     shortlist = n_probe * cap + n_over
     k = max(1, min(k, index.n_rows or shortlist, shortlist))
     nq = qu.shape[0]
     if nq == 0:
         return np.zeros((0, k), np.float32), np.zeros((0, k), np.int32)
-    qb = min(query_block, nq)
+    qb = min(query_block, -(-nq // 8) * 8)
+    # pad the query count to the block so distinct counts share a program
+    qu, _ = pad_to_multiple(qu, qb)
+    nq_pad = qu.shape[0]
     mc = m_sub * index.n_codes
     el = 2 if score_dtype == "bfloat16" else 4
     cand_chunk = max(128, (max_workset_mb << 20) // max(1, qb * mc * el))
@@ -386,7 +420,7 @@ def ivf_pq_search_sharded(
     method = index.method
 
     key = (mesh, method, local_c, cap, m_sub, index.n_codes, n_over, k,
-           n_probe, qb, nq, cand_chunk, over_chunk, score_dtype)
+           n_probe, qb, nq_pad, cand_chunk, over_chunk, score_dtype)
     fn = _SHARDED_IVFPQ_CACHE.get(key)
     if fn is None:
         @functools.partial(
@@ -414,8 +448,10 @@ def ivf_pq_search_sharded(
             metric = jnp.where(ids >= 0, metric, -jnp.inf)
             m_all = jax.lax.all_gather(metric, "data")
             i_all = jax.lax.all_gather(ids, "data")
-            m_cat = jnp.transpose(m_all, (1, 0, 2)).reshape(nq, n_dev * k)
-            i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(nq, n_dev * k)
+            m_cat = jnp.transpose(m_all, (1, 0, 2)).reshape(
+                nq_pad, n_dev * k)
+            i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(
+                nq_pad, n_dev * k)
             best, pos = jax.lax.top_k(m_cat, k)
             if method == "l2":
                 best = -best
@@ -426,19 +462,33 @@ def ivf_pq_search_sharded(
 
     put = jax.device_put
     shd = lambda *spec: NamedSharding(mesh, P(*spec))  # noqa: E731
-    s, i = fn(
-        put(np.asarray(index.cells, np.float32), shd(None, None)),
-        put(np.asarray(index.codebooks, np.float32), shd(None, None, None)),
-        put(codes_pad, shd("data", None, None)),
-        put(bids, shd("data", None)),
-        put(rsq, shd("data", None)),
-        put(np.asarray(index.overflow_codes), shd(None, None)),
-        put(np.asarray(index.overflow_cell), shd(None)),
-        put(np.asarray(index.overflow_ids), shd(None)),
-        put(np.asarray(index.overflow_recon_sq, np.float32), shd(None)),
-        put(qu, shd(None, None)),
-    )
-    return np.asarray(s), np.asarray(i)
+
+    def _build_state():
+        codes_pad, _ = pad_to_multiple(np.asarray(index.codes), n_dev)
+        bids = np.asarray(index.bucket_ids)
+        rsq = np.asarray(index.recon_sq, np.float32)
+        if pad_c:  # padded cells are never probed; ids -1 for safety
+            bids = np.concatenate(
+                [bids, np.full((pad_c, cap), -1, bids.dtype)])
+            rsq = np.concatenate(
+                [rsq, np.zeros((pad_c, cap), np.float32)])
+        return (
+            put(np.asarray(index.cells, np.float32), shd(None, None)),
+            put(np.asarray(index.codebooks, np.float32),
+                shd(None, None, None)),
+            put(codes_pad, shd("data", None, None)),
+            put(bids, shd("data", None)),
+            put(rsq, shd("data", None)),
+            put(np.asarray(index.overflow_codes), shd(None, None)),
+            put(np.asarray(index.overflow_cell), shd(None)),
+            put(np.asarray(index.overflow_ids), shd(None)),
+            put(np.asarray(index.overflow_recon_sq, np.float32),
+                shd(None)),
+        )
+
+    state = _sharded_index_state(index, mesh, _build_state)
+    s, i = fn(*state, put(qu, shd(None, None)))
+    return np.asarray(s)[:nq], np.asarray(i)[:nq]
 
 
 # ---------------------------------------------------------------------------

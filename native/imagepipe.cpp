@@ -254,6 +254,25 @@ void resize_normalize(const Image& img, int out_h, int out_w, bool antialias,
     }
 }
 
+// Shared epilogue of the u8 outputs: resize via the identity-normalize
+// trick (mean 0 / std 1/255 keeps the 0..255 scale), clamp, round-half-up.
+// ``scratch`` is the caller's f32 staging buffer (per-thread in the batch
+// path), resized here as needed.
+void resize_to_u8(const Image& img, int out_h, int out_w, bool antialias,
+                  std::vector<float>* scratch, uint8_t* out) {
+    const size_t px = size_t(out_h) * out_w * 3;
+    const float zeros[3] = {0.f, 0.f, 0.f};
+    const float inv255[3] = {1.f / 255.f, 1.f / 255.f, 1.f / 255.f};
+    if (scratch->size() < px) scratch->resize(px);
+    resize_normalize(img, out_h, out_w, antialias, zeros, inv255,
+                     scratch->data());
+    for (size_t p = 0; p < px; ++p) {
+        float v = (*scratch)[p];
+        v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+        out[p] = uint8_t(v + 0.5f);
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -308,8 +327,6 @@ int64_t decode_batch_u8(const char** paths, int64_t n, int out_h, int out_w,
         n_threads = std::max(1u, std::thread::hardware_concurrency());
     n_threads = int(std::min<int64_t>(n_threads, n));
     const size_t px_per_img = size_t(out_h) * out_w * 3;
-    const float zeros[3] = {0.f, 0.f, 0.f};
-    const float inv255[3] = {1.f / 255.f, 1.f / 255.f, 1.f / 255.f};
     std::atomic<int64_t> next(0), failures(0);
     auto worker = [&] {
         std::vector<float> fimg(px_per_img);
@@ -321,15 +338,7 @@ int64_t decode_batch_u8(const char** paths, int64_t n, int out_h, int out_w,
             uint8_t* dst = out + size_t(i) * px_per_img;
             if (read_file(paths[i], &buf) &&
                 decode_any(buf.data(), buf.size(), &img)) {
-                // mean 0 / std 1/255 makes the normalize epilogue the
-                // identity on the 0..255 scale
-                resize_normalize(img, out_h, out_w, antialias != 0, zeros,
-                                 inv255, fimg.data());
-                for (size_t p = 0; p < px_per_img; ++p) {
-                    float v = fimg[p];
-                    v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
-                    dst[p] = (uint8_t)(v + 0.5f);
-                }
+                resize_to_u8(img, out_h, out_w, antialias != 0, &fimg, dst);
                 ok[i] = 1;
             } else {
                 std::memset(dst, 0, px_per_img);
@@ -368,17 +377,8 @@ int decode_bytes_u8(const uint8_t* data, int64_t len, int fixed_h,
         oh = int(img.h * sc);
         ow = int(img.w * sc);
     }
-    const size_t px = size_t(oh) * ow * 3;
-    const float zeros[3] = {0.f, 0.f, 0.f};
-    const float inv255[3] = {1.f / 255.f, 1.f / 255.f, 1.f / 255.f};
-    std::vector<float> fimg(px);
-    resize_normalize(img, oh, ow, antialias != 0, zeros, inv255,
-                     fimg.data());
-    for (size_t p = 0; p < px; ++p) {
-        float v = fimg[p];
-        v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
-        out[p] = uint8_t(v + 0.5f);
-    }
+    std::vector<float> fimg;
+    resize_to_u8(img, oh, ow, antialias != 0, &fimg, out);
     *got_h = oh;
     *got_w = ow;
     return 1;

@@ -768,3 +768,33 @@ def test_sharded_recall_compressed_engines(rng, mesh):
         assert idx.shape == (10, 5)
         assert rec[5] >= rec[1]
         assert rec[1] in (1.0, 100.0), (engine, rec)  # near-self queries
+
+
+def test_sharded_pq_pad_rows_cannot_evict(mesh):
+    """Regression (round-5 review): zero-padded shard rows decode to the
+    codeword-0 reconstruction — a legitimate high-scoring vector — and
+    must mask BEFORE the per-shard running top-k, or they evict true
+    top-k rows. Crafted so the pad row would win its shard's top-1:
+    codeword 0 is 10*e1, the true best row (id 16, coded to 5*e1) shares
+    the final shard with the pads, everything else scores 1."""
+    import jax.numpy as jnp
+
+    from anyloc_tpu.ops.pq import PQIndex
+    from anyloc_tpu.parallel import pq_search_sharded
+
+    d, m = 8, 1
+    cb = np.zeros((m, 4, d), np.float32)
+    cb[0, 0, 0] = 10.0   # what a zero pad code decodes to
+    cb[0, 1, 0] = 5.0    # the true best row's word
+    cb[0, 2, 0] = 1.0
+    codes = np.full((17, m), 2, np.uint8)   # 17 rows: pads to 24 on 8 dev
+    codes[16, 0] = 1
+    index = PQIndex(jnp.asarray(cb), jnp.asarray(codes), method="cosine")
+    qu = np.zeros((1, d), np.float32)
+    qu[0, 0] = 1.0
+    s1, i1 = index.search(qu, 1)
+    assert int(np.asarray(i1)[0, 0]) == 16 and float(
+        np.asarray(s1)[0, 0]) == 5.0
+    ss, ii = pq_search_sharded(index, qu, 1, mesh)
+    np.testing.assert_array_equal(ii, np.asarray(i1))
+    np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-6)
