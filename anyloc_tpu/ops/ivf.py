@@ -160,7 +160,14 @@ def ivf_fit(
 
 @partial(jax.jit, static_argnames=("k", "n_probe", "method", "qb"))
 def _ivf_search(cells, buckets, bucket_ids, overflow, overflow_ids, qu,
-                *, k: int, n_probe: int, method: str, qb: int):
+                *, k: int, n_probe: int, method: str, qb: int,
+                local_lo=None, overflow_gate=None):
+    """``local_lo``/``overflow_gate``: the cell-sharded hooks, exactly as
+    in ops/ivf_pq.py::_ivf_pq_search — ``buckets``/``bucket_ids`` hold
+    only the cell window [local_lo, local_lo + buckets.shape[0]) while
+    probing stays global over the replicated ``cells``; foreign probed
+    cells mask to id -1, and ``overflow_gate`` (traced 0/1) lets exactly
+    one shard score the shared overflow pool."""
     nq, d = qu.shape
     n_cells, cap, _ = buckets.shape
     n_blocks = -(-nq // qb)
@@ -182,8 +189,16 @@ def _ivf_search(cells, buckets, bucket_ids, overflow, overflow_ids, qu,
             )
         _, probe = jax.lax.top_k(cell_scores, n_probe)  # [qb, n_probe]
         # shortlist gather: [qb, n_probe*cap, D] — the IVF working set
-        cand = buckets[probe].reshape(qb, n_probe * cap, d)
-        cand_ids = bucket_ids[probe].reshape(qb, n_probe * cap)
+        if local_lo is None:
+            cand = buckets[probe].reshape(qb, n_probe * cap, d)
+            cand_ids = bucket_ids[probe].reshape(qb, n_probe * cap)
+        else:
+            in_loc = (probe >= local_lo) & (probe < local_lo + n_cells)
+            lp = jnp.clip(probe - local_lo, 0, n_cells - 1)
+            cand = buckets[lp].reshape(qb, n_probe * cap, d)
+            cand_ids = jnp.where(
+                jnp.broadcast_to(in_loc[:, :, None], (qb, n_probe, cap)),
+                bucket_ids[lp], -1).reshape(qb, n_probe * cap)
 
         if method == "cosine":
             s = jnp.einsum("qnd,qd->qn", cand, q, precision=EXACT)
@@ -201,13 +216,13 @@ def _ivf_search(cells, buckets, bucket_ids, overflow, overflow_ids, qu,
                        - 2.0 * jnp.einsum("nd,qd->qn", overflow, q,
                                           precision=EXACT)
                        + jnp.sum(q ** 2, -1)[:, None])
+            o_ids = jnp.broadcast_to(
+                overflow_ids[None], (qb, overflow_ids.shape[0]))
+            if overflow_gate is not None:
+                so = jnp.where(overflow_gate > 0, so, -jnp.inf)
+                o_ids = jnp.where(overflow_gate > 0, o_ids, -1)
             s = jnp.concatenate([s, so], axis=1)
-            cand_ids = jnp.concatenate(
-                [cand_ids,
-                 jnp.broadcast_to(overflow_ids[None],
-                                  (qb, overflow_ids.shape[0]))],
-                axis=1,
-            )
+            cand_ids = jnp.concatenate([cand_ids, o_ids], axis=1)
         top, pos = jax.lax.top_k(s, k)
         if method == "l2":
             top = -top  # exact engine returns POSITIVE squared distances

@@ -9,6 +9,7 @@ all_gather, per SURVEY.md §2.4 and §5.
 from anyloc_tpu.parallel.mesh import get_mesh, init_distributed, local_mesh
 from anyloc_tpu.parallel.distributed import (
     ivf_pq_search_sharded,
+    ivf_search_sharded,
     kmeans_fit_sharded,
     pq_search_sharded,
     sharded_extract_fn,
@@ -29,6 +30,7 @@ __all__ = [
     "init_distributed",
     "local_mesh",
     "ivf_pq_search_sharded",
+    "ivf_search_sharded",
     "kmeans_fit_sharded",
     "pq_search_sharded",
     "sharded_extract_fn",

@@ -189,11 +189,12 @@ def get_top_k_recall_sharded(
     """Sharded-database version of ops.retrieval.get_top_k_recall.
 
     ``engine``: "device" (exact rows sharded), "pq" (codes sharded,
-    ``pq_search_sharded``) or "ivf_pq" (cell buckets sharded,
-    ``ivf_pq_search_sharded``) — the same engine names as the
+    ``pq_search_sharded``), "ivf" (f32 cell buckets sharded,
+    ``ivf_search_sharded``) or "ivf_pq" (residual-code cell buckets
+    sharded, ``ivf_pq_search_sharded``) — the same engine names as the
     single-device API, scaled over the mesh. Pass a prebuilt ``index``
-    (PQIndex / IVFPQIndex) to amortize the fit; otherwise one is fit here
-    from ``db`` with ``pq_m`` / ``opq_iters``.
+    (PQIndex / IVFIndex / IVFPQIndex) to amortize the fit; otherwise one
+    is fit here from ``db`` with ``pq_m`` / ``opq_iters``.
     """
     from anyloc_tpu.ops.retrieval import compute_recalls
 
@@ -212,6 +213,13 @@ def get_top_k_recall_sharded(
             index = pq_fit(db, pq_m, method=method, opq_iters=opq_iters)
         dists, indices = pq_search_sharded(
             index, qu, max_k, mesh, score_dtype=score_dtype)
+    elif engine == "ivf":
+        if index is None:
+            from anyloc_tpu.ops.ivf import ivf_fit
+
+            index = ivf_fit(db, method=method)
+        dists, indices = ivf_search_sharded(
+            index, qu, max_k, mesh, n_probe=n_probe)
     elif engine == "ivf_pq":
         if index is None:
             from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
@@ -357,6 +365,113 @@ def pq_search_sharded(
     cb, codes_dev = _sharded_index_state(index, mesh, _build_state)
     qu_dev = jax.device_put(qu_pad, NamedSharding(mesh, P(None, None)))
     s, i = fn(cb, codes_dev, qu_dev)
+    return np.asarray(s)[:nq], np.asarray(i)[:nq]
+
+
+_SHARDED_IVF_CACHE: dict = {}
+
+
+def ivf_search_sharded(
+    index,
+    qu: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    *,
+    n_probe: int = 8,
+    query_block: int = 64,
+    max_workset_mb: int = 1024,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """IVF-flat search with the CELL buckets sharded over the mesh 'data'
+    axis — the f32-row pruned engine past one chip's HBM (ivf-flat
+    buckets exceed 16 GB at 4M x 512-d, docs/PERFORMANCE.md "PQ" bulk
+    table; sharded, the padded row store splits ~1/n_dev per chip).
+
+    Same construction as ``ivf_pq_search_sharded``: replicated coarse
+    centroids give every chip the identical global probe; each scans the
+    probed buckets it owns (foreign cells mask to id -1), shard 0 scores
+    the exact overflow pool, and per-shard top-k partials all_gather +
+    merge. Results equal ``IVFIndex.search`` (tie-free ids), including
+    the full-probe == exact-engine property.
+    """
+    from anyloc_tpu.ops.ivf import _ivf_search
+
+    qu = np.asarray(qu, np.float32)
+    d = index.buckets.shape[2]
+    if qu.ndim != 2 or qu.shape[1] != d:
+        raise ValueError(f"queries must be [Q, {d}], got {qu.shape}")
+    n_cells_g = index.n_cells
+    n_probe = min(n_probe, n_cells_g)
+    n_dev = mesh.shape["data"]
+    cap = index.buckets.shape[1]
+    local_c = -(-n_cells_g // n_dev)
+    pad_c = local_c * n_dev - n_cells_g
+    n_over = int(index.overflow.shape[0])
+    shortlist = n_probe * cap + n_over
+    k = max(1, min(k, index.n_rows or shortlist, shortlist))
+    nq = qu.shape[0]
+    if nq == 0:
+        return np.zeros((0, k), np.float32), np.zeros((0, k), np.int32)
+    row_bytes = n_probe * cap * d * 4
+    qb_budget = max(1, (max_workset_mb << 20) // max(1, row_bytes))
+    qb = min(query_block, -(-nq // 8) * 8, qb_budget)
+    qu_pad, _ = pad_to_multiple(qu, qb)
+    nq_pad = qu_pad.shape[0]
+    method = index.method
+
+    key = (mesh, method, local_c, cap, d, n_over, k, n_probe, qb, nq_pad)
+    fn = _SHARDED_IVF_CACHE.get(key)
+    if fn is None:
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None, None), P("data", None, None),
+                      P("data", None), P(None, None), P(None),
+                      P(None, None)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        def _search(cells, buckets_l, bids_l, overflow, over_ids, qu_all):
+            shard = jax.lax.axis_index("data")
+            top, ids = _ivf_search(
+                cells, buckets_l, bids_l, overflow, over_ids, qu_all,
+                k=k, n_probe=n_probe, method=method, qb=qb,
+                local_lo=shard * local_c,
+                overflow_gate=(shard == 0).astype(jnp.int32))
+            metric = -top if method == "l2" else top  # higher = better
+            metric = jnp.where(ids >= 0, metric, -jnp.inf)
+            m_all = jax.lax.all_gather(metric, "data")
+            i_all = jax.lax.all_gather(ids, "data")
+            m_cat = jnp.transpose(m_all, (1, 0, 2)).reshape(
+                nq_pad, n_dev * k)
+            i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(
+                nq_pad, n_dev * k)
+            best, pos = jax.lax.top_k(m_cat, k)
+            if method == "l2":
+                best = -best
+            return best, jnp.take_along_axis(i_cat, pos, axis=1)
+
+        fn = jax.jit(_search)
+        _SHARDED_IVF_CACHE[key] = fn
+
+    put = jax.device_put
+    shd = lambda *spec: NamedSharding(mesh, P(*spec))  # noqa: E731
+
+    def _build_state():
+        buckets_pad, _ = pad_to_multiple(np.asarray(index.buckets), n_dev)
+        bids = np.asarray(index.bucket_ids)
+        if pad_c:
+            bids = np.concatenate(
+                [bids, np.full((pad_c, cap), -1, bids.dtype)])
+        return (
+            put(np.asarray(index.cells, np.float32), shd(None, None)),
+            put(buckets_pad, shd("data", None, None)),
+            put(bids, shd("data", None)),
+            put(np.asarray(index.overflow, np.float32), shd(None, None)),
+            put(np.asarray(index.overflow_ids), shd(None)),
+        )
+
+    state = _sharded_index_state(index, mesh, _build_state)
+    s, i = fn(*state, put(qu_pad, shd(None, None)))
     return np.asarray(s)[:nq], np.asarray(i)[:nq]
 
 

@@ -762,7 +762,7 @@ def test_sharded_recall_compressed_engines(rng, mesh):
     db = rng.standard_normal((600, 32)).astype(np.float32)
     qu = db[:10] + 0.01 * rng.standard_normal((10, 32)).astype(np.float32)
     gt = [np.array([i]) for i in range(10)]
-    for engine in ("pq", "ivf_pq"):
+    for engine in ("pq", "ivf", "ivf_pq"):
         _, idx, rec = get_top_k_recall_sharded(
             [1, 5], db, qu, gt, mesh, engine=engine, pq_m=8)
         assert idx.shape == (10, 5)
@@ -798,3 +798,52 @@ def test_sharded_pq_pad_rows_cannot_evict(mesh):
     ss, ii = pq_search_sharded(index, qu, 1, mesh)
     np.testing.assert_array_equal(ii, np.asarray(i1))
     np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-6)
+
+
+class TestShardedIVF:
+    """ivf_search_sharded: f32 cell buckets shard over 'data' — same
+    construction as the IVF-PQ scale-out, exact-equal to IVFIndex.search
+    including full-probe == exact."""
+
+    def _fit(self, rng, n=1500, d=32, cells=13, method="cosine"):
+        from anyloc_tpu.ops.ivf import ivf_fit
+
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        if method == "cosine":
+            db /= np.linalg.norm(db, axis=1, keepdims=True)
+        return db, ivf_fit(db, cells, method=method, bucket_factor=0.9)
+
+    def test_matches_single_device(self, rng, mesh):
+        from anyloc_tpu.parallel import ivf_search_sharded
+
+        db, index = self._fit(rng)  # 13 cells % 8 != 0: padded cell slabs
+        assert index.overflow.shape[0] > 0
+        qu = db[rng.choice(1500, 12, replace=False)]
+        for n_probe in (4, 13):  # partial + full probe
+            s1, i1 = index.search(qu, 5, n_probe=n_probe)
+            ss, ii = ivf_search_sharded(index, qu, 5, mesh,
+                                        n_probe=n_probe)
+            np.testing.assert_array_equal(ii, np.asarray(i1))
+            np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
+
+    def test_full_probe_equals_exact_engine(self, rng, mesh):
+        from anyloc_tpu.ops.retrieval import top_k_search
+        from anyloc_tpu.parallel import ivf_search_sharded
+
+        db, index = self._fit(rng, n=800, cells=8)
+        qu = db[:10] + 0.01 * rng.standard_normal((10, 32)).astype(
+            np.float32)
+        _, i_ex = top_k_search(db, qu.astype(np.float32), 5)
+        _, ii = ivf_search_sharded(index, qu, 5, mesh, n_probe=8)
+        np.testing.assert_array_equal(ii, np.asarray(i_ex))
+
+    def test_l2_method(self, rng, mesh):
+        from anyloc_tpu.parallel import ivf_search_sharded
+
+        db, index = self._fit(rng, method="l2")
+        qu = db[:8]
+        s1, i1 = index.search(qu, 5, n_probe=6)
+        ss, ii = ivf_search_sharded(index, qu, 5, mesh, n_probe=6)
+        np.testing.assert_array_equal(ii, np.asarray(i1))
+        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-4)
+        assert (np.diff(ss, axis=1) >= -1e-6).all()

@@ -431,6 +431,26 @@ def test_ivf_pq_search_sharded_on_tpu(data):
 
 
 @requires_tpu
+def test_ivf_search_sharded_on_tpu(data):
+    """ivf_search_sharded's shard_map lowered on the real chip (1-device
+    mesh); full probe equals the single-device index."""
+    import numpy as np
+
+    from anyloc_tpu.ops.ivf import ivf_fit
+    from anyloc_tpu.parallel import ivf_search_sharded, local_mesh
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((4096, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    index = ivf_fit(db, 32, method="cosine", bucket_factor=0.9, seed=1)
+    qu = db[::512]
+    s1, i1 = index.search(qu, 5, n_probe=8)
+    ss, ii = ivf_search_sharded(index, qu, 5, local_mesh(1), n_probe=8)
+    np.testing.assert_array_equal(ii, np.asarray(i1))
+    np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-4)
+
+
+@requires_tpu
 def test_roofline_kernels_at_ceiling():
     """The per-kernel roofline proof (round-3 verdict item 1): the fused
     int8 halves and the in-trunk block must sustain their RECORDED ceilings
