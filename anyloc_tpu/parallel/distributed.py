@@ -149,27 +149,42 @@ def _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev,
 
 
 def top_k_search_sharded(
-    db: np.ndarray,
+    db,
     qu: np.ndarray,
     k: int,
     mesh: Mesh,
     method: str = "cosine",
     score_dtype: str = "float32",
+    n_valid: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Database-sharded exact top-k. db [Ndb, D] shards over 'data'; queries
     replicate; per-shard top-k partials all-gather and merge. Exact equality
     with the single-device search (ties broken by global index order).
     ``score_dtype='bfloat16'`` scores on the fast MXU path (see
-    ops.retrieval.top_k_search)."""
+    ops.retrieval.top_k_search).
+
+    ``db`` may be a RESIDENT ``jax.Array`` already padded to the mesh and
+    sharded ``P('data', None)`` (long-lived callers like the serving
+    daemon avoid a host->device upload per search); pass ``n_valid`` =
+    the unpadded row count then, so the zero pad rows mask out."""
     from anyloc_tpu.ops.common import score_dot
 
     score_dot(score_dtype)  # validate before building the shard_map
     n_dev = mesh.shape["data"]
-    db_pad, n_valid = pad_to_multiple(np.asarray(db, np.float32), n_dev)
-    local_n = db_pad.shape[0] // n_dev
+    if isinstance(db, jax.Array) and not isinstance(db, np.ndarray):
+        if db.shape[0] % n_dev:
+            raise ValueError(
+                f"resident db rows ({db.shape[0]}) must be pre-padded to "
+                f"the mesh ({n_dev}); use parallel.mesh.pad_to_multiple")
+        db_sharded = db
+        if n_valid is None:
+            n_valid = db.shape[0]
+    else:
+        db_pad, n_valid = pad_to_multiple(np.asarray(db, np.float32), n_dev)
+        db_sharded = jax.device_put(
+            db_pad, NamedSharding(mesh, P("data", None)))
+    local_n = db_sharded.shape[0] // n_dev
     k_local = min(k, local_n)
-
-    db_sharded = jax.device_put(db_pad, NamedSharding(mesh, P("data", None)))
     qu_rep = jax.device_put(
         np.asarray(qu, np.float32), NamedSharding(mesh, P(None, None))
     )

@@ -252,6 +252,16 @@ class _Service:
         self.index = None
         self.index_search = None
         self.engine = "device"
+        self.mesh = None
+        n_mesh = int(getattr(args, "mesh", 0) or 0)
+        if n_mesh > 1:
+            # multi-chip serving: the DATABASE shards over a local mesh
+            # (retrieval is the memory-bound half; the trunk replicates).
+            # Every engine below then routes through its parallel/ sharded
+            # twin — exact-equal results, 1/n_dev database per chip.
+            from anyloc_tpu.parallel import local_mesh
+
+            self.mesh = local_mesh(n_mesh)
         if args.db:
             self.db = np.load(args.db).astype(np.float32)
             if getattr(args, "ivf", False) and getattr(args, "pq", False):
@@ -260,8 +270,15 @@ class _Service:
                 from anyloc_tpu.ops.ivf import ivf_fit
 
                 self.index = ivf_fit(self.db, method="cosine")
-                self.index_search = lambda qu, k: self.index.search(
-                    qu, k, n_probe=args.n_probe)
+                if self.mesh is not None:
+                    from anyloc_tpu.parallel import ivf_search_sharded
+
+                    self.index_search = lambda qu, k: ivf_search_sharded(
+                        self.index, np.asarray(qu), k, self.mesh,
+                        n_probe=args.n_probe)
+                else:
+                    self.index_search = lambda qu, k: self.index.search(
+                        qu, k, n_probe=args.n_probe)
                 self.engine = "ivf"
             elif getattr(args, "pq", False):
                 # compressed database: HBM holds pq_m bytes/row instead of
@@ -274,12 +291,36 @@ class _Service:
                 self.index = pq_fit(self.db, getattr(args, "pq_m", 64),
                                     n_codes=min(256, self.db.shape[0]),
                                     method="cosine")
-                self.index_search = lambda qu, k: self.index.search(
-                    jnp.asarray(qu), k)
+                if self.mesh is not None:
+                    from anyloc_tpu.parallel import pq_search_sharded
+
+                    self.index_search = lambda qu, k: pq_search_sharded(
+                        self.index, np.asarray(qu), k, self.mesh)
+                else:
+                    self.index_search = lambda qu, k: self.index.search(
+                        jnp.asarray(qu), k)
                 self.engine = "pq"
+            elif self.mesh is not None:
+                # exact over the mesh: pad + shard ONCE (resident state),
+                # searches pass the device array straight through
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from anyloc_tpu.parallel import top_k_search_sharded
+                from anyloc_tpu.parallel.mesh import pad_to_multiple
+
+                import jax
+
+                db_pad, nv = pad_to_multiple(self.db, n_mesh)
+                db_res = jax.device_put(
+                    db_pad,
+                    NamedSharding(self.mesh, P("data", None)))
+                self.index_search = lambda qu, k: top_k_search_sharded(
+                    db_res, np.asarray(qu), k, self.mesh, n_valid=nv)
             else:
                 # device-resident once — the daemon's point is resident state
                 self.db_dev = jnp.asarray(self.db)
+        if self.mesh is not None and self.db is not None:
+            self.engine += f"+mesh{n_mesh}"
         self.batcher = _Batcher(
             self,
             max_batch=getattr(args, "max_batch", 16),
@@ -512,6 +553,11 @@ def main(argv=None) -> int:
     p.add_argument("--pq", action="store_true",
                    help="serve /search through a PQ-compressed database "
                         "(ops/pq.py; databases past HBM)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the DATABASE over this many local devices "
+                        "(0 = single-device): /search routes through the "
+                        "sharded engine twins (parallel/), exact-equal "
+                        "results with 1/n of the database per chip")
     p.add_argument("--pq-m", type=int, default=64,
                    help="PQ subquantizers = bytes per database row")
     p.add_argument("--host", default="127.0.0.1")

@@ -742,3 +742,64 @@ def test_demo_cli_batched_buckets_match_batch1(tmp_path):
         # --batch 0 (default): auto-sized by token count, same outputs
         np.testing.assert_allclose(
             np.load(tmp_path / "auto" / p.name), b, atol=1e-4)
+
+
+def test_serve_http_sharded_database(tmp_path):
+    """--mesh N: the daemon's database shards over N local devices and
+    /search routes through the sharded engine twins — ids must equal the
+    single-device server for every engine (exact / ivf / pq)."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines import serve_http
+
+    rng = np.random.default_rng(9)
+    vdir = tmp_path / "vocab"
+    VLAD(4, cache_dir=str(vdir)).fit(
+        rng.standard_normal((120, 384)).astype(np.float32))
+    db = rng.standard_normal((37, 4 * 384)).astype(np.float32)  # 37 % 8 != 0
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    np.save(tmp_path / "db.npy", db)
+
+    import argparse
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (rng.random((70, 84, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="JPEG")
+    img = buf.getvalue()
+
+    def run_server(mesh, ivf=False, pq=False):
+        args = argparse.Namespace(
+            model="dinov2_vits14", layer=5, facet="value", num_clusters=4,
+            vocab_dir=str(vdir), checkpoint=None, quant=None,
+            max_img_size=84, db=str(tmp_path / "db.npy"), ivf=ivf, pq=pq,
+            pq_m=8, n_probe=4, mesh=mesh, host="127.0.0.1", port=0,
+        )
+        server = serve_http.build_server(args)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=30) as r:
+                h = json.loads(r.read())
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search?k=3", data=img,
+                method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                out = json.loads(r.read())
+        finally:
+            server.shutdown()
+        return h, out
+
+    for kw in ({}, {"ivf": True}, {"pq": True}):
+        h1, o1 = run_server(0, **kw)
+        h8, o8 = run_server(8, **kw)
+        assert "+mesh8" in h8["engine"] and "+mesh" not in h1["engine"]
+        assert o8["ids"] == o1["ids"], (kw, o1, o8)
+        np.testing.assert_allclose(o8["scores"], o1["scores"], atol=1e-4)
