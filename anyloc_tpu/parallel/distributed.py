@@ -134,14 +134,7 @@ def _sharded_search_fn(mesh, method, local_n, n_valid, k, k_local, n_dev,
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
         s, i = jax.lax.top_k(scores, k_local)
-        i = i + offset
-        s_all = jax.lax.all_gather(s, "data")
-        i_all = jax.lax.all_gather(i, "data")
-        q = s.shape[0]
-        s_cat = jnp.transpose(s_all, (1, 0, 2)).reshape(q, n_dev * k_local)
-        i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(q, n_dev * k_local)
-        top, pos = jax.lax.top_k(s_cat, k)
-        return top, jnp.take_along_axis(i_cat, pos, axis=1)
+        return _merge_partials(s, i + offset, s.shape[0], n_dev, k)
 
     fn = jax.jit(_search)
     _SHARDED_SEARCH_CACHE[key] = fn
@@ -180,7 +173,12 @@ def top_k_search_sharded(
         if n_valid is None:
             n_valid = db.shape[0]
     else:
-        db_pad, n_valid = pad_to_multiple(np.asarray(db, np.float32), n_dev)
+        db_pad, pad_valid = pad_to_multiple(np.asarray(db, np.float32),
+                                            n_dev)
+        if n_valid is None:
+            n_valid = pad_valid  # a caller-supplied count (pre-padded
+            # numpy db) must never be overwritten: zero pad rows score
+            # 0.0 and would outrank all-negative true matches
         db_sharded = jax.device_put(
             db_pad, NamedSharding(mesh, P("data", None)))
     local_n = db_sharded.shape[0] // n_dev
@@ -258,6 +256,21 @@ def get_top_k_recall_sharded(
 # ---------------------------------------------------------------------------
 # Sharded compressed (PQ/ADC) top-k retrieval
 # ---------------------------------------------------------------------------
+
+def _merge_partials(metric, ids, nq, n_dev, k):
+    """Inside a shard_map over 'data': all-gather every shard's top-k
+    partial and merge to the global top-k. ``metric`` is higher-is-better
+    with invalid slots already at -inf (ids -1); the ONE copy of the
+    tie/mask-handling merge shared by the exact, pq, ivf and ivf_pq
+    sharded engines."""
+    m_all = jax.lax.all_gather(metric, "data")
+    i_all = jax.lax.all_gather(ids, "data")
+    cols = metric.shape[1]
+    m_cat = jnp.transpose(m_all, (1, 0, 2)).reshape(nq, n_dev * cols)
+    i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(nq, n_dev * cols)
+    best, pos = jax.lax.top_k(m_cat, k)
+    return best, jnp.take_along_axis(i_cat, pos, axis=1)
+
 
 _SHARDED_PQ_CACHE: dict = {}
 _SHARDED_STATE_CACHE: dict = {}
@@ -356,15 +369,7 @@ def pq_search_sharded(
                 method=method, score_dtype=score_dtype, scan=scan,
                 n_valid=jnp.maximum(n - offset, 0))
             gi = jnp.where(s > -jnp.inf, i + offset, -1)
-            s_all = jax.lax.all_gather(s, "data")
-            i_all = jax.lax.all_gather(gi, "data")
-            qn = s.shape[0]
-            s_cat = jnp.transpose(s_all, (1, 0, 2)).reshape(
-                qn, n_dev * k_local)
-            i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(
-                qn, n_dev * k_local)
-            top, pos = jax.lax.top_k(s_cat, k)
-            return top, jnp.take_along_axis(i_cat, pos, axis=1)
+            return _merge_partials(s, gi, s.shape[0], n_dev, k)
 
         fn = jax.jit(_search)
         _SHARDED_PQ_CACHE[key] = fn
@@ -454,16 +459,8 @@ def ivf_search_sharded(
                 overflow_gate=(shard == 0).astype(jnp.int32))
             metric = -top if method == "l2" else top  # higher = better
             metric = jnp.where(ids >= 0, metric, -jnp.inf)
-            m_all = jax.lax.all_gather(metric, "data")
-            i_all = jax.lax.all_gather(ids, "data")
-            m_cat = jnp.transpose(m_all, (1, 0, 2)).reshape(
-                nq_pad, n_dev * k)
-            i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(
-                nq_pad, n_dev * k)
-            best, pos = jax.lax.top_k(m_cat, k)
-            if method == "l2":
-                best = -best
-            return best, jnp.take_along_axis(i_cat, pos, axis=1)
+            best, mi = _merge_partials(metric, ids, nq_pad, n_dev, k)
+            return (-best if method == "l2" else best), mi
 
         fn = jax.jit(_search)
         _SHARDED_IVF_CACHE[key] = fn
@@ -576,16 +573,8 @@ def ivf_pq_search_sharded(
                 overflow_gate=(shard == 0).astype(jnp.int32))
             metric = -top if method == "l2" else top  # higher = better
             metric = jnp.where(ids >= 0, metric, -jnp.inf)
-            m_all = jax.lax.all_gather(metric, "data")
-            i_all = jax.lax.all_gather(ids, "data")
-            m_cat = jnp.transpose(m_all, (1, 0, 2)).reshape(
-                nq_pad, n_dev * k)
-            i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(
-                nq_pad, n_dev * k)
-            best, pos = jax.lax.top_k(m_cat, k)
-            if method == "l2":
-                best = -best
-            return best, jnp.take_along_axis(i_cat, pos, axis=1)
+            best, mi = _merge_partials(metric, ids, nq_pad, n_dev, k)
+            return (-best if method == "l2" else best), mi
 
         fn = jax.jit(_search)
         _SHARDED_IVFPQ_CACHE[key] = fn

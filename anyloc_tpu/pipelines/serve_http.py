@@ -204,13 +204,20 @@ class _Batcher:
             sel = svc.jnp.asarray(
                 (rows + [0] * (bucket - len(rows)))[:bucket])
             qu = vlads[sel]  # on-device row select keeps dispatch async
-            if svc.index_search is not None:
+            if svc.mesh is not None and svc.index_search is not None:
+                # the sharded engines return HOST numpy (they block): run
+                # them in the _finish (sync) stage so this dispatch stays
+                # async and /stats attributes the wait to device_sync
+                state.update(searches=searches, kmax=kmax,
+                             search_thunk=lambda: svc.index_search(qu, kpad))
+            elif svc.index_search is not None:
                 s, idx = svc.index_search(qu, kpad)
+                state.update(searches=searches, kmax=kmax, s=s, idx=idx)
             else:
                 from anyloc_tpu.ops.retrieval import top_k_search
 
                 s, idx = top_k_search(svc.db_dev, qu, kpad)
-            state.update(searches=searches, kmax=kmax, s=s, idx=idx)
+                state.update(searches=searches, kmax=kmax, s=s, idx=idx)
         self.acc("enqueue", time.monotonic() - t1)
         return state
 
@@ -218,6 +225,8 @@ class _Batcher:
         """Fetch the group's device results (the one blocking wait) and
         distribute them per request."""
         t0 = time.monotonic()
+        if "search_thunk" in state:
+            state["s"], state["idx"] = state.pop("search_thunk")()
         if "searches" in state:
             s, idx = np.asarray(state["s"]), np.asarray(state["idx"])
             for row, (i, r) in enumerate(state["searches"]):
@@ -228,6 +237,22 @@ class _Batcher:
             for row, (i, r) in enumerate(state["describes"]):
                 r.result = vlads[row]
         self.acc("device_sync", time.monotonic() - t0)
+
+
+def _index_to_host(index):
+    """Move a fitted index's arrays to host numpy (the fits return
+    device-resident jnp arrays). Under ``--mesh`` the daemon must NOT keep
+    the full unsharded index on device 0 — at the scale the sharded
+    engines exist for (4M x 512-d ivf buckets ~16 GB) that copy alone
+    would OOM the chip the sharding was supposed to relieve; the sharded
+    state builders upload the 1/N shards themselves."""
+    import dataclasses
+
+    return dataclasses.replace(index, **{
+        f.name: np.asarray(v)
+        for f in dataclasses.fields(index)
+        if hasattr((v := getattr(index, f.name)), "shape")
+    })
 
 
 class _Service:
@@ -254,7 +279,7 @@ class _Service:
         self.engine = "device"
         self.mesh = None
         n_mesh = int(getattr(args, "mesh", 0) or 0)
-        if n_mesh > 1:
+        if n_mesh >= 1:  # --mesh 1 is a valid (degenerate) sharded mesh
             # multi-chip serving: the DATABASE shards over a local mesh
             # (retrieval is the memory-bound half; the trunk replicates).
             # Every engine below then routes through its parallel/ sharded
@@ -273,6 +298,7 @@ class _Service:
                 if self.mesh is not None:
                     from anyloc_tpu.parallel import ivf_search_sharded
 
+                    self.index = _index_to_host(self.index)
                     self.index_search = lambda qu, k: ivf_search_sharded(
                         self.index, np.asarray(qu), k, self.mesh,
                         n_probe=args.n_probe)
@@ -294,6 +320,7 @@ class _Service:
                 if self.mesh is not None:
                     from anyloc_tpu.parallel import pq_search_sharded
 
+                    self.index = _index_to_host(self.index)
                     self.index_search = lambda qu, k: pq_search_sharded(
                         self.index, np.asarray(qu), k, self.mesh)
                 else:
@@ -303,17 +330,14 @@ class _Service:
             elif self.mesh is not None:
                 # exact over the mesh: pad + shard ONCE (resident state),
                 # searches pass the device array straight through
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from anyloc_tpu.parallel import top_k_search_sharded
-                from anyloc_tpu.parallel.mesh import pad_to_multiple
-
                 import jax
 
+                from anyloc_tpu.parallel import top_k_search_sharded
+                from anyloc_tpu.parallel.mesh import (data_sharding,
+                                                      pad_to_multiple)
+
                 db_pad, nv = pad_to_multiple(self.db, n_mesh)
-                db_res = jax.device_put(
-                    db_pad,
-                    NamedSharding(self.mesh, P("data", None)))
+                db_res = jax.device_put(db_pad, data_sharding(self.mesh))
                 self.index_search = lambda qu, k: top_k_search_sharded(
                     db_res, np.asarray(qu), k, self.mesh, n_valid=nv)
             else:
