@@ -61,6 +61,26 @@ def main():
     print(f"retrieval: top-10 over 50k sharded db; "
           f"exact self-match rate {np.mean(idx[:, 0] >= 0):.2f}")
 
+    # compressed retrieval past one chip's memory: PQ codes / IVF-PQ cell
+    # buckets shard over the same mesh (round-5 engines; every engine in
+    # get_top_k_recall has a sharded twin — docs/SERVING.md engine table,
+    # and the HTTP daemon serves them via `serve --mesh N`)
+    from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
+    from anyloc_tpu.ops.pq import pq_fit
+    from anyloc_tpu.parallel import ivf_pq_search_sharded, pq_search_sharded
+
+    dbn = db / np.linalg.norm(db, axis=1, keepdims=True)
+    qun = dbn[rng.choice(50_000, 64, replace=False)]
+    pq_index = pq_fit(dbn, 32, method="cosine")
+    _, i_pq = pq_search_sharded(pq_index, qun, 5, mesh)
+    ipq_index = ivf_pq_fit(dbn, 64, m=32, method="cosine")
+    _, i_ipq = ivf_pq_search_sharded(ipq_index, qun, 5, mesh, n_probe=8)
+    print(f"sharded PQ/IVF-PQ: {pq_index.codes.nbytes / 2**20:.1f} MB of "
+          f"codes vs {dbn.nbytes / 2**20:.0f} MB f32, sharded "
+          f"1/{mesh.shape['data']} per chip; self top-1 "
+          f"pq {float(np.mean(i_pq[:, 0] >= 0)):.2f} / "
+          f"ivf_pq {float(np.mean(i_ipq[:, 0] >= 0)):.2f}")
+
     # expert parallelism: domain vocabularies sharded over a 2-D mesh,
     # images routed to their domain's chip (parallel/ep.py)
     import jax.numpy as jnp
