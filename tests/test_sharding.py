@@ -847,3 +847,50 @@ class TestShardedIVF:
         np.testing.assert_array_equal(ii, np.asarray(i1))
         np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-4)
         assert (np.diff(ss, axis=1) >= -1e-6).all()
+
+
+def test_sharded_engines_randomized_config_sweep(mesh):
+    """Randomized corner sweep: 8 random (n, d, cells, probe, k) configs
+    per engine must keep sharded == single-device — catches the corners
+    the fixed tests don't (k at the shortlist clamp, n_probe > n_cells,
+    single-row cells, n barely above n_dev)."""
+    from anyloc_tpu.ops.ivf import ivf_fit
+    from anyloc_tpu.ops.ivf_pq import ivf_pq_fit
+    from anyloc_tpu.ops.pq import pq_fit
+    from anyloc_tpu.parallel import (
+        ivf_pq_search_sharded, ivf_search_sharded, pq_search_sharded)
+
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        n = int(rng.integers(9, 400))
+        d = int(rng.choice([16, 32]))
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        qu = db[rng.choice(n, min(5, n), replace=False)]
+        k = int(rng.integers(1, 8))
+        m = int(rng.choice([4, 8]))
+        cells = int(rng.integers(1, max(2, n // 8)))
+        n_probe = int(rng.integers(1, cells + 3))  # may exceed n_cells
+        ctx = dict(trial=trial, n=n, d=d, k=k, m=m, cells=cells,
+                   n_probe=n_probe)
+
+        pqi = pq_fit(db, m, n_codes=min(64, n), method="cosine")
+        s1, i1 = pqi.search(qu, k)
+        ss, ii = pq_search_sharded(pqi, qu, k, mesh)
+        np.testing.assert_array_equal(ii, np.asarray(i1)), ctx
+        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
+
+        ivfi = ivf_fit(db, cells, method="cosine",
+                       bucket_factor=float(rng.choice([0.8, 2.0])))
+        s1, i1 = ivfi.search(qu, k, n_probe=n_probe)
+        ss, ii = ivf_search_sharded(ivfi, qu, k, mesh, n_probe=n_probe)
+        np.testing.assert_array_equal(ii, np.asarray(i1)), ctx
+        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
+
+        ipqi = ivf_pq_fit(db, cells, m=m, n_codes=min(64, n),
+                          method="cosine",
+                          bucket_factor=float(rng.choice([0.8, 2.0])))
+        s1, i1 = ipqi.search(qu, k, n_probe=n_probe)
+        ss, ii = ivf_pq_search_sharded(ipqi, qu, k, mesh, n_probe=n_probe)
+        np.testing.assert_array_equal(ii, np.asarray(i1)), ctx
+        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
