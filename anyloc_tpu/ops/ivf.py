@@ -100,6 +100,7 @@ def ivf_fit(
     bucket_factor: float = 2.0,
     max_iters: int = 25,
     seed: int = 0,
+    as_numpy: bool = False,
 ) -> IVFIndex:
     """Build an IVF index over ``db`` [N, D].
 
@@ -147,12 +148,16 @@ def ivf_fit(
     ids[sl[in_cap], rank[in_cap]] = rows
     over = order[~in_cap]
     overflow = db[over] if over.size else np.zeros((0, d), np.float32)
+    # as_numpy keeps the per-row stores HOST-resident: callers destined
+    # for the sharded engines (serve --mesh) must not pay a full-index
+    # upload to device 0 that the sharding exists to avoid
+    arr = np.asarray if as_numpy else jnp.asarray
     return IVFIndex(
-        cells=centers,
-        buckets=jnp.asarray(buckets),
-        bucket_ids=jnp.asarray(ids),
-        overflow=jnp.asarray(overflow),
-        overflow_ids=jnp.asarray(over.astype(np.int32)),
+        cells=np.asarray(centers) if as_numpy else centers,
+        buckets=arr(buckets),
+        bucket_ids=arr(ids),
+        overflow=arr(overflow),
+        overflow_ids=arr(over.astype(np.int32)),
         method=method,
         n_rows=n,
     )

@@ -327,6 +327,7 @@ def ivf_pq_fit(
     train_rows: int = 1 << 18,
     encode_block: int = 1 << 16,
     opq_iters: int = 0,
+    as_numpy: bool = False,
 ) -> IVFPQIndex:
     """Build an IVF-PQ index over ``db`` [N, D] (numpy or memmap).
 
@@ -430,21 +431,21 @@ def ivf_pq_fit(
     ids[sl[in_cap], rank[in_cap]] = rows
     b_rsq[sl[in_cap], rank[in_cap]] = rsq[rows]
     over = order[~in_cap].astype(np.int32)
+    arr = np.asarray if as_numpy else jnp.asarray
     return IVFPQIndex(
-        cells=cells,
-        codebooks=codebooks,
-        codes=jnp.asarray(b_codes),
-        bucket_ids=jnp.asarray(ids),
-        recon_sq=jnp.asarray(b_rsq),
-        overflow_codes=jnp.asarray(all_codes[over]
-                                   if over.size else
-                                   np.zeros((0, m), np.uint8)),
-        overflow_cell=jnp.asarray(labels[over].astype(np.int32)),
-        overflow_ids=jnp.asarray(over),
-        overflow_recon_sq=jnp.asarray(rsq[over]),
+        cells=arr(cells),
+        codebooks=arr(codebooks),
+        codes=arr(b_codes),
+        bucket_ids=arr(ids),
+        recon_sq=arr(b_rsq),
+        overflow_codes=arr(all_codes[over]
+                           if over.size else np.zeros((0, m), np.uint8)),
+        overflow_cell=arr(labels[over].astype(np.int32)),
+        overflow_ids=arr(over),
+        overflow_recon_sq=arr(rsq[over]),
         n_rows=n,
         method=method,
-        rotation=None if rotation is None else jnp.asarray(rotation),
+        rotation=None if rotation is None else arr(rotation),
     )
 
 

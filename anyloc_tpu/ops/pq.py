@@ -335,9 +335,12 @@ def pq_fit(
     train_rows: int = 1 << 18,
     encode_block: int = 1 << 16,
     opq_iters: int = 0,
+    as_numpy: bool = False,
 ) -> PQIndex:
     """Train per-subspace codebooks and encode ``db`` [N, D] (numpy or
-    memmap; D must divide into ``m`` equal subspaces).
+    memmap; D must divide into ``m`` equal subspaces). ``as_numpy`` keeps
+    the fitted arrays host-resident (for the sharded engines, which
+    upload 1/n_dev shards themselves).
 
     Training k-means runs as ONE vmapped program over all M subspaces
     (ops/kmeans.py, euclidean mode — the standard PQ objective regardless
@@ -387,10 +390,10 @@ def pq_fit(
     for i0 in range(0, n, encode_block):
         chunk = jnp.asarray(np.asarray(db[i0:i0 + encode_block], np.float32))
         codes[i0:i0 + chunk.shape[0]] = np.asarray(enc(codebooks, chunk))
-    return PQIndex(codebooks=codebooks, codes=jnp.asarray(codes),
+    arr = np.asarray if as_numpy else jnp.asarray
+    return PQIndex(codebooks=arr(codebooks), codes=arr(codes),
                    method=method,
-                   rotation=None if rotation is None
-                   else jnp.asarray(rotation))
+                   rotation=None if rotation is None else arr(rotation))
 
 
 def _pq_assign(codebooks, x):

@@ -407,11 +407,14 @@ def ivf_search_sharded(
     table; sharded, the padded row store splits ~1/n_dev per chip).
 
     Same construction as ``ivf_pq_search_sharded``: replicated coarse
-    centroids give every chip the identical global probe; each scans the
-    probed buckets it owns (foreign cells mask to id -1), shard 0 scores
-    the exact overflow pool, and per-shard top-k partials all_gather +
-    merge. Results equal ``IVFIndex.search`` (tie-free ids), including
-    the full-probe == exact-engine property.
+    centroids give every chip the identical global probe; only buckets a
+    chip owns contribute candidates (foreign cells mask to id -1), shard
+    0 scores the exact overflow pool, and per-shard top-k partials
+    all_gather + merge. Results equal ``IVFIndex.search`` (tie-free ids),
+    including the full-probe == exact-engine property. As with IVF-PQ,
+    sharding buys MEMORY capacity (the [n_cells, cap, D] store splits
+    ~1/n_dev per chip), not per-chip scan FLOPs — static shapes stream a
+    full n_probe*cap block on every chip.
     """
     from anyloc_tpu.ops.ivf import _ivf_search
 
@@ -507,13 +510,19 @@ def ivf_pq_search_sharded(
     an 8-chip slice holds ~80M+ rows of residual codes).
 
     Coarse centroids replicate (tiny), so every chip computes the SAME
-    global probe ranking; each chip then ADC-scans only the probed cells
-    it owns (window mask in ``ops/ivf_pq._ivf_pq_search``), shard 0 scores
-    the shared overflow pool, and per-shard top-k partials all_gather +
-    merge. The union of shard candidates is exactly the single-device
-    candidate set, each bucket scored once — scores and (tie-free) ids
-    equal ``IVFPQIndex.search``. Returns numpy ``(scores, ids)`` with
+    global probe ranking; only cells a chip OWNS contribute candidates
+    (window mask in ``ops/ivf_pq._ivf_pq_search``), shard 0 scores the
+    shared overflow pool, and per-shard top-k partials all_gather + merge.
+    The union of shard candidates is exactly the single-device candidate
+    set, each bucket CONTRIBUTING once — scores and (tie-free) ids equal
+    ``IVFPQIndex.search``. Returns numpy ``(scores, ids)`` with
     ``IVFPQIndex.search`` conventions (l2: positive distances ascending).
+
+    What sharding buys: MEMORY capacity (the code/bucket store splits
+    ~1/n_dev per chip), not scan latency — XLA's static shapes mean each
+    chip still streams a full n_probe*cap candidate block (foreign cells
+    score as masked garbage), so per-chip FLOPs match the single-device
+    scan. Size the mesh for the index that doesn't fit, not for qps.
     """
     from anyloc_tpu.ops.ivf_pq import _ivf_pq_search
 

@@ -146,8 +146,13 @@ def main(argv=None) -> int:
     for path in paths:
         with Image.open(path) as im:
             w, h = im.size
-        buckets.setdefault(
-            processed_shape(w, h, args.max_img_size), []).append(path)
+        shape = processed_shape(w, h, args.max_img_size)
+        if shape[0] < 14 or shape[1] < 14:
+            print(f"{os.path.basename(path)}: skipped — {h}x{w} px "
+                  f"preprocesses to {shape[0]}x{shape[1]} (< one 14-px "
+                  f"patch; extreme aspect ratio or tiny source)")
+            continue
+        buckets.setdefault(shape, []).append(path)
 
     for shape, bpaths in buckets.items():
         if args.batch > 0:

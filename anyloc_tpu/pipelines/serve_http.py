@@ -239,22 +239,6 @@ class _Batcher:
         self.acc("device_sync", time.monotonic() - t0)
 
 
-def _index_to_host(index):
-    """Move a fitted index's arrays to host numpy (the fits return
-    device-resident jnp arrays). Under ``--mesh`` the daemon must NOT keep
-    the full unsharded index on device 0 — at the scale the sharded
-    engines exist for (4M x 512-d ivf buckets ~16 GB) that copy alone
-    would OOM the chip the sharding was supposed to relieve; the sharded
-    state builders upload the 1/N shards themselves."""
-    import dataclasses
-
-    return dataclasses.replace(index, **{
-        f.name: np.asarray(v)
-        for f in dataclasses.fields(index)
-        if hasattr((v := getattr(index, f.name)), "shape")
-    })
-
-
 class _Service:
     """Extractor + vocabulary (+ optional database index), shared state."""
 
@@ -294,11 +278,15 @@ class _Service:
             if args.ivf:
                 from anyloc_tpu.ops.ivf import ivf_fit
 
-                self.index = ivf_fit(self.db, method="cosine")
+                # mesh mode fits with as_numpy: the full bucket store must
+                # NEVER touch device 0 (at the 4M x 512-d motivating scale
+                # that one upload would OOM the chip the sharding exists
+                # to relieve); the sharded engine uploads 1/N shards
+                self.index = ivf_fit(self.db, method="cosine",
+                                     as_numpy=self.mesh is not None)
                 if self.mesh is not None:
                     from anyloc_tpu.parallel import ivf_search_sharded
 
-                    self.index = _index_to_host(self.index)
                     self.index_search = lambda qu, k: ivf_search_sharded(
                         self.index, np.asarray(qu), k, self.mesh,
                         n_probe=args.n_probe)
@@ -316,11 +304,11 @@ class _Service:
                 # operator's dial, not a startup failure)
                 self.index = pq_fit(self.db, getattr(args, "pq_m", 64),
                                     n_codes=min(256, self.db.shape[0]),
-                                    method="cosine")
+                                    method="cosine",
+                                    as_numpy=self.mesh is not None)
                 if self.mesh is not None:
                     from anyloc_tpu.parallel import pq_search_sharded
 
-                    self.index = _index_to_host(self.index)
                     self.index_search = lambda qu, k: pq_search_sharded(
                         self.index, np.asarray(qu), k, self.mesh)
                 else:
@@ -438,6 +426,14 @@ class _Service:
     def _timed_preprocess(self, image_bytes: bytes) -> np.ndarray:
         t0 = time.monotonic()
         arr = self._preprocess(image_bytes)
+        if arr.shape[0] < 14 or arr.shape[1] < 14:
+            # extreme aspect ratios (e.g. 2000x8 at max_img_size 64) scale
+            # or crop below one 14-px patch — reject with a clear 400
+            # instead of a downstream stack/extractor crash
+            raise ValueError(
+                f"image too small after preprocessing "
+                f"({arr.shape[0]}x{arr.shape[1]} px; need >= 14x14 — "
+                f"extreme aspect ratio or tiny source)")
         self.batcher.acc("preprocess", time.monotonic() - t0)
         return arr
 

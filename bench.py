@@ -77,6 +77,13 @@ def main():
     batch = int(args[0]) if args else 32
     if demo_only:
         img_size, batch = 1022, (int(args[0]) if args else 1)
+    if pack_pairs and quant != "int8_full":
+        # the flag only takes effect in the fused int8 attention kernel —
+        # an A/B record claiming "+pack_pairs" for another mode would
+        # attribute the plain path's numbers to M-packing
+        raise SystemExit(
+            f"--pack-pairs requires the int8_full trunk (got "
+            f"{quant or 'bf16'}); the flag is inert elsewhere")
 
     cfg = dinov2_config(model_name, dtype=jnp.bfloat16)
     if quant or pack_pairs:

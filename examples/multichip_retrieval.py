@@ -70,7 +70,8 @@ def main():
     from anyloc_tpu.parallel import ivf_pq_search_sharded, pq_search_sharded
 
     dbn = db / np.linalg.norm(db, axis=1, keepdims=True)
-    qun = dbn[rng.choice(50_000, 64, replace=False)]
+    sel = rng.choice(50_000, 64, replace=False)
+    qun = dbn[sel]
     pq_index = pq_fit(dbn, 32, method="cosine")
     _, i_pq = pq_search_sharded(pq_index, qun, 5, mesh)
     ipq_index = ivf_pq_fit(dbn, 64, m=32, method="cosine")
@@ -78,8 +79,8 @@ def main():
     print(f"sharded PQ/IVF-PQ: {pq_index.codes.nbytes / 2**20:.1f} MB of "
           f"codes vs {dbn.nbytes / 2**20:.0f} MB f32, sharded "
           f"1/{mesh.shape['data']} per chip; self top-1 "
-          f"pq {float(np.mean(i_pq[:, 0] >= 0)):.2f} / "
-          f"ivf_pq {float(np.mean(i_ipq[:, 0] >= 0)):.2f}")
+          f"pq {float(np.mean(i_pq[:, 0] == sel)):.2f} / "
+          f"ivf_pq {float(np.mean(i_ipq[:, 0] == sel)):.2f}")
 
     # expert parallelism: domain vocabularies sharded over a 2-D mesh,
     # images routed to their domain's chip (parallel/ep.py)

@@ -803,3 +803,52 @@ def test_serve_http_sharded_database(tmp_path):
         assert "+mesh8" in h8["engine"] and "+mesh" not in h1["engine"]
         assert o8["ids"] == o1["ids"], (kw, o1, o8)
         np.testing.assert_allclose(o8["scores"], o1["scores"], atol=1e-4)
+
+
+def test_serve_http_rejects_extreme_aspect_images(tmp_path):
+    """A 400 with a clear message — not a downstream stack/extractor
+    crash — for images whose preprocessed dims fall below one 14-px
+    patch (review round 5: a 2000x8 source at small max-img-size scales
+    to 0 rows)."""
+    import io
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from PIL import Image
+
+    from anyloc_tpu.ops.vlad import VLAD
+    from anyloc_tpu.pipelines import serve_http
+
+    rng = np.random.default_rng(11)
+    vdir = tmp_path / "vocab"
+    VLAD(4, cache_dir=str(vdir)).fit(
+        rng.standard_normal((120, 384)).astype(np.float32))
+
+    import argparse
+
+    args = argparse.Namespace(
+        model="dinov2_vits14", layer=5, facet="value", num_clusters=4,
+        vocab_dir=str(vdir), checkpoint=None, quant=None, max_img_size=64,
+        transfer_dtype="uint8", db=None, ivf=False, pq=False,
+        host="127.0.0.1", port=0)
+    server = serve_http.build_server(args)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(
+            (rng.random((8, 2000, 3)) * 255).astype(np.uint8)
+        ).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/describe", data=buf.getvalue(),
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            body = json.loads(e.read())
+            assert e.code == 400 and "too small" in body["error"]
+    finally:
+        server.shutdown()

@@ -877,20 +877,26 @@ def test_sharded_engines_randomized_config_sweep(mesh):
         pqi = pq_fit(db, m, n_codes=min(64, n), method="cosine")
         s1, i1 = pqi.search(qu, k)
         ss, ii = pq_search_sharded(pqi, qu, k, mesh)
-        np.testing.assert_array_equal(ii, np.asarray(i1)), ctx
-        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
+        np.testing.assert_array_equal(ii, np.asarray(i1),
+                                      err_msg=str(ctx))
+        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5,
+                                   err_msg=str(ctx))
 
         ivfi = ivf_fit(db, cells, method="cosine",
                        bucket_factor=float(rng.choice([0.8, 2.0])))
         s1, i1 = ivfi.search(qu, k, n_probe=n_probe)
         ss, ii = ivf_search_sharded(ivfi, qu, k, mesh, n_probe=n_probe)
-        np.testing.assert_array_equal(ii, np.asarray(i1)), ctx
-        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
+        np.testing.assert_array_equal(ii, np.asarray(i1),
+                                      err_msg=str(ctx))
+        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5,
+                                   err_msg=str(ctx))
 
         ipqi = ivf_pq_fit(db, cells, m=m, n_codes=min(64, n),
                           method="cosine",
                           bucket_factor=float(rng.choice([0.8, 2.0])))
         s1, i1 = ipqi.search(qu, k, n_probe=n_probe)
         ss, ii = ivf_pq_search_sharded(ipqi, qu, k, mesh, n_probe=n_probe)
-        np.testing.assert_array_equal(ii, np.asarray(i1)), ctx
-        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5)
+        np.testing.assert_array_equal(ii, np.asarray(i1),
+                                      err_msg=str(ctx))
+        np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5,
+                                   err_msg=str(ctx))
