@@ -106,6 +106,17 @@ def load_image(path: str, size_hw: Optional[Tuple[int, int]] = (320, 320)) -> np
     return base_transform(load_pil(path), size_hw)
 
 
+def resize_round_u8(arr: np.ndarray,
+                    size_hw: Optional[Tuple[int, int]]) -> np.ndarray:
+    """[H, W, 3] float array -> tensor-mode bilinear resize -> rounded
+    uint8 — the ONE implementation of the uint8-transfer rounding contract
+    (shared by ``load_image_u8`` and the serving daemon's PIL fallback;
+    the native ``decode_batch_u8`` mirrors it within 1 count)."""
+    if size_hw is not None and arr.shape[:2] != tuple(size_hw):
+        arr = resize_tensor_bilinear(arr, tuple(size_hw))
+    return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+
+
 def load_image_u8(
     path: str, size_hw: Optional[Tuple[int, int]] = (320, 320)
 ) -> np.ndarray:
@@ -114,10 +125,7 @@ def load_image_u8(
     ``decode_batch_u8``): normalization happens on-device, so the only
     deviation from the f32 path is the 8-bit rounding of resized values
     (<= 0.5/255 per channel before normalization)."""
-    arr = np.asarray(load_pil(path), np.float32)
-    if size_hw is not None and arr.shape[:2] != tuple(size_hw):
-        arr = resize_tensor_bilinear(arr, tuple(size_hw))
-    return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+    return resize_round_u8(np.asarray(load_pil(path), np.float32), size_hw)
 
 
 def device_normalize(imgs, mean=IMAGENET_MEAN, std=IMAGENET_STD):

@@ -195,11 +195,11 @@ class _Batcher:
             # bucket and k rounds up to a power of two, so compiled search
             # programs are O(log max_batch x log k), all pre-warmable —
             # a per-group-size/k shape would compile in-band under load
-            kmax = min(max(r.k for _, r in searches), svc.db.shape[0])
+            kmax = min(max(r.k for _, r in searches), svc.db_rows)
             kpad = 8
             while kpad < kmax:
                 kpad *= 2
-            kpad = min(kpad, svc.db.shape[0])
+            kpad = min(kpad, svc.db_rows)
             rows = [i for i, _ in searches]
             sel = svc.jnp.asarray(
                 (rows + [0] * (bucket - len(rows)))[:bucket])
@@ -271,11 +271,13 @@ class _Service:
             from anyloc_tpu.parallel import local_mesh
 
             self.mesh = local_mesh(n_mesh)
+        self.db_rows = 0
         if args.db:
             self.db = np.load(args.db).astype(np.float32)
+            self.db_rows = int(self.db.shape[0])
             if getattr(args, "ivf", False) and getattr(args, "pq", False):
                 raise ValueError("--ivf and --pq are mutually exclusive")
-            if args.ivf:
+            if getattr(args, "ivf", False):
                 from anyloc_tpu.ops.ivf import ivf_fit
 
                 # mesh mode fits with as_numpy: the full bucket store must
@@ -303,7 +305,7 @@ class _Service:
                 # serve (PQ quality needs rows >> codes; that is the
                 # operator's dial, not a startup failure)
                 self.index = pq_fit(self.db, getattr(args, "pq_m", 64),
-                                    n_codes=min(256, self.db.shape[0]),
+                                    n_codes=min(256, max(2, self.db.shape[0])),
                                     method="cosine",
                                     as_numpy=self.mesh is not None)
                 if self.mesh is not None:
@@ -333,6 +335,11 @@ class _Service:
                 self.db_dev = jnp.asarray(self.db)
         if self.mesh is not None and self.db is not None:
             self.engine += f"+mesh{n_mesh}"
+        # the raw f32 rows are not needed at serve time in ANY mode (exact
+        # keeps a device/sharded copy; ivf/pq indexes are self-contained)
+        # — at the --pq motivating scale (4M x 512-d) the host copy alone
+        # is ~8 GB, exactly the memory the compressed mode exists to save
+        self.db = None
         self.batcher = _Batcher(
             self,
             max_batch=getattr(args, "max_batch", 16),
@@ -358,17 +365,26 @@ class _Service:
             # the live path row-selects describe/search rows on device —
             # warm that gather program per bucket too
             vlads = vlads[self.jnp.asarray(np.zeros(b, np.int32))]
-            if self.db_dev is not None:
-                from anyloc_tpu.ops.retrieval import top_k_search
+            if self.db_rows and (self.db_dev is not None
+                                 or self.index_search is not None):
+                # warm EVERY power-of-two k bucket the live path can pad
+                # to (8 .. min(1024, rows)) — the search program depends
+                # on (bucket, kpad) and an unwarmed k compiles in-band
+                kp = 8
+                while True:
+                    kk = min(kp, self.db_rows)
+                    if self.db_dev is not None:
+                        from anyloc_tpu.ops.retrieval import top_k_search
 
-                # k=8 matches the live path's power-of-two k padding
-                s, _ = top_k_search(self.db_dev, self.jnp.asarray(
-                    np.asarray(vlads)), min(8, self.db.shape[0]))
-                np.asarray(s)
-            elif self.index_search is not None:
-                s, _ = self.index_search(np.asarray(vlads),
-                                         min(8, self.db.shape[0]))
-                np.asarray(s)
+                        s, _ = top_k_search(
+                            self.db_dev,
+                            self.jnp.asarray(np.asarray(vlads)), kk)
+                    else:
+                        s, _ = self.index_search(np.asarray(vlads), kk)
+                    np.asarray(s)
+                    if kp >= min(1024, self.db_rows):
+                        break
+                    kp *= 2
             else:
                 np.asarray(vlads)
             b *= 2
@@ -378,7 +394,7 @@ class _Service:
 
         from anyloc_tpu.data.transforms import (center_crop_multiple,
                                                  preprocess_image,
-                                                 resize_tensor_bilinear)
+                                                 resize_round_u8)
 
         if getattr(self.args, "transfer_dtype", "float32") == "uint8":
             # low-bandwidth transfer: resized uint8 over the wire to the
@@ -409,10 +425,7 @@ class _Service:
                 h, w = arr.shape[:2]
                 sc = min(1.0, me / max(h, w))
                 size = (int(h * sc), int(w * sc))
-            if arr.shape[:2] != size:
-                arr = resize_tensor_bilinear(arr, size)
-            arr = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
-            return center_crop_multiple(arr, 14)
+            return center_crop_multiple(resize_round_u8(arr, size), 14)
         img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
         if getattr(self.args, "img_size", 0):
             # fixed serving resolution: every request lands in ONE shape
@@ -442,7 +455,7 @@ class _Service:
         return self.batcher.submit(req).result
 
     def search(self, image_bytes: bytes, k: int):
-        if self.db is None:  # check BEFORE paying a trunk forward
+        if not self.db_rows:  # check BEFORE paying a trunk forward
             raise ValueError("no database loaded (--db)")
         req = _Request(self._timed_preprocess(image_bytes), "search", k=k)
         return self.batcher.submit(req).result
@@ -471,7 +484,7 @@ def make_handler(svc: _Service):
                     "facet": svc.args.facet,
                     "clusters": svc.args.num_clusters,
                     "quant": svc.args.quant,
-                    "db_rows": 0 if svc.db is None else int(svc.db.shape[0]),
+                    "db_rows": svc.db_rows,
                     "engine": svc.engine,
                     "max_batch": svc.batcher.max_batch,
                 })
@@ -498,14 +511,21 @@ def make_handler(svc: _Service):
                 self._reply(404, {"error": "unknown path"})
 
         MAX_BODY = 64 * 1024 * 1024  # one image; a daemon must not OOM
+        MAX_K = 1024  # bounds the compiled top-k program set (powers of
+        # two up to here are pre-warmed; an unbounded client k would force
+        # an in-band jit + a giant D2H on the shared dispatcher thread)
+        timeout = 120  # a stalled client must not leak a handler thread
 
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                if n > self.MAX_BODY:
-                    self._reply(413, {"error": f"body too large ({n} bytes)"})
+                if n < 0 or n > self.MAX_BODY:
+                    self._reply(413, {"error": f"bad body size ({n} bytes)"})
                     return
                 data = self.rfile.read(n)
+                if len(data) != n:  # client lied or hung up mid-body
+                    self._reply(400, {"error": "truncated body"})
+                    return
                 path, _, query = self.path.partition("?")
                 if path == "/describe":
                     gd = svc.describe(data)
@@ -516,7 +536,7 @@ def make_handler(svc: _Service):
                     k = 5
                     for part in query.split("&"):
                         if part.startswith("k="):
-                            k = max(1, int(part[2:]))
+                            k = max(1, min(int(part[2:]), self.MAX_K))
                     s, i = svc.search(data, k)
                     t0 = time.monotonic()
                     self._reply(200, {"ids": i.tolist(),
@@ -525,7 +545,14 @@ def make_handler(svc: _Service):
                 else:
                     self._reply(404, {"error": "unknown path"})
             except Exception as e:  # surface errors as JSON, keep serving
-                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                # client-attributable problems (bad image — PIL raises an
+                # OSError subclass — or bad params) are 400; anything else
+                # is a genuine 5xx so monitoring sees it
+                code = 400 if isinstance(e, (ValueError, OSError)) else 500
+                try:
+                    self._reply(code, {"error": f"{type(e).__name__}: {e}"})
+                except Exception:
+                    pass  # reply failed mid-write (client gone) — done
 
     return Handler
 
