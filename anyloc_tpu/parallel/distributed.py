@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from anyloc_tpu.ops.common import EXACT, l2_normalize
+from anyloc_tpu.ops.common import EXACT
 from anyloc_tpu.ops.kmeans import _similarity
 from anyloc_tpu.parallel.mesh import pad_to_multiple
 
@@ -163,6 +163,8 @@ def top_k_search_sharded(
     from anyloc_tpu.ops.common import score_dot
 
     score_dot(score_dtype)  # validate before building the shard_map
+    if method not in ("cosine", "l2"):
+        raise ValueError(f"Unknown method: {method!r}")
     n_dev = mesh.shape["data"]
     if isinstance(db, jax.Array) and not isinstance(db, np.ndarray):
         if db.shape[0] % n_dev:
@@ -181,6 +183,9 @@ def top_k_search_sharded(
             # 0.0 and would outrank all-negative true matches
         db_sharded = jax.device_put(
             db_pad, NamedSharding(mesh, P("data", None)))
+    # clamp like the single-device engine and the pq/ivf siblings — a k
+    # beyond the valid rows would return pad indices with +-inf scores
+    k = max(1, min(k, n_valid))
     local_n = db_sharded.shape[0] // n_dev
     k_local = min(k, local_n)
     qu_rep = jax.device_put(
@@ -211,14 +216,23 @@ def get_top_k_recall_sharded(
     """
     from anyloc_tpu.ops.retrieval import compute_recalls
 
-    db = np.asarray(db, np.float32)
     qu = np.asarray(qu, np.float32)
     if qu.ndim == 1:
         qu = qu[None]
     if norm_descs:
-        db = db / np.maximum(np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
         qu = qu / np.maximum(np.linalg.norm(qu, axis=-1, keepdims=True), 1e-12)
-    max_k = min(int(max(top_k)), db.shape[0])
+    if engine != "device" and index is not None:
+        # prebuilt-index fast path: the raw database is NOT touched (at
+        # the sharded engines' motivating scale it is tens of GB; two
+        # host copies + a normalize pass here would defeat the point)
+        db_rows = index.n_rows
+    else:
+        db = np.asarray(db, np.float32)
+        if norm_descs:
+            db = db / np.maximum(
+                np.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
+        db_rows = db.shape[0]
+    max_k = min(int(max(top_k)), db_rows)
     if engine == "pq":
         if index is None:
             from anyloc_tpu.ops.pq import pq_fit
@@ -226,7 +240,18 @@ def get_top_k_recall_sharded(
             index = pq_fit(db, pq_m, method=method, opq_iters=opq_iters)
         dists, indices = pq_search_sharded(
             index, qu, max_k, mesh, score_dtype=score_dtype)
+        if method == "l2":
+            # PQIndex.search scores -||q-x̂||^2 + ||q||^2 (higher=better);
+            # the recall API returns POSITIVE squared distances, exactly
+            # as the single-device wrapper converts (ops/retrieval.py)
+            dists = np.sum(qu * qu, axis=1, keepdims=True) - dists
     elif engine == "ivf":
+        if score_dtype != "float32":
+            # same contract as the single-device wrapper: a silently
+            # ignored score_dtype would misreport what ran
+            raise ValueError(
+                "score_dtype is only supported by the 'device'/'pq'/"
+                "'ivf_pq' sharded engines; ivf scores in float32")
         if index is None:
             from anyloc_tpu.ops.ivf import ivf_fit
 

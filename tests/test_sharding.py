@@ -900,3 +900,46 @@ def test_sharded_engines_randomized_config_sweep(mesh):
                                       err_msg=str(ctx))
         np.testing.assert_allclose(ss, np.asarray(s1), atol=1e-5,
                                    err_msg=str(ctx))
+
+
+def test_sharded_recall_contract_parity(rng, mesh):
+    """The sharded recall wrapper must keep the single-device API's
+    contracts (round-5 review): l2 pq dists convert to positive squared
+    distances, ivf rejects non-f32 score_dtype, a prebuilt index skips
+    the database entirely, and exact-engine k clamps to valid rows."""
+    from anyloc_tpu.ops.pq import pq_fit
+    from anyloc_tpu.ops.retrieval import get_top_k_recall
+    from anyloc_tpu.parallel import top_k_search_sharded
+    from anyloc_tpu.parallel.distributed import get_top_k_recall_sharded
+
+    db = rng.standard_normal((400, 32)).astype(np.float32)
+    qu = db[:6]
+    gt = [np.array([i]) for i in range(6)]
+
+    # l2 pq: dists equal the single-device wrapper's positive distances
+    d1, i1, _ = get_top_k_recall(
+        [1, 3], db, qu, gt, method="l2", norm_descs=False, engine="pq",
+        pq_m=8)
+    ds, is_, _ = get_top_k_recall_sharded(
+        [1, 3], db, qu, gt, mesh, method="l2", norm_descs=False,
+        engine="pq", pq_m=8)
+    np.testing.assert_array_equal(is_, np.asarray(i1))
+    np.testing.assert_allclose(ds, np.asarray(d1), atol=1e-4)
+    assert (ds >= -1e-5).all()  # positive squared distances
+
+    # ivf: non-f32 score_dtype must raise, like the single-device API
+    with pytest.raises(ValueError):
+        get_top_k_recall_sharded(
+            [1], db, qu, gt, mesh, engine="ivf", score_dtype="bfloat16")
+
+    # prebuilt index: the db argument must not be touched (None works)
+    dbn = db / np.linalg.norm(db, axis=1, keepdims=True)
+    index = pq_fit(dbn, 8, method="cosine")
+    _, idx, rec = get_top_k_recall_sharded(
+        [1], None, dbn[:6], gt, mesh, engine="pq", index=index)
+    assert rec[1] in (1.0, 100.0)
+
+    # exact sharded: k beyond valid rows clamps (10 rows pad to 16)
+    small = dbn[:10]
+    s, i = top_k_search_sharded(small, small[:2], 14, mesh)
+    assert i.shape == (2, 10) and (i < 10).all()
