@@ -51,6 +51,24 @@ def _softmax_masked(s: jnp.ndarray, n_valid: int) -> jnp.ndarray:
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _skewed_pipeline(count, scores_fn, pv_fn, skew):
+    """The ONE software-pipelining driver shared by every head loop in
+    this module: with ``skew``, scores(i) [MXU] is issued before item
+    i-1's softmax [VPU] / PV [MXU], giving the Mosaic scheduler
+    independent work to dual-issue; without it, items run sequentially.
+    Returns the list of pv outputs in item order."""
+    if skew:
+        outs = []
+        prev = scores_fn(0)
+        for i in range(1, count):
+            cur = scores_fn(i)
+            outs.append(pv_fn(i - 1, prev))
+            prev = cur
+        outs.append(pv_fn(count - 1, prev))
+        return outs
+    return [pv_fn(i, scores_fn(i)) for i in range(count)]
+
+
 def _heads_attention_packed(q, k, v, hd: int, skew: bool, nv: int,
                             score_dtype):
     """M-packed head pairs: heads (2p, 2p+1) share ONE scores dot and ONE
@@ -92,16 +110,7 @@ def _heads_attention_packed(q, k, v, hd: int, skew: bool, nv: int,
                       preferred_element_type=jnp.float32)   # [2N, 2hd]
         return jnp.where(lane < hd, out[:n], out[n:]).astype(v.dtype)
 
-    if skew:
-        outs = []
-        prev = pair_scores(0)
-        for p in range(1, n_pairs):
-            cur = pair_scores(p)
-            outs.append(pair_pv(p - 1, prev))
-            prev = cur
-        outs.append(pair_pv(n_pairs - 1, prev))
-    else:
-        outs = [pair_pv(p, pair_scores(p)) for p in range(n_pairs)]
+    outs = _skewed_pipeline(n_pairs, pair_scores, pair_pv, skew)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
@@ -142,26 +151,18 @@ def _heads_attention(q, k, v, hd: int, skew: bool, n_valid=None,
             preferred_element_type=jnp.float32,
         ).astype(v.dtype)                                   # [N, hd]
 
-    if skew:
-        outs = []
-        prev = head_scores(0)
-        for h in range(1, hc):
-            cur = head_scores(h)
-            outs.append(head_pv(h - 1, prev))
-            prev = cur
-        outs.append(head_pv(hc - 1, prev))
-    else:
-        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
+    outs = _skewed_pipeline(hc, head_scores, head_pv, skew)
     return jnp.concatenate(outs, axis=1)                    # [N, hc*hd]
 
 
 def _pick_int8_head_chunk(n: int, h: int, hd: int, requested):
-    """Head chunk for the int8 half kernel. Unlike the bf16/qkv-view kernels
-    (whose blocks end in the full ``hd`` dim), its weight-column BlockSpecs
-    are (D, hc*hd) views of the qkv matrix — Mosaic requires the last block
-    dim be a multiple of 128 lanes (or the whole array dim), so hc*hd must
-    be lane-aligned. Returns None when no divisor of ``h`` qualifies (tiny
-    test models); callers fall back to the XLA-equivalent int8 path."""
+    """Head chunk for the int8 half kernel. Its weight-column BlockSpecs
+    are (D, hc*hd) views of the qkv matrix, so hc*hd must be a multiple of
+    128 lanes — the SAME constraint the bf16/qkv-view kernels' hc*hd-wide
+    blocks carry (they route through _lane_valid_head_chunk for it; only
+    attention_proj's 4-D per-head blocks end in the bare ``hd``). Returns
+    None when no divisor of ``h`` qualifies (tiny test models); callers
+    fall back to the XLA-equivalent int8 path."""
     budget = _pick_head_chunk(n, h, requested)
     for hc in range(budget, 0, -1):
         if h % hc == 0 and (hc * hd) % 128 == 0:
@@ -188,28 +189,40 @@ def attn_geometry_ok(num_heads: int, head_dim: int) -> bool:
 int8_attn_geometry_ok = attn_geometry_ok
 
 
-def _lane_valid_head_chunk(h: int, hd: int, hc: int) -> int:
+def _lane_valid_head_chunk(h: int, hd: int, hc: int,
+                           strict: bool = True) -> int:
     """Largest lane-valid divisor of ``h`` not above ``hc`` (else the
-    smallest valid one); returns ``hc`` unchanged when no divisor is valid
-    (caller should have gated via attn_geometry_ok)."""
+    smallest valid one). With ``strict`` (real Mosaic lowering) raises the
+    same clear error as the int8 twin when no divisor qualifies — silently
+    returning an unaligned chunk would surface as an opaque Mosaic
+    lane-alignment failure at compile time. Interpret mode has no lane
+    constraint and passes ``strict=False``."""
     if (hc * hd) % 128 == 0:
         return hc
     valid = [c for c in range(1, h + 1) if h % c == 0 and (c * hd) % 128 == 0]
     if not valid:
+        if strict:
+            raise ValueError(
+                f"no head chunk with hc*head_dim % 128 == 0 exists for "
+                f"num_heads={h}, head_dim={hd}; gate with "
+                "attn_geometry_ok() and use the XLA attention path")
         return hc
     below = [c for c in valid if c <= hc]
     return max(below) if below else min(valid)
 
 
-def _pick_head_chunk(n: int, h: int, requested) -> int:
+def _pick_head_chunk(n: int, h: int, requested, sublane: int = 8) -> int:
     """Heads per grid cell under a ~6 MB f32 score-block VMEM budget,
-    rounded down to a divisor of ``h`` (shared by the fused-half and
-    qkv-view wrappers)."""
+    rounded down to a divisor of ``h`` (shared by the fused-half,
+    qkv-view and per-head wrappers; ``sublane`` is the caller's token
+    padding granularity — 16 for bf16 operands)."""
+    if requested is not None and requested < 1:
+        raise ValueError(f"head_chunk must be >= 1, got {requested}")
     if requested is None:
         budget = 6 * 1024 * 1024
-        np_tok = _round_up(n, 8)
+        np_tok = _round_up(n, sublane)
         requested = max(1, min(h, budget // (np_tok * np_tok * 4)))
-    hc = requested
+    hc = min(requested, h)
     while h % hc:
         hc -= 1
     return hc
@@ -250,18 +263,7 @@ def _attn_proj_kernel(
             p.astype(v_ref.dtype), v_ref[0, h], preferred_element_type=jnp.float32
         ).astype(v_ref.dtype)                               # [Np, hd] MXU
 
-    if skew:
-        # Software-pipelined: scores(h) is issued before head h-1's
-        # softmax/PV — independent ops the scheduler can dual-issue.
-        outs = []
-        prev = head_scores(0)
-        for h in range(1, hc):
-            cur = head_scores(h)
-            outs.append(head_pv(h - 1, prev))
-            prev = cur
-        outs.append(head_pv(hc - 1, prev))
-    else:
-        outs = [head_pv(h, head_scores(h)) for h in range(hc)]
+    outs = _skewed_pipeline(hc, head_scores, head_pv, skew)
     # One projection matmul per cell over the concatenated head outputs:
     # [Np, hc*hd] @ [hc*hd, D] — K = hc*hd keeps the MXU fed (per-head
     # K=64 proj matmuls measured ~7% slower end-to-end).
@@ -349,7 +351,8 @@ def flash_attention_qkv_proj(
     hd = d // h
     d_out = w_proj.shape[1]
     scale = hd ** -0.5 if scale is None else scale
-    hc = _lane_valid_head_chunk(h, hd, _pick_head_chunk(n, h, head_chunk))
+    hc = _lane_valid_head_chunk(h, hd, _pick_head_chunk(n, h, head_chunk),
+                                strict=not interpret)
     nj = h // hc
 
     qkv_view = lambda off: pl.BlockSpec(  # noqa: E731
@@ -378,7 +381,10 @@ def flash_attention_qkv_proj(
     np_pad = _round_up(n, 16)
     vmem = (
         3 * 2 * hc * hd * np_pad * esz
-        + 2 * np_pad * np_pad * 4
+        # Mosaic may keep ALL hc per-head score blocks staged within a
+        # cell (not just the 2 the skew keeps logically live) — budget
+        # them all, like the fused-half twins
+        + hc * np_pad * np_pad * 4
         + 2 * hc * hd * d_out * esz
         + 2 * np_pad * d_out * (esz + 4)
         + np_pad * d_out * 4
@@ -618,7 +624,8 @@ def fused_attn_half_int8(
         + 2 * hcw * d                        # proj weight chunk int8
         + rows * d * (1 + 4)                 # xq + acc scratch
         + 2 * rows * d * esz                 # out block
-        + hc * np_pad * np_pad * 4           # staged f32 scores (per image)
+        + bt * hc * np_pad * np_pad * 4      # staged f32 scores (all bt
+        # images' stripes can be staged within a cell)
         + 4 * rows * hcw * 4                 # q/k/v/o_cat f32 live
     )
     kernel = functools.partial(
@@ -680,10 +687,14 @@ def _attn_half_bf16_kernel(
 
     q = project(wq_ref, bq_ref) * scale
     k = project(wk_ref, bk_ref)
-    v = project(wv_ref, bv_ref).astype(jnp.bfloat16)
+    # PV dtype follows the ACTIVATION dtype: bf16 trunks take the fast
+    # path, f32 callers keep f32 accuracy throughout (a hard bf16 cast
+    # here would silently degrade an all-f32 call, unlike the
+    # flash_attention_qkv_proj contract)
+    v = project(wv_ref, bv_ref).astype(x_ref.dtype)
     o_cat = _heads_attention(
         q, k, v, hd, skew, score_dtype=x_ref.dtype
-    )                                                       # [N, hc*hd] bf16
+    )                                                       # [N, hc*hd]
     acc_ref[:] += jnp.dot(o_cat, wp_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
@@ -732,7 +743,8 @@ def fused_attn_half_bf16(
     assert wqkv.shape == (d, 3 * d), wqkv.shape
     assert wp.shape == (d, d), wp.shape
     scale = hd ** -0.5 if scale is None else scale
-    hc = _lane_valid_head_chunk(h, hd, _pick_head_chunk(n, h, head_chunk))
+    hc = _lane_valid_head_chunk(h, hd, _pick_head_chunk(n, h, head_chunk),
+                                strict=not interpret)
     nj = h // hc
     hcw = hc * hd
 
@@ -832,14 +844,9 @@ def attention_proj(
     if np_tok != n:
         pad = [(0, 0), (0, 0), (0, np_tok - n), (0, 0)]
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    if head_chunk is None:
-        # budget ~6 MB of f32 score blocks per cell (skewed keeps ~2 live,
-        # but Mosaic may keep the chunk staged — budget the full chunk).
-        budget = 6 * 1024 * 1024
-        head_chunk = max(1, min(h, budget // (np_tok * np_tok * 4)))
-    hc = head_chunk
-    while h % hc:
-        hc -= 1
+    # skewed keeps ~2 score blocks logically live, but Mosaic may keep
+    # the chunk staged — _pick_head_chunk budgets the full chunk
+    hc = _pick_head_chunk(n, h, head_chunk, sublane=sub)
     # scoped-VMEM requirement: staged scores + double-buffered qkv/wp blocks
     # + out block + the f32 accumulator. Mosaic's default scoped limit is
     # 16 MB; the chip has far more VMEM — raise the limit with headroom.
