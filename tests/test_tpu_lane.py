@@ -466,11 +466,19 @@ def test_roofline_kernels_at_ceiling():
     # iters must match the recorded-ceiling conditions (100): the axon
     # tunnel's per-dispatch overhead (~15 ms/run call) inflates short runs
     # — at iters=50 the mlp half reads 225 TF/s vs its true 254+.
+    # One retry on a miss: the FIRST measurement after another process
+    # releases the chip can read 25%+ low (observed twice in round 5:
+    # mlp_half 191 TF/s in a recheck whose own e2e bench was a normal
+    # 503 img/s; clean re-run 262). A real regression fails both runs.
     rows = roofline.measure(n=485, iters=100)
+    if any(r["vs_ceiling"] < 1 - roofline.DEFAULT_TOL
+           for r in rows.values()):
+        rows = roofline.measure(n=485, iters=100)
     for name, r in rows.items():
         assert r["vs_ceiling"] >= 1 - roofline.DEFAULT_TOL, (
             f"{name}: {r['tfs']:.1f} TF/s vs recorded ceiling "
-            f"{r['ceiling_tfs']:.1f} ({r['vs_ceiling']:.1%})"
+            f"{r['ceiling_tfs']:.1f} ({r['vs_ceiling']:.1%}) — "
+            "reproduced on a clean re-measure"
         )
 
 
