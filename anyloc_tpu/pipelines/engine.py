@@ -49,18 +49,7 @@ class DescriptorEngine:
         self.transfer_dtype = transfer_dtype
         self.batch_size = batch_size
         self.mesh = mesh
-        # optional sharded descriptor cache (resumable extraction): keyed by
-        # the full extraction config so stale caches can't be confused
-        self.desc_cache = None
-        if cache_dir is not None:
-            from anyloc_tpu.utils.desc_cache import DescriptorCache
-
-            self.desc_cache = DescriptorCache(
-                cache_dir,
-                {"model": model_type, "layer": desc_layer, "facet": desc_facet,
-                 "use_cls": use_cls, "norm": norm_descs, "dtype": dtype,
-                 "transfer": transfer_dtype, "quant": quant},
-            )
+        custom_extractor = extractor is not None
         if extractor is None:
             from anyloc_tpu.models.factory import make_extractor
 
@@ -71,6 +60,23 @@ class DescriptorEngine:
                 use_cls=use_cls, norm_descs=norm_descs, quant=quant,
             )
         self.extractor = extractor
+        # optional sharded descriptor cache (resumable extraction): keyed by
+        # the full extraction config so stale caches can't be confused —
+        # including the CHECKPOINT (random-init vs real weights must never
+        # share a cache) and, for caller-supplied extractors, the extractor
+        # class (the constructor args do not describe it)
+        self.desc_cache = None
+        if cache_dir is not None:
+            from anyloc_tpu.utils.desc_cache import DescriptorCache
+
+            cfg = {"model": model_type, "layer": desc_layer,
+                   "facet": desc_facet, "use_cls": use_cls,
+                   "norm": norm_descs, "dtype": dtype,
+                   "transfer": transfer_dtype, "quant": quant,
+                   "checkpoint": checkpoint}
+            if custom_extractor:
+                cfg["custom_extractor"] = type(extractor).__name__
+            self.desc_cache = DescriptorCache(cache_dir, cfg)
         if transfer_dtype == "uint8" and not getattr(
             extractor, "supports_uint8", False
         ):
@@ -82,6 +88,13 @@ class DescriptorEngine:
                 f"{type(extractor).__name__}; use 'float32'"
             )
         self.patch = getattr(extractor.cfg, "patch_size", 14)
+        if mesh is not None and not hasattr(extractor, "_forward"):
+            import warnings
+
+            warnings.warn(
+                f"mesh given but {type(extractor).__name__} has no "
+                "sharded-forward hook (_forward) — extraction runs "
+                "single-device", stacklevel=2)
         if mesh is not None and hasattr(extractor, "_forward"):
             from anyloc_tpu.parallel.distributed import sharded_extract_fn
 
@@ -115,8 +128,10 @@ class DescriptorEngine:
         the on-disk descriptor cache) — for results that feed directly into
         more device work, e.g. vocabulary k-means."""
         idx = dataset.indices(which, sub_sample)
+        if len(idx) == 0:
+            return np.zeros((0,), np.float32)
         if self.desc_cache is not None and not keep_on_device:
-            key = f"{type(dataset).__name__}_{which}_ss{sub_sample}"
+            key = self._cache_key(dataset, which, sub_sample, idx)
             return self.desc_cache.get_or_compute(
                 key, len(idx),
                 lambda: self._extract_dataset(dataset, which, sub_sample,
@@ -124,6 +139,24 @@ class DescriptorEngine:
             )
         return self._extract_dataset(dataset, which, sub_sample, verbose,
                                      keep_on_device=keep_on_device)
+
+    @staticmethod
+    def _cache_key(dataset, which, sub_sample, idx) -> str:
+        """Cache key carrying the DATASET IDENTITY, not just its class:
+        many dataset names map to one class (every domain recipe is a
+        GlobalVocabDataset; all Tartan_GNSS* are Aerial), and the class
+        name alone made different datasets/resolutions cache-collide with
+        identically-shaped, silently-wrong descriptors. The digest covers
+        the selected image paths and the load resolution."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(str(getattr(dataset, "img_size", None)).encode())
+        for i in idx:
+            h.update(str(dataset.images_paths[i]).encode())
+            h.update(b"|")
+        return (f"{type(dataset).__name__}_{which}_ss{sub_sample}_"
+                f"{h.hexdigest()[:12]}")
 
     def extract_aggregated_dataset(
         self,
@@ -140,7 +173,7 @@ class DescriptorEngine:
         in HBM. ``agg_key`` names the aggregation in the descriptor cache."""
         if self.desc_cache is not None:
             idx = dataset.indices(which, sub_sample)
-            key = f"{agg_key}_{type(dataset).__name__}_{which}_ss{sub_sample}"
+            key = f"{agg_key}_{self._cache_key(dataset, which, sub_sample, idx)}"
             return self.desc_cache.get_or_compute(
                 key, len(idx),
                 lambda: self._extract_dataset(dataset, which, sub_sample,
@@ -227,7 +260,8 @@ class DescriptorEngine:
                 out[done : done + nv] = descs[valid]
             done += nv
             if verbose:
-                print(f"\rExtracting [{which}]: {done}/{len(idx)}", end="")
+                print(f"\rExtracting [{which}]: {done}/{len(idx)}", end="",
+                      flush=True)
 
         pending = None
         for imgs, bidx in dataset.batches(

@@ -852,3 +852,44 @@ def test_serve_http_rejects_extreme_aspect_images(tmp_path):
             assert e.code == 400 and "too small" in body["error"]
     finally:
         server.shutdown()
+
+
+def test_desc_cache_identity_no_collisions(tmp_path, engine):
+    """Round-5 engine review: the descriptor cache must key on the DATASET
+    IDENTITY (paths + resolution), not just its class — and runs with
+    different weights must never share a cache."""
+    from anyloc_tpu.data.synthetic import build_gardens
+    from anyloc_tpu.data.registry import get_dataset
+
+    root_a = build_gardens(str(tmp_path / "a"), n_db=6, n_q=3,
+                           size=(70, 70))
+    root_b = build_gardens(str(tmp_path / "b"), n_db=6, n_q=3,
+                           seed=9, size=(70, 70))  # same shape, new pixels
+    ds_a = get_dataset("gardens", root_a, img_size=(70, 70))
+    ds_b = get_dataset("gardens", root_b, img_size=(70, 70))
+
+    e = DescriptorEngine(
+        "dinov2_vits14", 5, "value", dtype="float32", batch_size=4,
+        extractor=engine.extractor, cache_dir=str(tmp_path / "cache"))
+    d_a = e.extract_dataset(ds_a, which="db", verbose=False)
+    d_b = e.extract_dataset(ds_b, which="db", verbose=False)
+    # same class, same shape, DIFFERENT images: must not cache-collide
+    assert not np.allclose(np.asarray(d_a), np.asarray(d_b))
+    # same dataset again: cache hit returns the same values
+    np.testing.assert_allclose(
+        np.asarray(e.extract_dataset(ds_a, which="db", verbose=False)),
+        np.asarray(d_a), atol=1e-6)
+    # same resolution-sensitivity: a resized view keys differently
+    ds_a56 = get_dataset("gardens", root_a, img_size=(56, 56))
+    d_a56 = e.extract_dataset(ds_a56, which="db", verbose=False)
+    assert np.asarray(d_a56).shape != np.asarray(d_a).shape or not \
+        np.allclose(np.asarray(d_a56), np.asarray(d_a))
+
+    # different checkpoint config: distinct cache directory hash
+    from anyloc_tpu.utils.desc_cache import DescriptorCache
+
+    c1 = DescriptorCache(str(tmp_path / "cc"), {"model": "m",
+                                                "checkpoint": None})
+    c2 = DescriptorCache(str(tmp_path / "cc"), {"model": "m",
+                                                "checkpoint": "/w.pth"})
+    assert c1.dir != c2.dir
