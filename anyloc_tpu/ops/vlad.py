@@ -50,6 +50,26 @@ from anyloc_tpu.ops.common import EXACT, l2_normalize
 from anyloc_tpu.ops.kmeans import KMeans, _similarity
 
 
+def _save_npz_atomic(path: str, **arrays) -> None:
+    """Publish an .npz atomically (tmp + os.replace): a killed run or a
+    concurrent writer can never leave a torn cache file that poisons every
+    resume — the same contract as utils/desc_cache.py."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    np.savez(tmp, **arrays)          # np.savez appends .npz to the target
+    os.replace(tmp + ".npz", path)
+
+
+def _load_npz_or_none(path: str):
+    """Dict of arrays, or None when the file is missing/torn (a torn cache
+    is a MISS to recompute, never a crash)."""
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Functional core
 # ---------------------------------------------------------------------------
@@ -81,7 +101,12 @@ def vlad_assign(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vlad_mode", "dist_mode", "intra_norm", "norm_descs", "impl"),
+    static_argnames=("vlad_mode", "dist_mode", "intra_norm", "norm_descs",
+                     "impl", "soft_temp"),
+    # soft_temp is STATIC: the fused Pallas kernel bakes it into the kernel
+    # closure, and a traced scalar there raises "pallas_call captures
+    # constants" on TPU (round-5 review, confirmed on device). It is a
+    # config float — one compile per value is the correct trade.
 )
 def vlad_aggregate(
     descs: jnp.ndarray,
@@ -230,7 +255,15 @@ class VLAD:
         if self.cache_dir is None or not os.path.exists(self.cache_dir):
             return False
         npz, pt = self._centers_paths()
-        return os.path.exists(npz) or os.path.exists(pt)
+        if os.path.exists(npz):
+            return True
+        if os.path.exists(pt):
+            import importlib.util
+
+            # a reference-exported .pt is only usable when torch can read
+            # it — otherwise fit() must refit instead of crashing on import
+            return importlib.util.find_spec("torch") is not None
+        return False
 
     def can_use_cache_ids(
         self,
@@ -238,23 +271,28 @@ class VLAD:
         only_residuals: bool = False,
     ) -> bool:
         """Mirror of utilities.py:710-746 over this class's cache layout.
-        We cache the final global descriptor per image (``<id>_v.npz``) —
-        strictly smaller than the reference's residual/label caches and
-        sufficient to skip re-extraction — so that is what's checked."""
-        del only_residuals
+        We cache the final global descriptor per image (``<id>_v.npz``) and,
+        for the residual API, the residual tensor (``<id>_r.npz``) —
+        ``only_residuals`` checks the latter, matching what
+        ``generate_res_vec(cache_id=...)`` actually reads/writes."""
         if not self.can_use_cache_vlad() or cache_ids is None:
             return False
         if isinstance(cache_ids, str):
             cache_ids = [cache_ids]
+        suffix = "_r.npz" if only_residuals else "_v.npz"
         return all(
-            os.path.exists(f"{self.cache_dir}/{cid}_v.npz")
+            os.path.exists(f"{self.cache_dir}/{cid}{suffix}")
             for cid in cache_ids
         )
 
-    def _load_cached_centers(self) -> jnp.ndarray:
+    def _load_cached_centers(self) -> Optional[jnp.ndarray]:
         npz, pt = self._centers_paths()
         if os.path.exists(npz):
-            return jnp.asarray(np.load(npz)["centers"], dtype=jnp.float32)
+            z = _load_npz_or_none(npz)
+            if z is not None and "centers" in z:
+                return jnp.asarray(z["centers"], dtype=jnp.float32)
+            if not os.path.exists(pt):
+                return None  # torn npz, no .pt fallback
         # Reference-exported vocabulary (torch pickle) for strict parity runs.
         import torch  # local import: torch is optional at runtime
 
@@ -267,11 +305,28 @@ class VLAD:
         None when a cached vocabulary exists (utilities.py:749-791)."""
         self.kmeans = KMeans(self.num_clusters, mode=self.mode, seed=self.seed)
         if self.can_use_cache_vlad():
-            self.c_centers = self._load_cached_centers()
-            self.kmeans.centroids = self.c_centers
-            if self.desc_dim is None:
-                self.desc_dim = int(self.c_centers.shape[1])
-            return
+            centers = self._load_cached_centers()
+            if centers is None and train_descs is None:
+                raise ValueError(
+                    f"cached vocabulary at {self.cache_dir} is unreadable "
+                    "(torn write?) and no training descriptors were given")
+            if centers is not None:
+                if centers.shape[0] != self.num_clusters:
+                    raise ValueError(
+                        f"cached vocabulary at {self.cache_dir} has "
+                        f"{centers.shape[0]} clusters but this VLAD is "
+                        f"configured for {self.num_clusters} — wrong cache "
+                        "directory?")
+                if (self.desc_dim is not None
+                        and int(centers.shape[1]) != self.desc_dim):
+                    raise ValueError(
+                        f"cached vocabulary dim {centers.shape[1]} != "
+                        f"configured desc_dim {self.desc_dim}")
+                self.c_centers = centers
+                self.kmeans.centroids = self.c_centers
+                if self.desc_dim is None:
+                    self.desc_dim = int(self.c_centers.shape[1])
+                return
         if train_descs is None:
             raise ValueError("No training descriptors given and no cache")
         train_descs = jnp.asarray(train_descs, dtype=jnp.float32)
@@ -282,7 +337,7 @@ class VLAD:
         self.kmeans.fit(train_descs)
         self.c_centers = self.kmeans.centroids
         if self.cache_dir is not None:
-            np.savez(
+            _save_npz_atomic(
                 self._centers_paths()[0], centers=np.asarray(self.c_centers)
             )
 
@@ -330,19 +385,29 @@ class VLAD:
         )
         return h.hexdigest()[:12]
 
+    def _v_path(self, cache_id: str) -> str:
+        return f"{self.cache_dir}/{cache_id}_v.npz"
+
+    def _load_v(self, cache_id) -> Optional[np.ndarray]:
+        """Cached per-image descriptor, or None (missing/torn = miss)."""
+        if cache_id is None or self.cache_dir is None:
+            return None
+        z = _load_npz_or_none(self._v_path(cache_id))
+        return None if z is None or "vlad" not in z else z["vlad"]
+
+    def _save_v(self, cache_id, vlad) -> None:
+        if cache_id is not None and self.cache_dir is not None:
+            _save_npz_atomic(self._v_path(cache_id), vlad=np.asarray(vlad))
+
     def generate(self, query_descs, cache_id: Optional[str] = None) -> jnp.ndarray:
         """[N, D] -> [C*D]. ``cache_id`` stores/loads the global descriptor
         (the reference caches residuals+labels; we cache the result, which is
         strictly smaller and sufficient to resume — SURVEY.md §5 checkpoint)."""
-        if cache_id is not None and self.cache_dir is not None:
-            path = f"{self.cache_dir}/{cache_id}_v.npz"
-            if os.path.exists(path):
-                return jnp.asarray(np.load(path)["vlad"])
+        hit = self._load_v(cache_id)
+        if hit is not None:
+            return jnp.asarray(hit)
         out = self._aggregate(jnp.asarray(query_descs, dtype=jnp.float32))
-        if cache_id is not None and self.cache_dir is not None:
-            path = f"{self.cache_dir}/{cache_id}_v.npz"
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            np.savez(path, vlad=np.asarray(out))
+        self._save_v(cache_id, out)
         return out
 
     def generate_multi(self, multi_query, cache_ids=None) -> jnp.ndarray:
@@ -355,20 +420,17 @@ class VLAD:
             q.shape == multi_query[0].shape for q in multi_query
         ):
             return self._generate_ragged(list(multi_query), cache_ids)
-        # Serve fully-cached requests without recomputation (resume path).
+        # Serve fully-cached requests without recomputation (resume path;
+        # a torn file is a miss and the batch recomputes).
         if cache_ids is not None and self.cache_dir is not None:
-            paths = [f"{self.cache_dir}/{cid}_v.npz" for cid in cache_ids]
-            if all(os.path.exists(pth) for pth in paths):
-                return jnp.asarray(
-                    np.stack([np.load(pth)["vlad"] for pth in paths])
-                )
+            hits = [self._load_v(cid) for cid in cache_ids]
+            if all(h is not None for h in hits):
+                return jnp.asarray(np.stack(hits))
         batch = jnp.asarray(np.stack([np.asarray(q) for q in multi_query]))
         out = self._aggregate(batch)
         if cache_ids is not None and self.cache_dir is not None:
             for cid, v in zip(cache_ids, out):
-                path = f"{self.cache_dir}/{cid}_v.npz"
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                np.savez(path, vlad=np.asarray(v))
+                self._save_v(cid, v)
         return out
 
     def _generate_ragged(self, queries: List, cache_ids) -> jnp.ndarray:
@@ -388,6 +450,11 @@ class VLAD:
         out = np.zeros((len(queries), self.num_clusters * d), dtype=np.float32)
         by_bucket = {}
         for i, q in enumerate(queries):
+            hit = self._load_v(cache_ids[i]) if self.cache_dir is not None \
+                else None
+            if hit is not None and hit.shape == out[i].shape:
+                out[i] = hit  # resume path: cached images skip the device
+                continue
             by_bucket.setdefault(bucket(lengths[i]), []).append(i)
         for bsize, idxs in by_bucket.items():
             padded = np.zeros((len(idxs), bsize, d), dtype=np.float32)
@@ -398,17 +465,22 @@ class VLAD:
             res = self._aggregate(jnp.asarray(padded), mask=jnp.asarray(mask))
             for j, i in enumerate(idxs):
                 out[i] = np.asarray(res[j])
-                if cache_ids[i] is not None and self.cache_dir is not None:
-                    path = f"{self.cache_dir}/{cache_ids[i]}_v.npz"
-                    os.makedirs(os.path.dirname(path), exist_ok=True)
-                    np.savez(path, vlad=out[i])
+                self._save_v(cache_ids[i], out[i])
         return jnp.asarray(out)
 
     # -- residual API (parity with utilities.py:928-1008) ------------------
     def generate_res_vec(self, query_descs, cache_id: Optional[str] = None):
         assert self.c_centers is not None
+        if cache_id is not None and self.cache_dir is not None:
+            z = _load_npz_or_none(f"{self.cache_dir}/{cache_id}_r.npz")
+            if z is not None and "res" in z:
+                return jnp.asarray(z["res"])
         q = jnp.asarray(query_descs, dtype=jnp.float32)
-        return vlad_residuals(q, self.c_centers, norm_descs=self.norm_descs)
+        res = vlad_residuals(q, self.c_centers, norm_descs=self.norm_descs)
+        if cache_id is not None and self.cache_dir is not None:
+            _save_npz_atomic(f"{self.cache_dir}/{cache_id}_r.npz",
+                             res=np.asarray(res))
+        return res
 
     def generate_multi_res_vec(self, multi_query, cache_ids=None):
         return jnp.stack([self.generate_res_vec(q) for q in multi_query])

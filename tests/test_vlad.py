@@ -162,3 +162,53 @@ def test_generate_multi_serves_cache(rng, tmp_path):
     other = rng.standard_normal((3, 20, d)).astype(np.float32)
     out2 = np.asarray(vlad.generate_multi(other, cache_ids=ids))
     np.testing.assert_allclose(out2, out1)
+
+
+class TestVladCacheRobustness:
+    """Round-5 review: cached-vocab validation, torn-cache = miss/refit,
+    ragged resume reads, residual-cache contract."""
+
+    def _descs(self, rng, n=150, d=32):
+        return rng.standard_normal((n, d)).astype(np.float32)
+
+    def test_fit_rejects_mismatched_cached_vocab(self, rng, tmp_path):
+        VLAD(8, cache_dir=str(tmp_path)).fit(self._descs(rng))
+        with pytest.raises(ValueError, match="clusters"):
+            VLAD(4, cache_dir=str(tmp_path)).fit(None)
+        with pytest.raises(ValueError, match="dim"):
+            VLAD(8, desc_dim=64, cache_dir=str(tmp_path)).fit(None)
+
+    def test_torn_center_cache_refits(self, rng, tmp_path):
+        x = self._descs(rng)
+        VLAD(4, cache_dir=str(tmp_path)).fit(x)
+        p = tmp_path / "c_centers.npz"
+        p.write_bytes(p.read_bytes()[:20])  # torn write
+        v = VLAD(4, cache_dir=str(tmp_path))
+        v.fit(x)  # refit, not BadZipFile
+        assert v.c_centers.shape == (4, 32)
+        with pytest.raises(ValueError, match="unreadable"):
+            p.write_bytes(b"xx")
+            VLAD(4, cache_dir=str(tmp_path)).fit(None)
+
+    def test_ragged_resume_reads_cache(self, rng, tmp_path):
+        v = VLAD(4, cache_dir=str(tmp_path))
+        v.fit(self._descs(rng))
+        qs = [self._descs(rng, n) for n in (10, 20, 10)]
+        ids = ["a", "b", "c"]
+        first = np.asarray(v.generate_multi(qs, cache_ids=ids))
+        # poison the inputs: a cached resume must NOT recompute from them
+        again = np.asarray(v.generate_multi(
+            [np.zeros_like(q) for q in qs], cache_ids=ids))
+        np.testing.assert_allclose(again, first, atol=1e-6)
+
+    def test_residual_cache_contract(self, rng, tmp_path):
+        v = VLAD(4, cache_dir=str(tmp_path))
+        v.fit(self._descs(rng))
+        q = self._descs(rng, 12)
+        assert not v.can_use_cache_ids(["r1"], only_residuals=True)
+        res = np.asarray(v.generate_res_vec(q, cache_id="r1"))
+        assert v.can_use_cache_ids(["r1"], only_residuals=True)
+        # cached read returns the stored tensor even for poisoned input
+        again = np.asarray(v.generate_res_vec(np.zeros_like(q),
+                                              cache_id="r1"))
+        np.testing.assert_allclose(again, res, atol=1e-6)
